@@ -1,0 +1,9 @@
+"""piquant_tpu.parallel — meshes and quantized collectives over ICI."""
+
+from piquant_tpu.parallel.collectives import (  # noqa: F401
+    quantized_all_gather,
+    quantized_all_reduce,
+    quantized_psum,
+    quantized_reduce_scatter,
+)
+from piquant_tpu.parallel.mesh import make_mesh  # noqa: F401
