@@ -1,0 +1,119 @@
+"""Native host runtime tests: C++ kernels vs the same numpy oracle used for
+the jnp ops (two-oracle scheme, SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+import oracle
+
+from piquant_tpu.runtime import HostContext, host_available
+
+pytestmark = pytest.mark.skipif(not host_available(), reason="native lib unavailable")
+
+SEED = 0x9032002
+QINFOS = {
+    "uint2": (2, 0, 3, False),
+    "uint4": (4, 0, 15, False),
+    "int4": (4, -8, 7, True),
+    "uint8": (8, 0, 255, False),
+    "int8": (8, -128, 127, True),
+    "uint16": (16, 0, 65535, False),
+    "int16": (16, -32768, 32767, True),
+}
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return HostContext(num_threads=4)
+
+
+@pytest.mark.parametrize("qname", list(QINFOS))
+def test_host_quantize_matches_oracle(ctx, qname):
+    bits, qmin, qmax, signed = QINFOS[qname]
+    rng = np.random.default_rng(SEED)
+    for n in [10007, 7, 1, 4096]:
+        x = rng.uniform(-4, 4, n).astype(np.float32)
+        scale, zp = oracle.np_quant_params(x, qmin, qmax)
+        got = ctx.quantize(x, scale, zp, qname)
+        codes = oracle.np_quantize_codes(x, scale, zp, qmin, qmax)
+        if bits < 8:
+            want = oracle.np_pack(codes, bits)
+            np.testing.assert_array_equal(got.view(np.uint8), want)
+        else:
+            np.testing.assert_array_equal(got.astype(np.int64), codes)
+
+
+@pytest.mark.parametrize("qname", ["uint2", "uint4", "int4", "uint8", "int8"])
+@pytest.mark.parametrize("reduce_op", ["set", "add"])
+def test_host_dequantize(ctx, qname, reduce_op):
+    bits, qmin, qmax, signed = QINFOS[qname]
+    rng = np.random.default_rng(SEED + 1)
+    n = 9001
+    x = rng.uniform(-4, 4, n).astype(np.float32)
+    scale, zp = oracle.np_quant_params(x, qmin, qmax)
+    q = ctx.quantize(x, scale, zp, qname)
+    codes = oracle.np_unpack(q.view(np.uint8), n, bits, signed) if bits < 8 else q.astype(np.int64)
+    want = oracle.np_dequant(codes, scale, zp)
+    if reduce_op == "set":
+        got = ctx.dequantize(q, n, scale, zp, qname)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    else:
+        base = np.full(n, 2.5, np.float32)
+        got = ctx.dequantize(q, n, scale, zp, qname, reduce_op="add", out=base.copy())
+        np.testing.assert_allclose(got, base + want, atol=1e-5)
+    # roundtrip bound
+    assert np.abs(x - want).max() <= scale * 0.5 + 1e-5
+
+
+def test_host_stochastic_and_requant(ctx):
+    rng = np.random.default_rng(SEED + 2)
+    n = 50_000
+    x = rng.uniform(-2, 2, n).astype(np.float32)
+    scale, zp = 0.01, 127
+    qs = ctx.quantize(x, scale, zp, "uint8", "stochastic", seed=7).astype(np.int64)
+    qn = ctx.quantize(x, scale, zp, "uint8", "nearest").astype(np.int64)
+    assert np.abs(qs - qn).max() <= 1
+    # unbiasedness on a constant
+    c = np.full(200_000, 0.31337, np.float32)
+    dq = ctx.dequantize(ctx.quantize(c, scale, zp, "uint8", "stochastic", seed=3),
+                        c.size, scale, zp, "uint8")
+    assert abs(dq.mean() - 0.31337) < 1e-4
+    # fused requant == quant->dequant (nearest)
+    rq = ctx.requantize(x, scale, zp, "uint4")
+    q4 = ctx.quantize(x, scale, zp, "uint4")
+    dq4 = ctx.dequantize(q4, n, scale, zp, "uint4")
+    np.testing.assert_allclose(rq, dq4, atol=1e-6)
+
+
+def test_host_params_and_minmax(ctx):
+    rng = np.random.default_rng(SEED + 3)
+    x = rng.normal(0, 3, 123_457).astype(np.float32)
+    lo, hi = ctx.min_max(x)
+    assert lo == x.min() and hi == x.max()
+    scale, zp = ctx.compute_quant_params(x, "uint8")
+    so, zo = oracle.np_quant_params(x, 0, 255)
+    np.testing.assert_allclose(scale, so, rtol=1e-6)
+    assert abs(zp - zo) <= 1
+    # degenerate
+    scale, zp = ctx.compute_quant_params(np.full(100, 5.0, np.float32), "uint8")
+    assert scale == 1.0 and zp == 127
+
+
+def test_host_bf16_roundtrip(ctx):
+    import ml_dtypes
+
+    rng = np.random.default_rng(SEED + 4)
+    x = rng.uniform(-4, 4, 8192).astype(ml_dtypes.bfloat16)
+    scale, zp = ctx.compute_quant_params(x, "uint8")
+    q = ctx.quantize(x, scale, zp, "uint8")
+    dq = ctx.dequantize(q, x.size, scale, zp, "uint8", out_dtype="bf16",
+                        out=np.zeros(x.size, ml_dtypes.bfloat16))
+    err = np.abs(x.astype(np.float32) - dq.view(ml_dtypes.bfloat16).astype(np.float32)).max()
+    assert err <= scale * 0.5 + 0.02
+
+
+def test_host_validation(ctx):
+    with pytest.raises(ValueError):
+        ctx.dequantize(np.zeros(10, np.uint8), 100, 1.0, 0, "uint4")
+    with pytest.raises(ValueError):
+        ctx.dequantize(np.zeros(10, np.uint8), 20, 1.0, 0, "uint4", reduce_op="add")
