@@ -1,0 +1,332 @@
+"""Llama-3-family model, TPU-native, weight-only quantized.
+
+The flagship model for the serving slice (BASELINE.json: "weight-only INT4
+Llama-3-8B decode with INT8 KV-cache").  Plain functional JAX: params are a
+pytree of QuantizedLinear / float arrays, forward is a jit-able function —
+no framework classes, so the same code path runs under jit, shard_map, and
+the serving engine's continuous batcher.
+
+Architecture: pre-norm transformer with RMSNorm, rotary embeddings, grouped-
+query attention, SwiGLU MLP, untied or tied LM head — the Llama-3 recipe.
+
+Sharding (tensor parallel over axis "tp"):
+  * attention: q/k/v projections column-sharded over heads, o row-sharded;
+  * MLP: w1/w3 column-sharded, w2 row-sharded;
+  * KV cache sharded over the head axis.
+`param_shardings` returns a matching pytree of PartitionSpecs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from piquant_tpu.quant.kv_cache import (
+    KVCache,
+    kv_cache_append,
+    kv_cache_init,
+    kv_cache_read,
+)
+from piquant_tpu.quant.linear import (
+    QuantizedLinear,
+    quantize_linear_weight,
+    quantized_matmul,
+)
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 128_256
+    d_model: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    n_kv_heads: int = 8
+    d_ff: int = 14_336
+    rope_theta: float = 500_000.0
+    rms_eps: float = 1e-5
+    max_seq_len: int = 8192
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.n_heads
+
+    @staticmethod
+    def llama3_8b() -> "LlamaConfig":
+        return LlamaConfig()
+
+    @staticmethod
+    def tiny(vocab: int = 256) -> "LlamaConfig":
+        """Small config for tests / compile checks."""
+        return LlamaConfig(
+            vocab_size=vocab, d_model=256, n_layers=2, n_heads=8, n_kv_heads=4,
+            d_ff=512, max_seq_len=256,
+        )
+
+
+# ---------------------------------------------------------------------------
+# init / quantize
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: LlamaConfig, key: Array) -> Dict:
+    """Random init (testing / benchmarking); loaders fill the same pytree."""
+    keys = iter(jax.random.split(key, 4 + cfg.n_layers * 8))
+    dt = cfg.dtype
+
+    def dense(k, din, dout, std=0.02):
+        return (jax.random.normal(k, (din, dout), jnp.float32) * std).astype(dt)
+
+    params: Dict[str, Any] = {
+        "embed": dense(next(keys), cfg.vocab_size, cfg.d_model),
+        "final_norm": jnp.ones((cfg.d_model,), dt),
+        "lm_head": dense(next(keys), cfg.d_model, cfg.vocab_size),
+        "layers": [],
+    }
+    hd = cfg.head_dim
+    for _ in range(cfg.n_layers):
+        params["layers"].append({
+            "attn_norm": jnp.ones((cfg.d_model,), dt),
+            "mlp_norm": jnp.ones((cfg.d_model,), dt),
+            "wq": dense(next(keys), cfg.d_model, cfg.n_heads * hd),
+            "wk": dense(next(keys), cfg.d_model, cfg.n_kv_heads * hd),
+            "wv": dense(next(keys), cfg.d_model, cfg.n_kv_heads * hd),
+            "wo": dense(next(keys), cfg.n_heads * hd, cfg.d_model),
+            "w1": dense(next(keys), cfg.d_model, cfg.d_ff),
+            "w3": dense(next(keys), cfg.d_model, cfg.d_ff),
+            "w2": dense(next(keys), cfg.d_ff, cfg.d_model),
+        })
+    return params
+
+
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
+
+
+def quantize_params(params: Dict, bits: int = 4, *, channelwise: bool = True,
+                    quantize_lm_head: bool = False) -> Dict:
+    """Weight-only quantization of every linear; norms/embeddings stay float."""
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        ql = dict(layer)
+        for k in _QUANT_KEYS:
+            ql[k] = quantize_linear_weight(layer[k], bits, channelwise=channelwise)
+        out["layers"].append(ql)
+    if quantize_lm_head:
+        out["lm_head"] = quantize_linear_weight(params["lm_head"], 8, channelwise=channelwise)
+    return out
+
+
+def _mm(x: Array, w, out_dtype) -> Array:
+    if isinstance(w, QuantizedLinear):
+        return quantized_matmul(x, w, out_dtype)
+    return jnp.dot(x.astype(out_dtype), w.astype(out_dtype),
+                   preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: Array, w: Array, eps: float) -> Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def _rope_freqs(cfg: LlamaConfig, positions: Array) -> Tuple[Array, Array]:
+    hd = cfg.head_dim
+    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    ang = positions[..., None].astype(jnp.float32) * inv  # [..., T, hd/2]
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
+    """x: [B, H, T, D]; cos/sin: [B, T, D/2] -> rotate pairs (even, odd)."""
+    xf = x.astype(jnp.float32)
+    x1 = xf[..., 0::2]
+    x2 = xf[..., 1::2]
+    c = cos[:, None, :, :]
+    s = sin[:, None, :, :]
+    r1 = x1 * c - x2 * s
+    r2 = x2 * c + x1 * s
+    out = jnp.stack([r1, r2], axis=-1).reshape(x.shape)
+    return out.astype(x.dtype)
+
+
+def _attention(
+    cfg: LlamaConfig,
+    layer: Dict,
+    x: Array,                # [B, T, D]
+    positions: Array,        # [B, T]
+    cache: Optional[KVCache],
+    layer_cache: Optional[KVCache],
+    mask: Array,             # [B, 1, T, S] additive
+) -> Tuple[Array, Optional[KVCache]]:
+    b, t, _ = x.shape
+    hd = cfg.head_dim
+    dt = cfg.dtype
+
+    q = _mm(x, layer["wq"], dt).reshape(b, t, cfg.n_heads, hd).transpose(0, 2, 1, 3)
+    k = _mm(x, layer["wk"], dt).reshape(b, t, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
+    v = _mm(x, layer["wv"], dt).reshape(b, t, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
+
+    cos, sin = _rope_freqs(cfg, positions)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if layer_cache is not None:
+        layer_cache = kv_cache_append(layer_cache, k, v, positions)
+        k_full, v_full = kv_cache_read(layer_cache, dt)  # [B, Hkv, S, D]
+    else:
+        k_full, v_full = k, v
+
+    # GQA: repeat kv heads
+    rep = cfg.n_heads // cfg.n_kv_heads
+    if rep > 1:
+        k_full = jnp.repeat(k_full, rep, axis=1)
+        v_full = jnp.repeat(v_full, rep, axis=1)
+
+    scores = jnp.einsum("bhtd,bhsd->bhts", q.astype(jnp.float32), k_full.astype(jnp.float32))
+    scores = scores * (1.0 / jnp.sqrt(hd)) + mask
+    probs = jax.nn.softmax(scores, axis=-1).astype(dt)
+    ctx = jnp.einsum("bhts,bhsd->bhtd", probs.astype(jnp.float32), v_full.astype(jnp.float32))
+    ctx = ctx.astype(dt).transpose(0, 2, 1, 3).reshape(b, t, cfg.n_heads * hd)
+    out = _mm(ctx, layer["wo"], dt)
+    return out, layer_cache
+
+
+def _mlp(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:
+    dt = cfg.dtype
+    g = _mm(x, layer["w1"], dt)
+    u = _mm(x, layer["w3"], dt)
+    h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(dt)
+    return _mm(h, layer["w2"], dt)
+
+
+# ---------------------------------------------------------------------------
+# forward / prefill / decode
+# ---------------------------------------------------------------------------
+
+def forward(
+    cfg: LlamaConfig,
+    params: Dict,
+    tokens: Array,                    # [B, T] int32
+    positions: Optional[Array] = None,  # [B, T]
+    cache: Optional[KVCache] = None,  # stacked per-layer cache (see init_kv_cache)
+    mask: Optional[Array] = None,     # [B, 1, T, S] additive; default causal
+) -> Tuple[Array, Optional[KVCache]]:
+    """Returns (logits [B, T, V], updated cache or None)."""
+    b, t = tokens.shape
+    dt = cfg.dtype
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
+
+    x = params["embed"][tokens].astype(dt)
+
+    s_len = cache.k_codes.shape[3] if cache is not None else t
+    if mask is None:
+        if cache is not None:
+            # decode/prefill against cache: allow attention to pos <= position
+            kv_pos = jnp.arange(s_len, dtype=jnp.int32)[None, None, None, :]
+            qp = positions[:, None, :, None]
+            mask = jnp.where(kv_pos <= qp, 0.0, -1e9).astype(jnp.float32)
+        else:
+            causal = jnp.tril(jnp.ones((t, t), bool))
+            mask = jnp.where(causal, 0.0, -1e9)[None, None].astype(jnp.float32)
+
+    new_layers = [] if cache is not None else None
+    for i, layer in enumerate(params["layers"]):
+        lc = None
+        if cache is not None:
+            lc = jax.tree.map(lambda a: a[i], cache)
+        h, lc = _attention(cfg, layer, rms_norm(x, layer["attn_norm"], cfg.rms_eps),
+                           positions, cache, lc, mask)
+        x = x + h
+        x = x + _mlp(cfg, layer, rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
+        if cache is not None:
+            new_layers.append(lc)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = _mm(x, params["lm_head"], jnp.float32)
+
+    new_cache = None
+    if cache is not None:
+        new_cache = jax.tree.map(lambda *xs: jnp.stack(xs), *new_layers)
+    return logits, new_cache
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None) -> KVCache:
+    """Stacked per-layer KVCache: leaves have a leading n_layers axis."""
+    ml = max_len or cfg.max_seq_len
+    one = kv_cache_init(batch, cfg.n_kv_heads, ml, cfg.head_dim)
+    return jax.tree.map(lambda a: jnp.stack([a] * cfg.n_layers), one)
+
+
+def prefill(cfg: LlamaConfig, params: Dict, tokens: Array, cache: KVCache
+            ) -> Tuple[Array, KVCache]:
+    """Run the prompt through the model, filling the cache.  Returns logits
+    of the last position [B, V] and the updated cache."""
+    logits, cache = forward(cfg, params, tokens, cache=cache)
+    return logits[:, -1], cache
+
+
+def decode_step(cfg: LlamaConfig, params: Dict, token: Array, position: Array,
+                cache: KVCache) -> Tuple[Array, KVCache]:
+    """One autoregressive step: token [B] int32, position [B] int32."""
+    logits, cache = forward(cfg, params, token[:, None],
+                            positions=position[:, None], cache=cache)
+    return logits[:, 0], cache
+
+
+# ---------------------------------------------------------------------------
+# sharding
+# ---------------------------------------------------------------------------
+
+def param_shardings(cfg: LlamaConfig, tp_axis: str = "tp") -> Dict:
+    """PartitionSpec pytree for tensor parallelism over `tp_axis`.
+
+    Column-parallel (shard N): wq/wk/wv/w1/w3 + their per-channel scales;
+    row-parallel (shard K): wo/w2 (scales replicated — per-output-channel).
+    QuantizedLinear.data for 4-bit is [K//2, N]: same spec applies (K-shard
+    splits sublane halves evenly because K/2 % tp == 0 for supported configs).
+    """
+    col = QuantizedLinear(
+        data=P(None, tp_axis), scale=P(None, tp_axis), zero_point=P(None, tp_axis),
+        bits=None, k=None,
+    )
+    row = QuantizedLinear(
+        data=P(tp_axis, None), scale=P(None, None), zero_point=P(None, None),
+        bits=None, k=None,
+    )
+
+    def layer_spec():
+        return {
+            "attn_norm": P(None), "mlp_norm": P(None),
+            "wq": col, "wk": col, "wv": col, "wo": row,
+            "w1": col, "w3": col, "w2": row,
+        }
+
+    return {
+        "embed": P(None, None),
+        "final_norm": P(None),
+        "lm_head": P(None, tp_axis),
+        "layers": [layer_spec() for _ in range(cfg.n_layers)],
+    }
+
+
+def cache_shardings(cfg: LlamaConfig, tp_axis: str = "tp") -> KVCache:
+    """KV cache sharded over heads (axis 1 after the stacked layer axis)."""
+    return KVCache(
+        k_codes=P(None, None, tp_axis, None, None),
+        v_codes=P(None, None, tp_axis, None, None),
+        k_scale=P(None, None, tp_axis, None, None),
+        v_scale=P(None, None, tp_axis, None, None),
+        length=P(None, None),
+    )

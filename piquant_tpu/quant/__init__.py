@@ -1,0 +1,19 @@
+"""piquant_tpu.quant — tensor-level quantization building blocks for models:
+weight-only quantized linears (split-half packed INT4 / INT8) and the INT8
+KV-cache. These sit between the raw ops and the model/serving layers."""
+
+from piquant_tpu.quant.linear import (  # noqa: F401
+    QuantizedLinear,
+    quantize_linear_weight,
+    quantized_matmul,
+    pack_split_half,
+    unpack_split_half,
+    wire_to_split_half,
+    split_half_to_wire,
+)
+from piquant_tpu.quant.kv_cache import (  # noqa: F401
+    KVCache,
+    kv_cache_init,
+    kv_cache_append,
+    kv_cache_read,
+)

@@ -1,0 +1,103 @@
+"""INT8-quantized KV cache.
+
+BASELINE.json: "INT8 KV-cache with on-the-fly quant at append + dequant at
+attention read".  K and V are stored as int8 codes with a per-(batch, head,
+position) symmetric scale (zero_point fixed at 0 — keys/values are
+zero-centered; symmetric keeps the attention dot a pure scale multiply).
+
+Shapes (decode-friendly layout, heads leading so attention reads are
+contiguous per head):
+    k_codes/v_codes : int8  [B, H_kv, S_max, D]
+    k_scale/v_scale : f32   [B, H_kv, S_max, 1]
+
+The append path mirrors the reference's quantize hot loop; the read path is
+its dequantize with SET store — both fused by XLA into the surrounding
+attention; a Pallas fused attention-with-int8-cache kernel can slot in
+behind `kv_cache_read` later.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_EPS = 1e-8
+_QMAX = 127.0
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVCache:
+    k_codes: Array
+    v_codes: Array
+    k_scale: Array
+    v_scale: Array
+    length: Array  # int32 scalar: valid positions per batch row [B]
+
+    def tree_flatten(self):
+        return (self.k_codes, self.v_codes, self.k_scale, self.v_scale, self.length), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def max_len(self) -> int:
+        return self.k_codes.shape[2]
+
+
+def kv_cache_init(batch: int, n_kv_heads: int, max_len: int, head_dim: int) -> KVCache:
+    return KVCache(
+        k_codes=jnp.zeros((batch, n_kv_heads, max_len, head_dim), jnp.int8),
+        v_codes=jnp.zeros((batch, n_kv_heads, max_len, head_dim), jnp.int8),
+        k_scale=jnp.zeros((batch, n_kv_heads, max_len, 1), jnp.float32),
+        v_scale=jnp.zeros((batch, n_kv_heads, max_len, 1), jnp.float32),
+        length=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _quantize_sym(x: Array) -> Tuple[Array, Array]:
+    """Symmetric int8 quantization along the last axis (per token+head)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, _EPS) / _QMAX
+    codes = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -_QMAX, _QMAX)
+    return codes.astype(jnp.int8), scale
+
+
+def kv_cache_append(
+    cache: KVCache,
+    k_new: Array,  # [B, H_kv, T, D] float
+    v_new: Array,
+    positions: Array,  # [B, T] int32 absolute positions to write
+) -> KVCache:
+    """Quantize new K/V on the fly and scatter them at `positions`."""
+    kc, ks = _quantize_sym(k_new)
+    vc, vs = _quantize_sym(v_new)
+
+    b = jnp.arange(cache.k_codes.shape[0])[:, None, None]
+    h = jnp.arange(cache.k_codes.shape[1])[None, :, None]
+    p = positions[:, None, :]  # [B, 1, T]
+
+    k_codes = cache.k_codes.at[b, h, p].set(kc)
+    v_codes = cache.v_codes.at[b, h, p].set(vc)
+    k_scale = cache.k_scale.at[b, h, p].set(ks)
+    v_scale = cache.v_scale.at[b, h, p].set(vs)
+    # XLA scatters silently drop out-of-bounds writes; clamp the bookkeeping
+    # so `length` can never exceed capacity (callers enforce capacity before
+    # appending — the serving engine evicts/refuses beyond max_len).
+    new_len = jnp.maximum(cache.length, positions.max(axis=-1) + 1)
+    new_len = jnp.minimum(new_len, k_codes.shape[2])
+    return KVCache(k_codes, v_codes, k_scale, v_scale, new_len)
+
+
+def kv_cache_read(cache: KVCache, dtype=jnp.bfloat16) -> Tuple[Array, Array]:
+    """Dequantize the full cache (masking beyond `length` is the caller's
+    job via attention masks).  [B, H_kv, S_max, D] each."""
+    k = (cache.k_codes.astype(jnp.float32) * cache.k_scale).astype(dtype)
+    v = (cache.v_codes.astype(jnp.float32) * cache.v_scale).astype(dtype)
+    return k, v

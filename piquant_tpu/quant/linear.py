@@ -1,0 +1,225 @@
+"""Weight-only quantized linear layers (INT4 split-half packed / INT8).
+
+The serving-stack materialization of the reference's quantize/dequantize
+primitives (BASELINE.json: "weight-only INT4/INT8 serving with fused
+dequant+matmul in VMEM").
+
+TPU-native storage layout — "split-half" packing for 4-bit weights:
+a weight W[K, N] is stored as bytes B[K//2, N] with
+    B[k, n] = (codes[k, n] & 0xF) | (codes[k + K//2, n] << 4).
+Unpacking is then PURE ELEMENTWISE (lo = B & 15 -> rows 0..K/2-1,
+hi = B >> 4 -> rows K/2..K-1) followed by a sublane-dimension concat —
+no lane shuffles, unlike the adjacent-pair wire layout
+(reference quantize.inl:37-41) which would need a lane deinterleave that
+TPUs can't do cheaply.  The matmul identity
+    x @ W = x[:, :K/2] @ deq(lo) + x[:, K/2:] @ deq(hi)
+means the MXU never sees the permutation.  `wire_to_split_half` /
+`split_half_to_wire` convert to/from the reference wire ABI at checkpoint
+boundaries.
+
+Quantization granularity: per-output-channel affine (scale/zp shaped (1, N)),
+an extension over the reference's per-tensor scheme that INT4 LLM serving
+needs to stay within the 0.1-ppl target; per-tensor remains available
+(channelwise=False).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from piquant_tpu.dtypes import dtype_of
+from piquant_tpu.ops.reference import round_half_away
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# split-half packing
+# ---------------------------------------------------------------------------
+
+def pack_split_half(codes: Array) -> Array:
+    """Pack int4 codes [K, N] -> bytes [K//2, N] (split-half layout)."""
+    k = codes.shape[0]
+    if k % 2:
+        raise ValueError(f"K={k} must be even for split-half packing")
+    lo = codes[: k // 2].astype(jnp.uint8) & jnp.uint8(0xF)
+    hi = codes[k // 2 :].astype(jnp.uint8) & jnp.uint8(0xF)
+    return lo | (hi << 4)
+
+
+def unpack_split_half(packed: Array, *, signed: bool = False) -> Array:
+    """bytes [K//2, N] -> int32 codes [K, N]."""
+    b = packed.astype(jnp.int32)
+    lo = b & 15
+    hi = (b >> 4) & 15
+    codes = jnp.concatenate([lo, hi], axis=0)
+    if signed:
+        codes = jnp.where(codes >= 8, codes - 16, codes)
+    return codes
+
+
+def wire_to_split_half(wire: Array, k: int, n: int) -> Array:
+    """Reference wire layout (adjacent-pair bytes of the flattened [K, N]
+    row-major array, low nibble first — quantize.inl:37-41) -> split-half.
+
+    Host-side/one-time (checkpoint load); uses gather-heavy ops freely.
+    """
+    flat = wire.reshape(-1)
+    lo = (flat & 0xF).astype(jnp.uint8)
+    hi = (flat >> 4).astype(jnp.uint8)
+    codes = jnp.stack([lo, hi], axis=1).reshape(-1)[: k * n].reshape(k, n)
+    return pack_split_half(codes)
+
+
+def split_half_to_wire(packed: Array) -> Array:
+    """Split-half [K//2, N] -> reference wire bytes of the [K, N] array."""
+    codes = unpack_split_half(packed).astype(jnp.uint8).reshape(-1)
+    even = codes[0::2] & 0xF
+    odd = codes[1::2] & 0xF
+    return (even | (odd << 4)).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# QuantizedLinear
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedLinear:
+    """Packed weight + affine params for y = x @ W.
+
+    data: uint8 [K//2, N] (int4 split-half) or int8 [K, N].
+    scale/zp: (1, N) channelwise or (1, 1) per-tensor, f32 / int32.
+    """
+
+    data: Array
+    scale: Array
+    zero_point: Array
+    bits: int          # 4 or 8
+    k: int             # logical contraction dim
+
+    def tree_flatten(self):
+        return (self.data, self.scale, self.zero_point), (self.bits, self.k)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, scale, zp = children
+        bits, k = aux
+        return cls(data, scale, zp, bits, k)
+
+    @property
+    def n(self) -> int:
+        return self.data.shape[-1]
+
+    def dequantize(self, dtype=jnp.bfloat16) -> Array:
+        """Materialize the full [K, N] float weight (debug / fallback)."""
+        if self.bits == 4:
+            codes = unpack_split_half(self.data)
+        else:
+            codes = self.data.astype(jnp.int32)
+        w = (codes.astype(jnp.float32) - self.zero_point.astype(jnp.float32)) * self.scale
+        return w.astype(dtype)
+
+
+def quantize_linear_weight(
+    w: Array,
+    bits: int = 4,
+    *,
+    channelwise: bool = True,
+    stochastic: bool = False,
+    key: Optional[Array] = None,
+) -> QuantizedLinear:
+    """Quantize a [K, N] float weight for weight-only inference.
+
+    Affine (scale, zp) per output channel (axis 0 reduced) or per tensor;
+    same scale/zp derivation math as ops.reference.compute_quant_params
+    (reference src/piquant.cpp:222-259), vectorized over channels.
+    """
+    if w.ndim != 2:
+        raise ValueError("quantize_linear_weight expects a 2-D weight")
+    k, n = w.shape
+    if bits not in (4, 8):
+        raise ValueError("bits must be 4 or 8")
+    qmin, qmax = 0, (1 << bits) - 1
+    wf = w.astype(jnp.float32)
+    axis = 0 if channelwise else None
+    rmin = jnp.min(wf, axis=axis, keepdims=True)
+    rmax = jnp.max(wf, axis=axis, keepdims=True)
+    span = rmax - rmin
+    scale = jnp.where(span == 0, 1.0, span / (qmax - qmin)).astype(jnp.float32)
+    zp = jnp.clip(round_half_away(qmin - rmin / scale), qmin, qmax)
+    zp = jnp.where(span == 0, (qmax + qmin) >> 1, zp).astype(jnp.int32)
+
+    r = wf / scale
+    if stochastic:
+        if key is None:
+            raise ValueError("stochastic quantization requires a key")
+        u = jax.random.uniform(key, r.shape, jnp.float32)
+        rounded = jnp.floor(r + u)
+    else:
+        rounded = round_half_away(r)
+    codes = jnp.clip(rounded.astype(jnp.int32) + zp, qmin, qmax)
+
+    if bits == 4:
+        data = pack_split_half(codes)
+    else:
+        data = codes.astype(jnp.uint8)
+    return QuantizedLinear(data=data, scale=scale, zero_point=zp, bits=bits, k=k)
+
+
+def _matmul_dequant_jnp(x: Array, ql: QuantizedLinear, out_dtype) -> Array:
+    """Fallback path: dequantize tile-free and matmul (XLA fuses reasonably).
+
+    Uses the split-half identity so no full-width codes tensor with lane
+    shuffles is ever built.
+    """
+    scale = ql.scale.astype(jnp.float32)
+    zp = ql.zero_point.astype(jnp.float32)
+    xf = x.astype(jnp.bfloat16)
+    if ql.bits == 4:
+        b = ql.data.astype(jnp.int32)
+        lo = (b & 15).astype(jnp.bfloat16)
+        hi = ((b >> 4) & 15).astype(jnp.bfloat16)
+        kh = ql.k // 2
+        acc = jnp.dot(xf[..., :kh], lo, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(xf[..., kh:], hi, preferred_element_type=jnp.float32)
+    else:
+        codes = ql.data.astype(jnp.bfloat16)
+        acc = jnp.dot(xf, codes, preferred_element_type=jnp.float32)
+    # affine correction: x @ ((c - zp) * s) = (x @ c) * s - (sum_k x) * zp * s
+    xsum = jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True)
+    out = acc * scale - xsum * (zp.astype(jnp.float32) * scale)
+    return out.astype(out_dtype)
+
+
+def quantized_matmul(
+    x: Array,
+    ql: QuantizedLinear,
+    out_dtype=jnp.bfloat16,
+) -> Array:
+    """y = x @ dequant(W), weights stay packed in HBM/VMEM.
+
+    The affine zero-point term is folded analytically:
+        x @ ((codes - zp) * scale) = (x @ codes) * scale - (sum x) * zp * scale
+    so the MXU consumes raw codes in bf16 — no materialized float weights.
+    On TPU, hot shapes route to the Pallas fused kernel (ops/pallas/qmatmul);
+    elsewhere this XLA path runs.
+    """
+    if x.shape[-1] != ql.k:
+        raise ValueError(f"x last dim {x.shape[-1]} != weight K {ql.k}")
+    import os
+
+    if jax.default_backend() == "tpu" and os.environ.get("PIQUANT_TPU_FORCE_REF", "0") != "1":
+        try:
+            from piquant_tpu.ops.pallas import qmatmul as _qmm
+
+            res = _qmm.quantized_matmul(x, ql, out_dtype)
+            if res is not None:
+                return res
+        except ImportError:
+            pass
+    return _matmul_dequant_jnp(x, ql, out_dtype)

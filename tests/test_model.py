@@ -1,0 +1,137 @@
+"""Llama model tests (tiny config, CPU): cache-consistency, quantized-weight
+accuracy, and the quantized-linear building blocks."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from piquant_tpu.models import llama as M
+from piquant_tpu.quant.linear import (
+    QuantizedLinear,
+    pack_split_half,
+    quantize_linear_weight,
+    quantized_matmul,
+    split_half_to_wire,
+    unpack_split_half,
+    wire_to_split_half,
+)
+
+SEED = 0x9032002
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return M.LlamaConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return M.init_params(cfg, jax.random.key(SEED))
+
+
+# ---------------------------------------------------------------------------
+# quantized linear blocks
+# ---------------------------------------------------------------------------
+
+def test_split_half_pack_roundtrip():
+    rng = np.random.default_rng(SEED)
+    codes = jnp.asarray(rng.integers(0, 16, (64, 96)), jnp.int32)
+    packed = pack_split_half(codes)
+    assert packed.shape == (32, 96)
+    np.testing.assert_array_equal(np.asarray(unpack_split_half(packed)), np.asarray(codes))
+
+
+def test_wire_split_half_conversion():
+    rng = np.random.default_rng(SEED + 1)
+    k, n = 16, 8
+    codes = rng.integers(0, 16, (k, n))
+    flat = codes.reshape(-1)
+    wire = jnp.asarray((flat[0::2] | (flat[1::2] << 4)).astype(np.uint8))
+    sh = wire_to_split_half(wire, k, n)
+    np.testing.assert_array_equal(np.asarray(unpack_split_half(sh)), codes)
+    back = split_half_to_wire(sh)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(wire))
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+@pytest.mark.parametrize("channelwise", [True, False])
+def test_quantized_matmul_close_to_float(bits, channelwise):
+    rng = np.random.default_rng(SEED + 2)
+    k, n, m = 256, 128, 8
+    w = jnp.asarray(rng.normal(0, 0.05, (k, n)), jnp.float32)
+    x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.float32)
+    ql = quantize_linear_weight(w, bits, channelwise=channelwise)
+    y = np.asarray(quantized_matmul(x, ql, jnp.float32))
+    y_ref = np.asarray(x) @ np.asarray(ql.dequantize(jnp.float32))
+    # quantized_matmul must match matmul-with-dequantized-weights closely
+    # (bf16 activation rounding is the only difference)
+    np.testing.assert_allclose(y, y_ref, atol=0.15, rtol=0.02)
+    # and the quantization itself keeps reasonable fidelity vs full precision
+    y_full = np.asarray(x) @ np.asarray(w)
+    err = np.abs(y - y_full).max()
+    assert err < (0.6 if bits == 4 and not channelwise else 0.35), err
+
+
+# ---------------------------------------------------------------------------
+# model forward + cache
+# ---------------------------------------------------------------------------
+
+def test_forward_shapes(cfg, params):
+    tokens = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]], jnp.int32)
+    logits, cache = M.forward(cfg, params, tokens)
+    assert logits.shape == (1, 8, cfg.vocab_size)
+    assert cache is None
+
+
+def test_prefill_decode_matches_full_forward(cfg, params):
+    b, t = 2, 12
+    rng = np.random.default_rng(SEED + 3)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, t)), jnp.int32)
+
+    # full forward (no cache): logits at position t-1
+    full_logits, _ = M.forward(cfg, params, tokens)
+    want = np.asarray(full_logits[:, -1])
+
+    # prefill first t-1, then decode token t-1
+    cache = M.init_kv_cache(cfg, b, max_len=32)
+    _, cache = M.prefill(cfg, params, tokens[:, : t - 1], cache)
+    got, cache = M.decode_step(
+        cfg, params, tokens[:, t - 1], jnp.full((b,), t - 1, jnp.int32), cache
+    )
+    got = np.asarray(got)
+    # int8 KV cache introduces small error; logits must still agree closely
+    denom = np.abs(want).max()
+    assert np.abs(got - want).max() / denom < 0.05, np.abs(got - want).max()
+    # and the predicted tokens agree
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_quantized_model_close_to_float(cfg, params, bits):
+    tokens = jnp.asarray([[5, 9, 2, 77, 31, 8, 12, 3]], jnp.int32)
+    logits_f, _ = M.forward(cfg, params, tokens)
+    qparams = M.quantize_params(params, bits=bits)
+    logits_q, _ = M.forward(cfg, qparams, tokens)
+    pf = jax.nn.log_softmax(logits_f[0, -1])
+    pq = jax.nn.log_softmax(logits_q[0, -1])
+    # bounded logprob drift on the tiny random model (its logits are nearly
+    # flat, so top-1 agreement is noise — drift is the meaningful metric)
+    drift = float(jnp.abs(pf - pq).mean())
+    assert drift < (0.25 if bits == 4 else 0.05), drift
+    # logits stay highly correlated with the float model
+    c = np.corrcoef(np.asarray(pf), np.asarray(pq))[0, 1]
+    assert c > (0.9 if bits == 4 else 0.99), c
+
+
+def test_decode_loop_runs_jitted(cfg, params):
+    qparams = M.quantize_params(params, bits=4)
+    b = 2
+    cache = M.init_kv_cache(cfg, b, max_len=16)
+    step = jax.jit(lambda tok, pos, c: M.decode_step(cfg, qparams, tok, pos, c))
+    tok = jnp.asarray([1, 2], jnp.int32)
+    for i in range(4):
+        logits, cache = step(tok, jnp.full((b,), i, jnp.int32), cache)
+        tok = logits.argmax(-1).astype(jnp.int32)
+    assert logits.shape == (b, cfg.vocab_size)
+    assert int(cache.length.max()) == 4
