@@ -1,0 +1,101 @@
+"""Shared helpers for the Pallas TPU kernels.
+
+Empirically established Mosaic/v5e facts these kernels are built on
+(probed on hardware, see git history):
+  * lane-strided slicing (x[:, 0::2]) does NOT lower -> sub-byte packing is
+    done on the MXU with constant selection matrices (exact in bf16 because
+    all operands are integers <= 255 < 256);
+  * f32 -> uint8 casts need an int32 hop; uint8 -> f32 likewise;
+  * pltpu.prng_random_bits returns int32; build uniforms by masking the low
+    23 bits (exact float32 in [0,1));
+  * grids may be ragged (array dims need not divide the block), but block
+    shapes must be multiples of (8, 128) (or (16, 128) for bf16).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+LANES = 128
+# Rows per grid block (f32 VMEM use: 1024*128*4 = 512 KiB in + out).
+BLOCK_ROWS = 1024
+
+
+def supports_dtype(name: str) -> bool:
+    return name in ("f32", "bf16")
+
+
+def min_fast_numel(pack: int) -> int:
+    """Fast path processes multiples of one lane row of packed bytes."""
+    return LANES * pack
+
+
+def split_tail(numel: int, pack: int) -> Tuple[int, int]:
+    """Split numel into (pallas_body, jnp_tail); body % (LANES*pack) == 0."""
+    unit = LANES * pack
+    body = (numel // unit) * unit
+    return body, numel - body
+
+
+def scalar_smem_spec():
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def seed_from_key(key: Optional[Array]) -> Array:
+    """Derive a deterministic int32 seed array from a JAX PRNG key."""
+    if key is None:
+        return jnp.zeros((1,), jnp.int32)
+    data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    folded = data[0] ^ (data[-1] << 1)
+    return folded.astype(jnp.int32).reshape(1)
+
+
+def uniform_from_bits(shape) -> Array:
+    """Inside-kernel helper: uniform [0,1) f32 from the hardware PRNG."""
+    bits = pltpu.prng_random_bits(shape)
+    return (bits & jnp.int32(0x007FFFFF)).astype(jnp.float32) * (1.0 / (1 << 23))
+
+
+@lru_cache(maxsize=None)
+def pack_matrix_np(bits: int) -> np.ndarray:
+    """(LANES*pack, LANES) selection matrix: packed_byte = codes_row @ M.
+
+    M[pack*l + j, l] = 2**(bits*j): adjacent lane groups collapse into one
+    byte with LSB-first fields — the reference wire bit order
+    (quantize.inl:37-50) — as a matmul.
+    """
+    pack = 8 // bits
+    m = np.zeros((LANES * pack, LANES), np.float32)
+    for l in range(LANES):
+        for j in range(pack):
+            m[pack * l + j, l] = float(1 << (bits * j))
+    return m
+
+
+@lru_cache(maxsize=None)
+def unpack_matrices_np(bits: int) -> np.ndarray:
+    """(pack*LANES, LANES*pack) vertical stack of interleave matrices: block
+    j (rows j*LANES..) scatters field plane j to lanes pack*l + j."""
+    pack = 8 // bits
+    ms = np.zeros((pack * LANES, LANES * pack), np.float32)
+    for l in range(LANES):
+        for j in range(pack):
+            ms[j * LANES + l, pack * l + j] = 1.0
+    return ms
+
+
+def pack_matrix(bits: int) -> Array:
+    return jnp.asarray(pack_matrix_np(bits), jnp.bfloat16)
+
+
+def unpack_matrices(bits: int) -> Array:
+    return jnp.asarray(unpack_matrices_np(bits), jnp.bfloat16)

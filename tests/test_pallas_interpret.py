@@ -1,0 +1,100 @@
+"""Pallas kernel tests in interpreter mode (CPU-runnable, SURVEY §4: oracle
+checks in interpret mode + compiled).  The compiled-on-TPU validation runs in
+benchmarks/validate scripts; here the same kernel code paths are checked
+against the jnp reference without TPU hardware."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+import piquant_tpu as pq
+from piquant_tpu.dtypes import DTYPES
+from piquant_tpu.ops import reference as ref
+from piquant_tpu.ops.pallas import dequantize as pdq
+from piquant_tpu.ops.pallas import minmax as pmm
+from piquant_tpu.ops.pallas import quantize as pquant
+from piquant_tpu.ops.pallas import requantize as prq
+
+SEED = 0x9032002
+N_ALIGNED = 8 * 128 * 4          # multiple of every unit
+N_RAGGED = 8 * 128 * 4 + 300 * 128  # ragged rows vs BLOCK_ROWS
+N_TAIL = 8 * 128 * 4 + 77        # sub-unit tail
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _x(n, fname="f32"):
+    rng = np.random.default_rng(SEED + n)
+    return jnp.asarray(rng.uniform(-4, 4, n).astype(np.float32), DTYPES[fname].storage)
+
+
+@pytest.mark.parametrize("fname", ["f32", "bf16"])
+@pytest.mark.parametrize("qname", ["uint8", "int8", "uint16", "uint4", "int4", "uint2"])
+@pytest.mark.parametrize("n", [N_ALIGNED, N_TAIL])
+def test_pallas_quantize_matches_reference(fname, qname, n):
+    x = _x(n, fname)
+    s, z = 0.031, 7
+    got = pquant.quantize(x, s, z, DTYPES[qname], "nearest")
+    assert got is not None
+    want = ref.quantize(x, s, z, DTYPES[qname], "nearest")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("qname", ["uint8", "uint4", "uint2", "int8", "int4"])
+@pytest.mark.parametrize("reduce_op", ["set", "add"])
+def test_pallas_dequantize_matches_reference(qname, reduce_op):
+    n = N_TAIL
+    dt = DTYPES[qname]
+    x = _x(n)
+    s, z = 0.05, dt.qmax // 2
+    q = ref.quantize(x, s, z, dt, "nearest")
+    out = jnp.full((n,), 1.25, jnp.float32) if reduce_op == "add" else None
+    got = pdq.dequantize(q, n, s, z, dt, DTYPES["f32"], reduce_op, out)
+    assert got is not None
+    want = ref.dequantize(q, n, s, z, dt, DTYPES["f32"], reduce_op, out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+@pytest.mark.parametrize("reduce_op", ["set", "add"])
+def test_pallas_requantize_matches_reference(reduce_op):
+    n = N_TAIL
+    x = _x(n)
+    s, z = 0.02, 100
+    out = jnp.full((n,), 2.0, jnp.float32) if reduce_op == "add" else None
+    got = prq.requantize(x, s, z, DTYPES["uint8"], "nearest", reduce_op, out)
+    assert got is not None
+    want = ref.requantize(x, s, z, DTYPES["uint8"], "nearest", reduce_op, out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_pallas_minmax_and_params():
+    n = 1024 * 128 * 2 + 777
+    x = _x(n)
+    mm = pmm.min_max(x)
+    assert mm is not None
+    lo, hi = mm
+    assert float(lo) == float(x.min()) and float(hi) == float(x.max())
+    sp = pmm.compute_quant_params(x, DTYPES["uint8"])
+    s2, z2 = ref.compute_quant_params(x, DTYPES["uint8"])
+    np.testing.assert_allclose(float(sp[0]), float(s2), rtol=1e-7)
+    assert int(sp[1]) == int(z2)
+
+
+def test_pallas_stochastic_interpret():
+    # PRNG ops may be unimplemented in the interpreter on some versions —
+    # skip gracefully if so (the compiled path is validated on hardware).
+    n = 8 * 128 * 2
+    x = _x(n)
+    try:
+        got = pquant.quantize(x, 0.01, 128, DTYPES["uint8"], "stochastic",
+                              key=jax.random.key(1))
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"interpret-mode PRNG unsupported: {type(e).__name__}")
+    qn = ref.quantize(x, 0.01, 128, DTYPES["uint8"], "nearest")
+    assert np.abs(np.asarray(got, np.int64) - np.asarray(qn, np.int64)).max() <= 1
