@@ -18,18 +18,26 @@ import time
 import numpy as np
 
 N = 27_264_000
-SCALE_FACTOR = 8
-REPS = 5
+# Slope endpoints: both large enough that on-device time (>= ~2 ms) dwarfs
+# the ~1 ms tunnel-dispatch jitter, far enough apart for a stable slope.
+SMALL_FACTOR = 8
+SCALE_FACTOR = 32
+REPS = 4
 
 
-def time_call(f, xs):
-    """Min wall time over distinct inputs; fetch one byte to force sync."""
+def time_call(f, make_x, reps):
+    """Min wall time over distinct freshly-staged inputs (distinct data
+    defeats relay-level result caching; staging is outside the timed span);
+    fetching one byte forces device completion."""
     best = 1e9
-    for x in xs:
+    for i in range(reps):
+        x = make_x(i)
+        np.asarray(x[:1])  # ensure staging finished
         t0 = time.perf_counter()
         y = f(x)
-        np.asarray(y[:1])  # forces device completion + transfer of 1 byte
+        np.asarray(y[:1])
         best = min(best, time.perf_counter() - t0)
+        del x, y
     return best
 
 
@@ -48,19 +56,21 @@ def bench_tpu():
         return pq.quantize(x, scale, zp, "uint8")
 
     key = jax.random.key(0)
-    xs_small = [jax.random.normal(jax.random.fold_in(key, i), (N,), jnp.float32)
-                for i in range(REPS)]
-    xs_big = [jax.random.normal(jax.random.fold_in(key, 100 + i),
-                                (N * SCALE_FACTOR,), jnp.float32)
-              for i in range(REPS)]
-    # warm compile both sizes
-    np.asarray(quant(xs_small[0])[:1])
-    np.asarray(quant(xs_big[0])[:1])
 
-    t_small = time_call(quant, xs_small)
-    t_big = time_call(quant, xs_big)
+    def mk(factor):
+        def make_x(i):
+            return jax.random.normal(jax.random.fold_in(key, factor * 1000 + i),
+                                     (N * factor,), jnp.float32)
+        return make_x
+
+    # warm compile both sizes
+    np.asarray(quant(mk(SMALL_FACTOR)(99))[:1])
+    np.asarray(quant(mk(SCALE_FACTOR)(99))[:1])
+
+    t_small = time_call(quant, mk(SMALL_FACTOR), REPS)
+    t_big = time_call(quant, mk(SCALE_FACTOR), REPS)
     dt = t_big - t_small
-    delta_elems = N * (SCALE_FACTOR - 1)
+    delta_elems = N * (SCALE_FACTOR - SMALL_FACTOR)
     if dt <= 0:
         # fall back to the big-size absolute time (overhead makes this a
         # LOWER bound on throughput)
