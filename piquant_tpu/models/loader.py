@@ -1,0 +1,122 @@
+"""HF Llama checkpoint loader -> piquant-tpu param pytree.
+
+Maps a `transformers` LlamaForCausalLM state dict into the functional model
+(models/llama.py), with optional on-load weight quantization (host-side via
+the native runtime when available — packing an 8B checkpoint is exactly the
+reference's hot path, run through csrc at load time).
+
+RoPE convention: HF applies rotate-half (splits the head dim in two);
+models/llama.py rotates interleaved (even, odd) pairs.  The two are
+equivalent under a fixed permutation of the head dimension, folded into the
+q/k projection weights here at load time (the GPT-NeoX permutation trick) —
+so no per-step permute cost on device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from piquant_tpu.models.llama import LlamaConfig
+
+
+def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
+    return LlamaConfig(
+        vocab_size=hf_config.vocab_size,
+        d_model=hf_config.hidden_size,
+        n_layers=hf_config.num_hidden_layers,
+        n_heads=hf_config.num_attention_heads,
+        n_kv_heads=getattr(hf_config, "num_key_value_heads",
+                           hf_config.num_attention_heads),
+        d_ff=hf_config.intermediate_size,
+        rope_theta=getattr(hf_config, "rope_theta", 10_000.0),
+        rms_eps=getattr(hf_config, "rms_norm_eps", 1e-5),
+        max_seq_len=getattr(hf_config, "max_position_embeddings", 8192),
+        dtype=dtype,
+    )
+
+
+def _half_to_interleaved_perm(head_dim: int) -> np.ndarray:
+    """Permutation p with interleaved[j] = half[p[j]]:
+    (2i) <- i, (2i+1) <- i + head_dim//2."""
+    h = head_dim // 2
+    p = np.empty(head_dim, np.int64)
+    p[0::2] = np.arange(h)
+    p[1::2] = np.arange(h) + h
+    return p
+
+
+def _permute_rope_cols(w: np.ndarray, n_heads: int, head_dim: int) -> np.ndarray:
+    """w: [d_model, n_heads*head_dim] (already transposed); permute each
+    head's columns from half-rotation order to interleaved order."""
+    p = _half_to_interleaved_perm(head_dim)
+    w = w.reshape(w.shape[0], n_heads, head_dim)
+    return w[:, :, p].reshape(w.shape[0], n_heads * head_dim)
+
+
+def params_from_state_dict(state_dict: Dict[str, Any], cfg: LlamaConfig) -> Dict:
+    """torch state dict (CPU tensors or numpy) -> piquant-tpu pytree."""
+
+    def npy(name):
+        t = state_dict[name]
+        if hasattr(t, "detach"):
+            t = t.detach().to("cpu")
+            if t.dtype not in (  # torch bf16 has no numpy; go through f32
+                    getattr(__import__("torch"), "float32"),
+                    getattr(__import__("torch"), "float64")):
+                t = t.float()
+            t = t.numpy()
+        return np.asarray(t)
+
+    def lin(name):
+        # torch Linear stores [out, in]; our matmul wants [in, out]
+        return npy(name).T
+
+    dt = cfg.dtype
+    hd = cfg.head_dim
+    params: Dict[str, Any] = {
+        "embed": jnp.asarray(npy("model.embed_tokens.weight"), dt),
+        "final_norm": jnp.asarray(npy("model.norm.weight"), dt),
+        "layers": [],
+    }
+    if "lm_head.weight" in state_dict:
+        params["lm_head"] = jnp.asarray(lin("lm_head.weight"), dt)
+    else:  # tied embeddings
+        params["lm_head"] = jnp.asarray(npy("model.embed_tokens.weight").T, dt)
+
+    for i in range(cfg.n_layers):
+        pre = f"model.layers.{i}."
+        wq = _permute_rope_cols(lin(pre + "self_attn.q_proj.weight"),
+                                cfg.n_heads, hd)
+        wk = _permute_rope_cols(lin(pre + "self_attn.k_proj.weight"),
+                                cfg.n_kv_heads, hd)
+        params["layers"].append({
+            "attn_norm": jnp.asarray(npy(pre + "input_layernorm.weight"), dt),
+            "mlp_norm": jnp.asarray(npy(pre + "post_attention_layernorm.weight"), dt),
+            "wq": jnp.asarray(wq, dt),
+            "wk": jnp.asarray(wk, dt),
+            "wv": jnp.asarray(lin(pre + "self_attn.v_proj.weight"), dt),
+            "wo": jnp.asarray(lin(pre + "self_attn.o_proj.weight"), dt),
+            "w1": jnp.asarray(lin(pre + "mlp.gate_proj.weight"), dt),
+            "w3": jnp.asarray(lin(pre + "mlp.up_proj.weight"), dt),
+            "w2": jnp.asarray(lin(pre + "mlp.down_proj.weight"), dt),
+        })
+    return params
+
+
+def load_from_hf(model_or_path, dtype=jnp.bfloat16,
+                 quantize_bits: Optional[int] = None) -> Tuple[LlamaConfig, Dict]:
+    """Load from a transformers model instance or a local path."""
+    if isinstance(model_or_path, str):
+        from transformers import AutoModelForCausalLM
+
+        model_or_path = AutoModelForCausalLM.from_pretrained(model_or_path)
+    cfg = config_from_hf(model_or_path.config, dtype)
+    params = params_from_state_dict(model_or_path.state_dict(), cfg)
+    if quantize_bits is not None:
+        from piquant_tpu.models.llama import quantize_params
+
+        params = quantize_params(params, bits=quantize_bits)
+    return cfg, params

@@ -1,0 +1,73 @@
+"""HF loader cross-validation: our model must reproduce transformers'
+LlamaForCausalLM logits from the same weights (the strongest correctness
+oracle available for the model layer)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from piquant_tpu.models import llama as M
+from piquant_tpu.models.loader import load_from_hf
+
+SEED = 0x9032002
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    torch.manual_seed(SEED)
+    conf = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10_000.0, rms_norm_eps=1e-5,
+        attn_implementation="eager",
+    )
+    model = transformers.LlamaForCausalLM(conf)
+    model.eval()
+    return model
+
+
+def test_loaded_model_matches_transformers(hf_model):
+    cfg, params = load_from_hf(hf_model, dtype=jnp.float32)
+    rng = np.random.default_rng(SEED)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 10))
+
+    with torch.no_grad():
+        want = hf_model(torch.tensor(tokens)).logits.numpy()
+
+    got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    got = np.asarray(got)
+
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+
+
+def test_loaded_model_decode_with_cache_matches_transformers(hf_model):
+    cfg, params = load_from_hf(hf_model, dtype=jnp.float32)
+    rng = np.random.default_rng(SEED + 1)
+    tokens = rng.integers(0, cfg.vocab_size, (1, 8))
+
+    with torch.no_grad():
+        want = hf_model(torch.tensor(tokens)).logits.numpy()[:, -1]
+
+    cache = M.init_kv_cache(cfg, 1, max_len=16)
+    _, cache = M.prefill(cfg, params, jnp.asarray(tokens[:, :-1], jnp.int32), cache)
+    got, _ = M.decode_step(cfg, params, jnp.asarray(tokens[:, -1], jnp.int32),
+                           jnp.asarray([7], jnp.int32), cache)
+    # INT8 KV cache path: small quantization error allowed
+    denom = np.abs(want).max()
+    assert np.abs(np.asarray(got) - want).max() / denom < 0.03
+
+
+def test_quantized_loaded_model_stays_close(hf_model):
+    cfg, params = load_from_hf(hf_model, dtype=jnp.float32, quantize_bits=4)
+    cfgf, paramsf = load_from_hf(hf_model, dtype=jnp.float32)
+    rng = np.random.default_rng(SEED + 2)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 10)), jnp.int32)
+    lq, _ = M.forward(cfg, params, tokens)
+    lf, _ = M.forward(cfgf, paramsf, tokens)
+    pq = jax.nn.log_softmax(lq[0, -1])
+    pf = jax.nn.log_softmax(lf[0, -1])
+    assert float(jnp.abs(pq - pf).mean()) < 0.3

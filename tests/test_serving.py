@@ -1,0 +1,100 @@
+"""Continuous-batching engine tests (tiny INT4 model, CPU).
+
+Key property: continuous batching must produce the SAME tokens as running
+each request alone (greedy), while interleaving prefill/decode across slots.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from piquant_tpu.models import llama as M
+from piquant_tpu.serving import Engine, EngineConfig, Request, SamplingParams
+from piquant_tpu.serving.sampler import sample
+
+SEED = 0x9032002
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = M.LlamaConfig.tiny()
+    params = M.quantize_params(M.init_params(cfg, jax.random.key(SEED)), bits=4)
+    return cfg, params
+
+
+def _reference_generate(cfg, params, prompt, n_new):
+    """Single-request greedy generation, no engine."""
+    cache = M.init_kv_cache(cfg, 1, max_len=128)
+    logits, cache = M.prefill(cfg, params, jnp.asarray([prompt], jnp.int32), cache)
+    toks = []
+    tok = int(logits.argmax(-1)[0])
+    pos = len(prompt)
+    for _ in range(n_new):
+        toks.append(tok)
+        logits, cache = M.decode_step(
+            cfg, params, jnp.asarray([tok], jnp.int32),
+            jnp.asarray([pos], jnp.int32), cache)
+        tok = int(logits.argmax(-1)[0])
+        pos += 1
+    return toks
+
+
+def test_engine_matches_single_request_generation(setup):
+    cfg, params = setup
+    rng = np.random.default_rng(SEED)
+    prompts = [list(map(int, rng.integers(1, cfg.vocab_size, int(rng.integers(3, 12)))))
+               for _ in range(5)]
+    n_new = 6
+
+    want = [_reference_generate(cfg, params, p, n_new) for p in prompts]
+
+    eng = Engine(cfg, params, EngineConfig(batch_slots=2, max_seq_len=128,
+                                           prefill_pad=4))
+    for i, p in enumerate(prompts):
+        eng.submit(Request(rid=i, prompt=p,
+                           sampling=SamplingParams(max_new_tokens=n_new)))
+    done = eng.run()
+    assert len(done) == 5
+    for i, req in enumerate(sorted(done, key=lambda r: r.rid)):
+        assert req.tokens == want[i], (i, req.tokens, want[i])
+        assert req.ttft_s is not None and req.ttft_s >= 0
+
+    m = eng.metrics
+    assert m.decode_tokens > 0 and m.decode_tokens_per_s > 0
+    assert m.p50_ttft_ms() > 0
+    # 5 requests on 2 slots forces at least one wave of continuous admission
+    assert m.prefill_tokens == sum(len(p) for p in prompts)
+
+
+def test_engine_eos_stops_early(setup):
+    cfg, params = setup
+    # run one request with eos = its own first generated token -> stops at 1
+    prompt = [5, 6, 7]
+    first = _reference_generate(cfg, params, prompt, 1)[0]
+    eng = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=64,
+                                           prefill_pad=4))
+    eng.submit(Request(rid=0, prompt=prompt,
+                       sampling=SamplingParams(max_new_tokens=50, eos_token=first)))
+    done = eng.run()
+    assert done[0].tokens == [first]
+
+
+def test_engine_capacity_validation(setup):
+    cfg, params = setup
+    eng = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=16,
+                                           prefill_pad=4))
+    eng.submit(Request(rid=0, prompt=list(range(1, 13)),
+                       sampling=SamplingParams(max_new_tokens=10)))
+    with pytest.raises(ValueError):
+        eng.run()
+
+
+def test_sampler_modes():
+    key = jax.random.key(0)
+    logits = jnp.asarray([[0.0, 5.0, 1.0, -2.0]])
+    assert int(sample(logits, SamplingParams(temperature=0.0), None)[0]) == 1
+    t = sample(logits, SamplingParams(temperature=0.5, top_k=2), key)
+    assert int(t[0]) in (1, 2)
+    t = sample(logits, SamplingParams(temperature=1.0, top_p=0.5), key)
+    assert int(t[0]) == 1  # p(1) dominates past 0.5
