@@ -289,29 +289,24 @@ def decode_step(cfg: LlamaConfig, params: Dict, token: Array, position: Array,
 # sharding
 # ---------------------------------------------------------------------------
 
+_COL_PARALLEL = ("wq", "wk", "wv", "w1", "w3")
+_ROW_PARALLEL = ("wo", "w2")
+
+
 def param_shardings(cfg: LlamaConfig, tp_axis: str = "tp") -> Dict:
-    """PartitionSpec pytree for tensor parallelism over `tp_axis`.
+    """PartitionSpec pytree for tensor parallelism over `tp_axis`
+    (FLOAT params; for quantized params use `shard_params`).
 
-    Column-parallel (shard N): wq/wk/wv/w1/w3 + their per-channel scales;
-    row-parallel (shard K): wo/w2 (scales replicated — per-output-channel).
-    QuantizedLinear.data for 4-bit is [K//2, N]: same spec applies (K-shard
-    splits sublane halves evenly because K/2 % tp == 0 for supported configs).
+    Column-parallel (shard N): wq/wk/wv/w1/w3; row-parallel (shard K):
+    wo/w2; norms/embeddings replicated; lm_head column-sharded.
     """
-    col = QuantizedLinear(
-        data=P(None, tp_axis), scale=P(None, tp_axis), zero_point=P(None, tp_axis),
-        bits=None, k=None,
-    )
-    row = QuantizedLinear(
-        data=P(tp_axis, None), scale=P(None, None), zero_point=P(None, None),
-        bits=None, k=None,
-    )
-
     def layer_spec():
-        return {
-            "attn_norm": P(None), "mlp_norm": P(None),
-            "wq": col, "wk": col, "wv": col, "wo": row,
-            "w1": col, "w3": col, "w2": row,
-        }
+        s = {"attn_norm": P(None), "mlp_norm": P(None)}
+        for k in _COL_PARALLEL:
+            s[k] = P(None, tp_axis)
+        for k in _ROW_PARALLEL:
+            s[k] = P(tp_axis, None)
+        return s
 
     return {
         "embed": P(None, None),
@@ -319,6 +314,54 @@ def param_shardings(cfg: LlamaConfig, tp_axis: str = "tp") -> Dict:
         "lm_head": P(None, tp_axis),
         "layers": [layer_spec() for _ in range(cfg.n_layers)],
     }
+
+
+def shard_params(params: Dict, mesh, tp_axis: str = "tp") -> Dict:
+    """device_put the param pytree with TP shardings; handles both float
+    weights and QuantizedLinear leaves.
+
+    QuantizedLinear.data for 4-bit is [K//2, N]: the row-parallel K-shard
+    splits split-half byte rows evenly because (K/2) % tp == 0 for supported
+    configs; per-channel scale/zp follow the N axis (replicated for
+    row-parallel layers).
+    """
+    from jax.sharding import NamedSharding
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def put_linear(w, kind):
+        if isinstance(w, QuantizedLinear):
+            if kind == "col":
+                return QuantizedLinear(
+                    data=put(w.data, P(None, tp_axis)),
+                    scale=put(w.scale, P(None, tp_axis)),
+                    zero_point=put(w.zero_point, P(None, tp_axis)),
+                    bits=w.bits, k=w.k)
+            return QuantizedLinear(
+                data=put(w.data, P(tp_axis, None)),
+                scale=put(w.scale, P(None, None)),
+                zero_point=put(w.zero_point, P(None, None)),
+                bits=w.bits, k=w.k)
+        return put(w, P(None, tp_axis) if kind == "col" else P(tp_axis, None))
+
+    out = {
+        "embed": put(params["embed"], P(None, None)),
+        "final_norm": put(params["final_norm"], P(None)),
+        "lm_head": put_linear(params["lm_head"], "col")
+        if isinstance(params["lm_head"], QuantizedLinear)
+        else put(params["lm_head"], P(None, tp_axis)),
+        "layers": [],
+    }
+    for layer in params["layers"]:
+        nl = {"attn_norm": put(layer["attn_norm"], P(None)),
+              "mlp_norm": put(layer["mlp_norm"], P(None))}
+        for k in _COL_PARALLEL:
+            nl[k] = put_linear(layer[k], "col")
+        for k in _ROW_PARALLEL:
+            nl[k] = put_linear(layer[k], "row")
+        out["layers"].append(nl)
+    return out
 
 
 def cache_shardings(cfg: LlamaConfig, tp_axis: str = "tp") -> KVCache:

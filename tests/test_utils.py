@@ -1,0 +1,44 @@
+"""Weight-cache roundtrip + profiling harness smoke tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from piquant_tpu.models import llama as M
+from piquant_tpu.utils import load_quantized, measure_throughput, save_quantized
+
+SEED = 0x9032002
+
+
+def test_weight_cache_roundtrip(tmp_path):
+    cfg = M.LlamaConfig.tiny()
+    params = M.quantize_params(M.init_params(cfg, jax.random.key(SEED)), bits=4)
+    save_quantized(str(tmp_path / "w"), params)
+    loaded = load_quantized(str(tmp_path / "w"))
+
+    tokens = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    l1, _ = M.forward(cfg, params, tokens)
+    l2, _ = M.forward(cfg, loaded, tokens)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_weight_cache_version_check(tmp_path):
+    import json
+    import pytest
+
+    cfg = M.LlamaConfig.tiny()
+    params = {"embed": jnp.ones((4, 4))}
+    save_quantized(str(tmp_path / "w"), params)
+    man = tmp_path / "w" / "manifest.json"
+    j = json.loads(man.read_text())
+    j["format_version"] = 999
+    man.write_text(json.dumps(j))
+    with pytest.raises(ValueError):
+        load_quantized(str(tmp_path / "w"))
+
+
+def test_measure_throughput_smoke():
+    x = jnp.ones((1024, 128), jnp.float32)
+    rep = measure_throughput(lambda c: c * 1.000001, x,
+                             bytes_per_iter=x.size * 8, k1=2, k2=6, reps=2)
+    assert rep["s_per_iter"] >= 0 or rep["gb_per_s"] > 0
