@@ -1,0 +1,93 @@
+"""INT4 Llama-3-8B decode benchmark on one chip (BASELINE headline).
+
+Measures decode tokens/s/chip and prefill latency (TTFT proxy) on the real
+Llama-3-8B geometry with randomly-initialized packed INT4 weights (values
+don't affect bandwidth/latency).  Decode steps are chained inside one jit so
+the tunnel dispatch overhead cancels (slope over step counts).
+
+Usage: python benchmarks/decode_8b.py [batch] [context_len]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/piquant_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+
+from piquant_tpu.models import llama as M
+
+
+def main(batch=8, ctx=1024, max_len=2048):
+    cfg = M.LlamaConfig.llama3_8b()
+    print(f"building INT4 8B params (batch={batch}, ctx={ctx})...", flush=True)
+    params = M.random_quantized_params(cfg, jax.random.key(0), bits=4)
+    cache = M.init_kv_cache(cfg, batch, max_len=max_len)
+
+    # ---- prefill latency (the TTFT driver) -------------------------------
+    toks = jax.random.randint(jax.random.key(1), (batch, ctx), 0,
+                              cfg.vocab_size, jnp.int32)
+
+    @jax.jit
+    def prefill(p, t, c):
+        logits, c = M.forward(cfg, p, t, cache=c)
+        return logits[:, -1], c
+
+    t0 = time.perf_counter()
+    last, cache = prefill(params, toks, cache)
+    np.asarray(last[:1, :1])
+    t_prefill_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    last, cache2 = prefill(params, toks, cache)
+    np.asarray(last[:1, :1])
+    t_prefill = time.perf_counter() - t0
+    print(f"prefill {batch}x{ctx}: {t_prefill*1e3:.0f} ms warm "
+          f"({batch*ctx/t_prefill:.0f} tok/s prefill; cold {t_prefill_cold:.1f}s)",
+          flush=True)
+
+    # ---- decode tokens/s: chained steps, slope over K --------------------
+    def chain(k):
+        @jax.jit
+        def run(p, tok, pos, c):
+            def body(i, carry):
+                tok, pos, c = carry
+                logits, c = M.decode_step(cfg, p, tok, pos, c)
+                return logits.argmax(-1).astype(jnp.int32), pos + 1, c
+            tok, pos, c = jax.lax.fori_loop(0, k, body, (tok, pos, c))
+            return tok
+        return run
+
+    tok0 = last.argmax(-1).astype(jnp.int32)
+    pos0 = jnp.full((batch,), ctx, jnp.int32)
+    f4, f20 = chain(4), chain(20)
+    np.asarray(f4(params, tok0, pos0, cache)[:1])
+    np.asarray(f20(params, tok0, pos0, cache)[:1])
+
+    def t_of(f, reps=3):
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(f(params, tok0, pos0, cache)[:1])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per_step = (t_of(f20) - t_of(f4)) / 16
+    print(f"decode: {per_step*1e3:.2f} ms/step -> "
+          f"{batch/per_step:.1f} tok/s/chip total ({1/per_step:.1f} steps/s), "
+          f"batch={batch}", flush=True)
+    # weight-stream bound: 3.49 GB of packed weights per step
+    print(f"weight-stream during decode: {3.49/per_step:.0f} GB/s "
+          f"(HBM SOL would be {3.49/0.819*1000:.1f} ms/step + cache/embed traffic)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    c = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    main(b, c)

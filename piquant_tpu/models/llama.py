@@ -108,6 +108,48 @@ def init_params(cfg: LlamaConfig, key: Array) -> Dict:
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
 
 
+def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4) -> Dict:
+    """Build INT-quantized params DIRECTLY (random codes), never
+    materializing float weights — lets an 8B model be constructed on a
+    single chip for performance benchmarking (weight values don't matter
+    for bandwidth/latency measurements)."""
+    keys = iter(jax.random.split(key, 4 + cfg.n_layers * 8))
+    dt = cfg.dtype
+    hd = cfg.head_dim
+
+    def qlin(k_, din, dout):
+        if bits == 4:
+            data = jax.random.randint(k_, (din // 2, dout), 0, 256, jnp.int32).astype(jnp.uint8)
+        else:
+            data = jax.random.randint(k_, (din, dout), 0, 256, jnp.int32).astype(jnp.uint8)
+        scale = jnp.full((1, dout), 2.0 / ((1 << bits) - 1) / (din ** 0.5), jnp.float32)
+        zp = jnp.full((1, dout), (1 << (bits - 1)), jnp.int32)
+        return QuantizedLinear(data=data, scale=scale, zero_point=zp, bits=bits, k=din)
+
+    def dense(k_, din, dout, std=0.02):
+        return (jax.random.normal(k_, (din, dout), jnp.float32) * std).astype(dt)
+
+    params: Dict[str, Any] = {
+        "embed": dense(next(keys), cfg.vocab_size, cfg.d_model),
+        "final_norm": jnp.ones((cfg.d_model,), dt),
+        "lm_head": dense(next(keys), cfg.d_model, cfg.vocab_size),
+        "layers": [],
+    }
+    for _ in range(cfg.n_layers):
+        params["layers"].append({
+            "attn_norm": jnp.ones((cfg.d_model,), dt),
+            "mlp_norm": jnp.ones((cfg.d_model,), dt),
+            "wq": qlin(next(keys), cfg.d_model, cfg.n_heads * hd),
+            "wk": qlin(next(keys), cfg.d_model, cfg.n_kv_heads * hd),
+            "wv": qlin(next(keys), cfg.d_model, cfg.n_kv_heads * hd),
+            "wo": qlin(next(keys), cfg.n_heads * hd, cfg.d_model),
+            "w1": qlin(next(keys), cfg.d_model, cfg.d_ff),
+            "w3": qlin(next(keys), cfg.d_model, cfg.d_ff),
+            "w2": qlin(next(keys), cfg.d_ff, cfg.d_model),
+        })
+    return params
+
+
 def quantize_params(params: Dict, bits: int = 4, *, channelwise: bool = True,
                     quantize_lm_head: bool = False) -> Dict:
     """Weight-only quantization of every linear; norms/embeddings stay float."""
