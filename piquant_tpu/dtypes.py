@@ -99,7 +99,13 @@ class QDType:
     def qmax(self) -> int:
         if not self.is_quant:
             raise ValueError(f"{self.name} is not a quantized dtype")
-        return (1 << (self.bits - 1)) - 1 if self.kind == "int" else (1 << self.bits) - 1
+        if self.kind == "int":
+            return (1 << (self.bits - 1)) - 1
+        if self.bits == 64:
+            # uint64 codes are capped at int64 max so code arithmetic stays
+            # exact in the int64 domain (same cap as csrc/piquant_host.cpp).
+            return (1 << 63) - 1
+        return (1 << self.bits) - 1
 
     @property
     def stride(self) -> int:

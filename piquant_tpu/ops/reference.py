@@ -163,10 +163,13 @@ def quantize_codes(
         integral = rounded.astype(jnp.int32) + zp.astype(jnp.int32)
         q = jnp.clip(integral, dt.qmin, dt.qmax)
         return q.astype(dt.compute)
-    # Wide types: clamp in f64 (codes beyond 2^53 lose integer exactness,
-    # same as the reference's fp32->int64 cast chain loses it far earlier).
-    integral = rounded.astype(jnp.float64) + zp.astype(jnp.float64)
-    q = jnp.clip(integral, float(dt.qmin), float(dt.qmax))
+    # Wide types (32/64-bit): exact int64-domain add+clamp, mirroring the
+    # reference's static_cast<int64>(rnd) + zp chain (quantize.inl:15-18).
+    # The float rounding result is range-limited first so the int cast is
+    # defined even for inf/overflow inputs.
+    rf = jnp.clip(rounded.astype(jnp.float64), -(2.0 ** 62), 2.0 ** 62)
+    integral = rf.astype(jnp.int64) + zp.astype(jnp.int64)
+    q = jnp.clip(integral, dt.qmin, dt.qmax)
     return q.astype(dt.compute)
 
 
@@ -187,6 +190,20 @@ def quantize(
     dt = dtype_of(qdtype)
     codes = quantize_codes(x.reshape(-1), scale, zero_point, dt, round_mode, key=key)
     return pack_codes(codes, dt)
+
+
+def _int_domain_diff(codes: Array, zero_point, dt: QDType) -> Array:
+    """codes - zp computed exactly in the integer domain (reference
+    dequant_step subtracts before the float cast, dequantize.inl:8-11).
+
+    uint64 subtracts with wraparound and reinterprets as int64 two's
+    complement — exact as long as |codes - zp| < 2^63.
+    """
+    zp = jnp.asarray(zero_point)
+    if dt.name == "uint64":
+        d = codes.astype(jnp.uint64) - zp.astype(jnp.uint64)
+        return jax.lax.bitcast_convert_type(d, jnp.int64)
+    return codes.astype(jnp.int64) - zp.astype(jnp.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -216,7 +233,12 @@ def dequantize(
         raise ValueError(f"unknown reduce_op {reduce_op!r}")
     codes = unpack_codes(q.reshape(-1), numel, dt)
     acc = jnp.float64 if odt.name == "f64" else jnp.float32
-    dq = (codes.astype(acc) - jnp.asarray(zero_point).astype(acc)) * jnp.asarray(scale).astype(acc)
+    # Subtract zp in the INTEGER domain first (reference dequant_step,
+    # src/kernels/dequantize.inl:8-11): for 32/64-bit codes the difference is
+    # small even when the codes themselves exceed float mantissa range.
+    diff = _int_domain_diff(codes, zero_point, dt).astype(acc) if dt.bits > 16 \
+        else codes.astype(acc) - jnp.asarray(zero_point).astype(acc)
+    dq = diff * jnp.asarray(scale).astype(acc)
     dq = dq.astype(odt.storage)
     if reduce_op == "add":
         if out is None:
@@ -249,8 +271,9 @@ def requantize(
     xf = x.reshape(-1)
     codes = quantize_codes(xf, scale, zero_point, dt, round_mode, key=key)
     acc = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
-    dq = (codes.astype(acc) - jnp.asarray(zero_point).astype(acc)) * jnp.asarray(scale).astype(acc)
-    dq = dq.astype(x.dtype)
+    diff = _int_domain_diff(codes, zero_point, dt).astype(acc) if dt.bits > 16 \
+        else codes.astype(acc) - jnp.asarray(zero_point).astype(acc)
+    dq = (diff * jnp.asarray(scale).astype(acc)).astype(x.dtype)
     if reduce_op == "add":
         if out is None:
             raise ValueError("reduce_op='add' requires an `out` array")
