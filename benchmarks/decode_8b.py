@@ -27,7 +27,8 @@ from piquant_tpu.models import llama as M
 def main(batch=8, ctx=1024, max_len=2048):
     cfg = M.LlamaConfig.llama3_8b()
     print(f"building INT4 8B params (batch={batch}, ctx={ctx})...", flush=True)
-    params = M.random_quantized_params(cfg, jax.random.key(0), bits=4)
+    params = M.random_quantized_params(cfg, jax.random.key(0), bits=4,
+                                       lm_head_bits=8)
     cache = M.init_kv_cache(cfg, batch, max_len=max_len)
 
     # ---- prefill latency (the TTFT driver) -------------------------------

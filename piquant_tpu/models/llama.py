@@ -52,6 +52,7 @@ class LlamaConfig:
     rope_theta: float = 500_000.0
     rms_eps: float = 1e-5
     max_seq_len: int = 8192
+    qkv_bias: bool = False       # Qwen2-style attention biases
     dtype: Any = jnp.bfloat16
 
     @property
@@ -63,11 +64,26 @@ class LlamaConfig:
         return LlamaConfig()
 
     @staticmethod
-    def tiny(vocab: int = 256) -> "LlamaConfig":
+    def mistral_7b() -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=32_000, d_model=4096, n_layers=32, n_heads=32,
+            n_kv_heads=8, d_ff=14_336, rope_theta=10_000.0, max_seq_len=8192,
+        )
+
+    @staticmethod
+    def qwen2_7b() -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=152_064, d_model=3584, n_layers=28, n_heads=28,
+            n_kv_heads=4, d_ff=18_944, rope_theta=1_000_000.0,
+            max_seq_len=32_768, qkv_bias=True,
+        )
+
+    @staticmethod
+    def tiny(vocab: int = 256, **kw) -> "LlamaConfig":
         """Small config for tests / compile checks."""
         return LlamaConfig(
             vocab_size=vocab, d_model=256, n_layers=2, n_heads=8, n_kv_heads=4,
-            d_ff=512, max_seq_len=256,
+            d_ff=512, max_seq_len=256, **kw,
         )
 
 
@@ -91,7 +107,7 @@ def init_params(cfg: LlamaConfig, key: Array) -> Dict:
     }
     hd = cfg.head_dim
     for _ in range(cfg.n_layers):
-        params["layers"].append({
+        layer = {
             "attn_norm": jnp.ones((cfg.d_model,), dt),
             "mlp_norm": jnp.ones((cfg.d_model,), dt),
             "wq": dense(next(keys), cfg.d_model, cfg.n_heads * hd),
@@ -101,14 +117,20 @@ def init_params(cfg: LlamaConfig, key: Array) -> Dict:
             "w1": dense(next(keys), cfg.d_model, cfg.d_ff),
             "w3": dense(next(keys), cfg.d_model, cfg.d_ff),
             "w2": dense(next(keys), cfg.d_ff, cfg.d_model),
-        })
+        }
+        if cfg.qkv_bias:
+            layer["bq"] = jnp.zeros((cfg.n_heads * hd,), dt)
+            layer["bk"] = jnp.zeros((cfg.n_kv_heads * hd,), dt)
+            layer["bv"] = jnp.zeros((cfg.n_kv_heads * hd,), dt)
+        params["layers"].append(layer)
     return params
 
 
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
 
 
-def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4) -> Dict:
+def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
+                            lm_head_bits: Optional[int] = None) -> Dict:
     """Build INT-quantized params DIRECTLY (random codes), never
     materializing float weights — lets an 8B model be constructed on a
     single chip for performance benchmarking (weight values don't matter
@@ -117,14 +139,13 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4) -> Dict
     dt = cfg.dtype
     hd = cfg.head_dim
 
-    def qlin(k_, din, dout):
-        if bits == 4:
-            data = jax.random.randint(k_, (din // 2, dout), 0, 256, jnp.int32).astype(jnp.uint8)
-        else:
-            data = jax.random.randint(k_, (din, dout), 0, 256, jnp.int32).astype(jnp.uint8)
-        scale = jnp.full((1, dout), 2.0 / ((1 << bits) - 1) / (din ** 0.5), jnp.float32)
-        zp = jnp.full((1, dout), (1 << (bits - 1)), jnp.int32)
-        return QuantizedLinear(data=data, scale=scale, zero_point=zp, bits=bits, k=din)
+    def qlin(k_, din, dout, b=None):
+        b = b if b is not None else bits
+        rows = din // 2 if b == 4 else din
+        data = jax.random.randint(k_, (rows, dout), 0, 256, jnp.int32).astype(jnp.uint8)
+        scale = jnp.full((1, dout), 2.0 / ((1 << b) - 1) / (din ** 0.5), jnp.float32)
+        zp = jnp.full((1, dout), (1 << (b - 1)), jnp.int32)
+        return QuantizedLinear(data=data, scale=scale, zero_point=zp, bits=b, k=din)
 
     def dense(k_, din, dout, std=0.02):
         return (jax.random.normal(k_, (din, dout), jnp.float32) * std).astype(dt)
@@ -132,11 +153,13 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4) -> Dict
     params: Dict[str, Any] = {
         "embed": dense(next(keys), cfg.vocab_size, cfg.d_model),
         "final_norm": jnp.ones((cfg.d_model,), dt),
-        "lm_head": dense(next(keys), cfg.d_model, cfg.vocab_size),
+        "lm_head": dense(next(keys), cfg.d_model, cfg.vocab_size)
+        if lm_head_bits is None
+        else qlin(next(keys), cfg.d_model, cfg.vocab_size, lm_head_bits),
         "layers": [],
     }
     for _ in range(cfg.n_layers):
-        params["layers"].append({
+        layer = {
             "attn_norm": jnp.ones((cfg.d_model,), dt),
             "mlp_norm": jnp.ones((cfg.d_model,), dt),
             "wq": qlin(next(keys), cfg.d_model, cfg.n_heads * hd),
@@ -146,7 +169,12 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4) -> Dict
             "w1": qlin(next(keys), cfg.d_model, cfg.d_ff),
             "w3": qlin(next(keys), cfg.d_model, cfg.d_ff),
             "w2": qlin(next(keys), cfg.d_ff, cfg.d_model),
-        })
+        }
+        if cfg.qkv_bias:
+            layer["bq"] = jnp.zeros((cfg.n_heads * hd,), dt)
+            layer["bk"] = jnp.zeros((cfg.n_kv_heads * hd,), dt)
+            layer["bv"] = jnp.zeros((cfg.n_kv_heads * hd,), dt)
+        params["layers"].append(layer)
     return params
 
 
@@ -210,36 +238,62 @@ def _attention(
     cache: Optional[KVCache],
     layer_cache: Optional[KVCache],
     mask: Array,             # [B, 1, T, S] additive
+    attend_in_layer: bool = False,
 ) -> Tuple[Array, Optional[KVCache]]:
     b, t, _ = x.shape
     hd = cfg.head_dim
     dt = cfg.dtype
 
-    q = _mm(x, layer["wq"], dt).reshape(b, t, cfg.n_heads, hd).transpose(0, 2, 1, 3)
-    k = _mm(x, layer["wk"], dt).reshape(b, t, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
-    v = _mm(x, layer["wv"], dt).reshape(b, t, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
+    q = _mm(x, layer["wq"], dt)
+    k = _mm(x, layer["wk"], dt)
+    v = _mm(x, layer["wv"], dt)
+    if cfg.qkv_bias:
+        q = q + layer["bq"]
+        k = k + layer["bk"]
+        v = v + layer["bv"]
+    q = q.reshape(b, t, cfg.n_heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, t, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, t, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
 
     cos, sin = _rope_freqs(cfg, positions)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    rep = cfg.n_heads // cfg.n_kv_heads
+    qg = q.reshape(b, cfg.n_kv_heads, rep, t, hd)  # grouped heads: no repeat
+
     if layer_cache is not None:
         layer_cache = kv_cache_append(layer_cache, k, v, positions)
-        k_full, v_full = kv_cache_read(layer_cache, dt)  # [B, Hkv, S, D]
+    if layer_cache is not None and not attend_in_layer:
+        # Fused INT8-cache attention: the dots consume int8 codes directly
+        # (the bf16 convert fuses into the MXU operand read — the float
+        # cache is never materialized) and the per-token scales fold into
+        # the scores / probabilities as rank-1 corrections.
+        kc = layer_cache.k_codes  # [B, Hkv, S, D] int8
+        vc = layer_cache.v_codes
+        ks = layer_cache.k_scale[:, :, None, None, :, 0]  # [B, Hkv, 1, 1, S]
+        vs = layer_cache.v_scale[:, :, :, 0]              # [B, Hkv, S]
+        scores = jnp.einsum(
+            "bhrtd,bhsd->bhrts", qg.astype(jnp.bfloat16), kc.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32) * ks
+        scores = scores * (1.0 / jnp.sqrt(hd)) + mask[:, None]
+        probs = jax.nn.softmax(scores, axis=-1)
+        pscaled = (probs * vs[:, :, None, None, :]).astype(jnp.bfloat16)
+        ctx = jnp.einsum("bhrts,bhsd->bhrtd", pscaled, vc.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
     else:
-        k_full, v_full = k, v
+        # in-layer attention (no cache, or fresh prefill): float k/v
+        scores = jnp.einsum(
+            "bhrtd,bhsd->bhrts", qg.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        scores = scores * (1.0 / jnp.sqrt(hd)) + mask[:, None]
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhrts,bhsd->bhrtd", probs.astype(jnp.bfloat16),
+                         v.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
 
-    # GQA: repeat kv heads
-    rep = cfg.n_heads // cfg.n_kv_heads
-    if rep > 1:
-        k_full = jnp.repeat(k_full, rep, axis=1)
-        v_full = jnp.repeat(v_full, rep, axis=1)
-
-    scores = jnp.einsum("bhtd,bhsd->bhts", q.astype(jnp.float32), k_full.astype(jnp.float32))
-    scores = scores * (1.0 / jnp.sqrt(hd)) + mask
-    probs = jax.nn.softmax(scores, axis=-1).astype(dt)
-    ctx = jnp.einsum("bhts,bhsd->bhtd", probs.astype(jnp.float32), v_full.astype(jnp.float32))
-    ctx = ctx.astype(dt).transpose(0, 2, 1, 3).reshape(b, t, cfg.n_heads * hd)
+    ctx = ctx.astype(dt).reshape(b, cfg.n_heads, t, hd).transpose(0, 2, 1, 3)
+    ctx = ctx.reshape(b, t, cfg.n_heads * hd)
     out = _mm(ctx, layer["wo"], dt)
     return out, layer_cache
 
@@ -263,6 +317,8 @@ def forward(
     positions: Optional[Array] = None,  # [B, T]
     cache: Optional[KVCache] = None,  # stacked per-layer cache (see init_kv_cache)
     mask: Optional[Array] = None,     # [B, 1, T, S] additive; default causal
+    attend_in_layer: bool = False,    # fresh prefill: attend over in-layer k/v
+                                      # (float, causal) while still filling the cache
 ) -> Tuple[Array, Optional[KVCache]]:
     """Returns (logits [B, T, V], updated cache or None)."""
     b, t = tokens.shape
@@ -274,14 +330,14 @@ def forward(
 
     s_len = cache.k_codes.shape[3] if cache is not None else t
     if mask is None:
-        if cache is not None:
+        if attend_in_layer or cache is None:
+            causal = jnp.tril(jnp.ones((t, t), bool))
+            mask = jnp.where(causal, 0.0, -1e9)[None, None].astype(jnp.float32)
+        elif cache is not None:
             # decode/prefill against cache: allow attention to pos <= position
             kv_pos = jnp.arange(s_len, dtype=jnp.int32)[None, None, None, :]
             qp = positions[:, None, :, None]
             mask = jnp.where(kv_pos <= qp, 0.0, -1e9).astype(jnp.float32)
-        else:
-            causal = jnp.tril(jnp.ones((t, t), bool))
-            mask = jnp.where(causal, 0.0, -1e9)[None, None].astype(jnp.float32)
 
     new_layers = [] if cache is not None else None
     for i, layer in enumerate(params["layers"]):
@@ -289,7 +345,7 @@ def forward(
         if cache is not None:
             lc = jax.tree.map(lambda a: a[i], cache)
         h, lc = _attention(cfg, layer, rms_norm(x, layer["attn_norm"], cfg.rms_eps),
-                           positions, cache, lc, mask)
+                           positions, cache, lc, mask, attend_in_layer)
         x = x + h
         x = x + _mlp(cfg, layer, rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
         if cache is not None:
@@ -315,7 +371,7 @@ def prefill(cfg: LlamaConfig, params: Dict, tokens: Array, cache: KVCache
             ) -> Tuple[Array, KVCache]:
     """Run the prompt through the model, filling the cache.  Returns logits
     of the last position [B, V] and the updated cache."""
-    logits, cache = forward(cfg, params, tokens, cache=cache)
+    logits, cache = forward(cfg, params, tokens, cache=cache, attend_in_layer=True)
     return logits[:, -1], cache
 
 
@@ -402,6 +458,9 @@ def shard_params(params: Dict, mesh, tp_axis: str = "tp") -> Dict:
             nl[k] = put_linear(layer[k], "col")
         for k in _ROW_PARALLEL:
             nl[k] = put_linear(layer[k], "row")
+        for k in ("bq", "bk", "bv"):  # qkv biases follow their columns
+            if k in layer:
+                nl[k] = put(layer[k], P(tp_axis))
         out["layers"].append(nl)
     return out
 

@@ -34,6 +34,8 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         rope_theta=getattr(hf_config, "rope_theta", 10_000.0),
         rms_eps=getattr(hf_config, "rms_norm_eps", 1e-5),
         max_seq_len=getattr(hf_config, "max_position_embeddings", 8192),
+        qkv_bias=bool(getattr(hf_config, "attention_bias", False)
+                      or getattr(hf_config, "model_type", "") == "qwen2"),
         dtype=dtype,
     )
 
@@ -103,6 +105,14 @@ def params_from_state_dict(state_dict: Dict[str, Any], cfg: LlamaConfig) -> Dict
             "w3": jnp.asarray(lin(pre + "mlp.up_proj.weight"), dt),
             "w2": jnp.asarray(lin(pre + "mlp.down_proj.weight"), dt),
         })
+        if cfg.qkv_bias:
+            # biases get the same head-dim permutation as their projections
+            layer = params["layers"][-1]
+            layer["bq"] = jnp.asarray(_permute_rope_cols(
+                npy(pre + "self_attn.q_proj.bias")[None, :], cfg.n_heads, hd)[0], dt)
+            layer["bk"] = jnp.asarray(_permute_rope_cols(
+                npy(pre + "self_attn.k_proj.bias")[None, :], cfg.n_kv_heads, hd)[0], dt)
+            layer["bv"] = jnp.asarray(npy(pre + "self_attn.v_proj.bias"), dt)
     return params
 
 

@@ -31,8 +31,10 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 BN = 128          # N tile (fastest measured on v5e; >=512 crashes Mosaic)
-BM_MAX = 256      # M tile for prefill shapes
-XK_VMEM_LIMIT = 8 * 1024 * 1024  # keep x-block under ~8 MiB
+M_MAX = 64        # beyond this the XLA path wins (prefill is compute-bound,
+                  # and keeping full-K x blocks double-buffered in VMEM stops
+                  # paying off — measured OOM at M=8192, K=14336)
+XK_VMEM_LIMIT = 4 * 1024 * 1024  # x block ceiling (x2 for double buffering)
 
 
 @lru_cache(maxsize=None)
@@ -107,15 +109,14 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
     m = 1
     for s in lead:
         m *= s
+    if m > M_MAX:
+        return None  # prefill-sized: the XLA path handles it
     x2 = x.reshape(m, k).astype(jnp.bfloat16)
 
-    # pad M to the sublane quantum (bf16 -> 16)
-    bm = min(BM_MAX, max(16, m))
-    bm = bm + (-bm % 16)
-    mp = m + (-m % bm)
-    # keep the x block within VMEM budget
-    while bm > 16 and bm * k * 2 > XK_VMEM_LIMIT:
-        bm //= 2
+    # pad M to the sublane quantum (bf16 -> 16), capped by the VMEM budget
+    bm = max(16, m + (-m % 16))
+    if bm * k * 2 > XK_VMEM_LIMIT:
+        return None
     mp = m + (-m % bm)
     if mp != m:
         x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))

@@ -71,3 +71,23 @@ def test_quantized_loaded_model_stays_close(hf_model):
     pq = jax.nn.log_softmax(lq[0, -1])
     pf = jax.nn.log_softmax(lf[0, -1])
     assert float(jnp.abs(pq - pf).mean()) < 0.3
+
+
+def test_qwen2_family_with_biases():
+    torch.manual_seed(SEED)
+    conf = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10_000.0, rms_norm_eps=1e-5,
+        attn_implementation="eager",
+    )
+    model = transformers.Qwen2ForCausalLM(conf)
+    model.eval()
+    cfg, params = load_from_hf(model, dtype=jnp.float32)
+    assert cfg.qkv_bias and "bq" in params["layers"][0]
+    rng = np.random.default_rng(SEED)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 9))
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+    got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-3, rtol=3e-3)
