@@ -179,6 +179,7 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
 
 
 def quantize_params(params: Dict, bits: int = 4, *, channelwise: bool = True,
+                    group_size: Optional[int] = None,
                     quantize_lm_head: bool = False) -> Dict:
     """Weight-only quantization of every linear; norms/embeddings stay float."""
     out = dict(params)
@@ -186,7 +187,8 @@ def quantize_params(params: Dict, bits: int = 4, *, channelwise: bool = True,
     for layer in params["layers"]:
         ql = dict(layer)
         for k in _QUANT_KEYS:
-            ql[k] = quantize_linear_weight(layer[k], bits, channelwise=channelwise)
+            ql[k] = quantize_linear_weight(layer[k], bits, channelwise=channelwise,
+                                           group_size=group_size)
         out["layers"].append(ql)
     if quantize_lm_head:
         out["lm_head"] = quantize_linear_weight(params["lm_head"], 8, channelwise=channelwise)
@@ -265,6 +267,26 @@ def _attention(
     if layer_cache is not None:
         layer_cache = kv_cache_append(layer_cache, k, v, positions)
     if layer_cache is not None and not attend_in_layer:
+        import os as _os
+
+        if (t == 1 and jax.default_backend() == "tpu"
+                and _os.environ.get("PIQUANT_TPU_PALLAS_ATTN", "0") == "1"):
+            # flash-decoding Pallas kernel (ops/pallas/attention.py).
+            # OFF by default: measured 27.1 vs 20.6 ms/step on 8B decode —
+            # the (B x S-chunk) grid with a per-head Python loop pays more
+            # in iteration overhead than it saves in cache traffic; needs
+            # batched-head dots / manual DMA before it wins.
+            from piquant_tpu.ops.pallas.attention import decode_attention
+
+            ctx1 = decode_attention(
+                qg[:, :, :, 0], layer_cache.k_codes, layer_cache.k_scale,
+                layer_cache.v_codes, layer_cache.v_scale,
+                positions[:, 0], hd ** -0.5)
+            if ctx1 is not None:
+                ctx = ctx1[:, :, :, None]  # [B,Hkv,rep,1,D]
+                ctx = ctx.astype(dt).reshape(b, cfg.n_heads, t, hd).transpose(0, 2, 1, 3)
+                ctx = ctx.reshape(b, t, cfg.n_heads * hd)
+                return _mm(ctx, layer["wo"], dt), layer_cache
         # Fused INT8-cache attention: the dots consume int8 codes directly
         # (the bf16 convert fuses into the MXU operand read — the float
         # cache is never materialized) and the per-token scales fold into

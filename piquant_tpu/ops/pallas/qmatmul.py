@@ -100,6 +100,8 @@ def _w8_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
 def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
     """x [..., K] @ packed weight -> [..., N]; None if no fast path."""
     k, n = ql.k, ql.n
+    if getattr(ql, "group_size", None) is not None:
+        return None  # group-wise scales: XLA path (pallas variant: future)
     if n % BN or k % 256:
         return None  # dispatch falls back to the XLA path
     # Measured on v5e (Llama-8B decode shapes, weight-stream GB/s):

@@ -93,7 +93,8 @@ class QuantizedLinear:
     """Packed weight + affine params for y = x @ W.
 
     data: uint8 [K//2, N] (int4 split-half) or int8 [K, N].
-    scale/zp: (1, N) channelwise or (1, 1) per-tensor, f32 / int32.
+    scale/zp: (1, N) channelwise, (1, 1) per-tensor, or (G, N) group-wise
+    (group_size = K // G contraction rows per group), f32 / int32.
     """
 
     data: Array
@@ -101,19 +102,30 @@ class QuantizedLinear:
     zero_point: Array
     bits: int          # 4 or 8
     k: int             # logical contraction dim
+    group_size: Optional[int] = None
 
     def tree_flatten(self):
-        return (self.data, self.scale, self.zero_point), (self.bits, self.k)
+        return (self.data, self.scale, self.zero_point), (self.bits, self.k,
+                                                          self.group_size)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         data, scale, zp = children
-        bits, k = aux
-        return cls(data, scale, zp, bits, k)
+        bits, k, group_size = aux
+        return cls(data, scale, zp, bits, k, group_size)
 
     @property
     def n(self) -> int:
         return self.data.shape[-1]
+
+    def _expanded_params(self):
+        """scale/zp broadcast to [K or 1, N] float32."""
+        s = self.scale.astype(jnp.float32)
+        z = self.zero_point.astype(jnp.float32)
+        if self.group_size is not None:
+            s = jnp.repeat(s, self.group_size, axis=0)
+            z = jnp.repeat(z, self.group_size, axis=0)
+        return s, z
 
     def dequantize(self, dtype=jnp.bfloat16) -> Array:
         """Materialize the full [K, N] float weight (debug / fallback)."""
@@ -121,7 +133,8 @@ class QuantizedLinear:
             codes = unpack_split_half(self.data)
         else:
             codes = self.data.astype(jnp.int32)
-        w = (codes.astype(jnp.float32) - self.zero_point.astype(jnp.float32)) * self.scale
+        s, z = self._expanded_params()
+        w = (codes.astype(jnp.float32) - z) * s
         return w.astype(dtype)
 
 
@@ -130,14 +143,17 @@ def quantize_linear_weight(
     bits: int = 4,
     *,
     channelwise: bool = True,
+    group_size: Optional[int] = None,
     stochastic: bool = False,
     key: Optional[Array] = None,
 ) -> QuantizedLinear:
     """Quantize a [K, N] float weight for weight-only inference.
 
-    Affine (scale, zp) per output channel (axis 0 reduced) or per tensor;
-    same scale/zp derivation math as ops.reference.compute_quant_params
-    (reference src/piquant.cpp:222-259), vectorized over channels.
+    Affine (scale, zp) per output channel (axis 0 reduced), per tensor, or
+    per (group_size x 1) group along the contraction dim (the standard
+    INT4-LLM granularity); same scale/zp derivation math as
+    ops.reference.compute_quant_params (reference src/piquant.cpp:222-259),
+    vectorized over channels/groups.
     """
     if w.ndim != 2:
         raise ValueError("quantize_linear_weight expects a 2-D weight")
@@ -146,15 +162,29 @@ def quantize_linear_weight(
         raise ValueError("bits must be 4 or 8")
     qmin, qmax = 0, (1 << bits) - 1
     wf = w.astype(jnp.float32)
-    axis = 0 if channelwise else None
-    rmin = jnp.min(wf, axis=axis, keepdims=True)
-    rmax = jnp.max(wf, axis=axis, keepdims=True)
+
+    if group_size is not None:
+        if k % group_size:
+            raise ValueError(f"K={k} not divisible by group_size={group_size}")
+        g = k // group_size
+        wg = wf.reshape(g, group_size, n)
+        rmin = jnp.min(wg, axis=1)   # (G, N)
+        rmax = jnp.max(wg, axis=1)
+    else:
+        axis = 0 if channelwise else None
+        rmin = jnp.min(wf, axis=axis, keepdims=True)
+        rmax = jnp.max(wf, axis=axis, keepdims=True)
     span = rmax - rmin
     scale = jnp.where(span == 0, 1.0, span / (qmax - qmin)).astype(jnp.float32)
     zp = jnp.clip(round_half_away(qmin - rmin / scale), qmin, qmax)
     zp = jnp.where(span == 0, (qmax + qmin) >> 1, zp).astype(jnp.int32)
 
-    r = wf / scale
+    if group_size is not None:
+        s_full = jnp.repeat(scale, group_size, axis=0)
+        z_full = jnp.repeat(zp, group_size, axis=0)
+    else:
+        s_full, z_full = scale, zp
+    r = wf / s_full
     if stochastic:
         if key is None:
             raise ValueError("stochastic quantization requires a key")
@@ -162,24 +192,46 @@ def quantize_linear_weight(
         rounded = jnp.floor(r + u)
     else:
         rounded = round_half_away(r)
-    codes = jnp.clip(rounded.astype(jnp.int32) + zp, qmin, qmax)
+    codes = jnp.clip(rounded.astype(jnp.int32) + z_full, qmin, qmax)
 
     if bits == 4:
         data = pack_split_half(codes)
     else:
         data = codes.astype(jnp.uint8)
-    return QuantizedLinear(data=data, scale=scale, zero_point=zp, bits=bits, k=k)
+    return QuantizedLinear(data=data, scale=scale, zero_point=zp, bits=bits,
+                           k=k, group_size=group_size)
 
 
 def _matmul_dequant_jnp(x: Array, ql: QuantizedLinear, out_dtype) -> Array:
     """Fallback path: dequantize tile-free and matmul (XLA fuses reasonably).
 
     Uses the split-half identity so no full-width codes tensor with lane
-    shuffles is ever built.
+    shuffles is ever built.  Group-wise weights use per-group code matmuls
+    with the zero-point folded per group.
     """
     scale = ql.scale.astype(jnp.float32)
     zp = ql.zero_point.astype(jnp.float32)
     xf = x.astype(jnp.bfloat16)
+
+    if ql.group_size is not None:
+        # codes [K, N] -> [G, gs, N]; x [..., K] -> [..., G, gs].
+        # f32 operands: CPU XLA lacks bf16 batched dots, and this path is
+        # the (non-pallas) fallback anyway.
+        if ql.bits == 4:
+            codes = unpack_split_half(ql.data).astype(jnp.float32)
+        else:
+            codes = ql.data.astype(jnp.float32)
+        g = ql.k // ql.group_size
+        cg = codes.reshape(g, ql.group_size, ql.n)
+        xg = x.astype(jnp.float32).reshape(*x.shape[:-1], g, ql.group_size)
+        acc = jnp.einsum("...gk,gkn->...gn", xg, cg,
+                         preferred_element_type=jnp.float32)
+        out = jnp.einsum("...gn,gn->...n", acc, scale)
+        xsum_g = jnp.sum(x.astype(jnp.float32).reshape(*x.shape[:-1], g, ql.group_size),
+                         axis=-1)
+        out = out - jnp.einsum("...g,gn->...n", xsum_g, zp * scale)
+        return out.astype(out_dtype)
+
     if ql.bits == 4:
         b = ql.data.astype(jnp.int32)
         lo = (b & 15).astype(jnp.bfloat16)

@@ -135,3 +135,32 @@ def test_decode_loop_runs_jitted(cfg, params):
         tok = logits.argmax(-1).astype(jnp.int32)
     assert logits.shape == (b, cfg.vocab_size)
     assert int(cache.length.max()) == 4
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_groupwise_quantized_matmul(bits):
+    from piquant_tpu.quant.linear import _matmul_dequant_jnp
+    rng = np.random.default_rng(SEED + 9)
+    k, n, m, g = 256, 128, 8, 64
+    w = jnp.asarray(rng.normal(0, 0.05, (k, n)), jnp.float32)
+    x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.float32)
+    ql = quantize_linear_weight(w, bits, group_size=g)
+    assert ql.scale.shape == (k // g, n)
+    y = np.asarray(quantized_matmul(x, ql, jnp.float32))
+    y_ref = np.asarray(x) @ np.asarray(ql.dequantize(jnp.float32))
+    np.testing.assert_allclose(y, y_ref, atol=0.15, rtol=0.02)
+    # group-wise int4 must be at least as accurate as per-channel int4
+    ql_pc = quantize_linear_weight(w, bits, channelwise=True)
+    y_full = np.asarray(x) @ np.asarray(w)
+    err_g = np.abs(np.asarray(quantized_matmul(x, ql, jnp.float32)) - y_full).max()
+    err_c = np.abs(np.asarray(quantized_matmul(x, ql_pc, jnp.float32)) - y_full).max()
+    assert err_g <= err_c * 1.2
+
+
+def test_groupwise_model_forward(cfg, params):
+    tokens = jnp.asarray([[5, 9, 2, 77]], jnp.int32)
+    qg = M.quantize_params(params, bits=4, group_size=64)
+    logits, _ = M.forward(cfg, qg, tokens)
+    lf, _ = M.forward(cfg, params, tokens)
+    pg = jax.nn.log_softmax(logits[0, -1]); pf = jax.nn.log_softmax(lf[0, -1])
+    assert float(jnp.abs(pg - pf).mean()) < 0.25
