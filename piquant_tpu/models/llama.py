@@ -341,8 +341,12 @@ def forward(
     mask: Optional[Array] = None,     # [B, 1, T, S] additive; default causal
     attend_in_layer: bool = False,    # fresh prefill: attend over in-layer k/v
                                       # (float, causal) while still filling the cache
+    logit_positions: Optional[Array] = None,  # [B] -> project lm_head only at
+                                              # these positions (prefill: the
+                                              # full [B,T,V] tensor is huge)
 ) -> Tuple[Array, Optional[KVCache]]:
-    """Returns (logits [B, T, V], updated cache or None)."""
+    """Returns (logits [B, T, V] — or [B, 1, V] with logit_positions — and
+    the updated cache or None)."""
     b, t = tokens.shape
     dt = cfg.dtype
     if positions is None:
@@ -374,6 +378,8 @@ def forward(
             new_layers.append(lc)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    if logit_positions is not None:
+        x = x[jnp.arange(b), logit_positions][:, None, :]
     logits = _mm(x, params["lm_head"], jnp.float32)
 
     new_cache = None
@@ -389,12 +395,17 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None) -
     return jax.tree.map(lambda a: jnp.stack([a] * cfg.n_layers), one)
 
 
-def prefill(cfg: LlamaConfig, params: Dict, tokens: Array, cache: KVCache
-            ) -> Tuple[Array, KVCache]:
+def prefill(cfg: LlamaConfig, params: Dict, tokens: Array, cache: KVCache,
+            last_positions: Optional[Array] = None) -> Tuple[Array, KVCache]:
     """Run the prompt through the model, filling the cache.  Returns logits
-    of the last position [B, V] and the updated cache."""
-    logits, cache = forward(cfg, params, tokens, cache=cache, attend_in_layer=True)
-    return logits[:, -1], cache
+    at `last_positions` (default: final position) [B, V] and the cache."""
+    b, t = tokens.shape
+    if last_positions is None:
+        last_positions = jnp.full((b,), t - 1, jnp.int32)
+    logits, cache = forward(cfg, params, tokens, cache=cache,
+                            attend_in_layer=True,
+                            logit_positions=last_positions)
+    return logits[:, 0], cache
 
 
 def decode_step(cfg: LlamaConfig, params: Dict, token: Array, position: Array,

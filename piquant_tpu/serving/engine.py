@@ -99,9 +99,11 @@ class Engine:
         # prefill computes a fresh single-sequence cache then scatters it
         # into the pool slot (one compile per padded prompt length)
         def _prefill(params, tokens, true_len, slot, cache, pool_cache):
-            logits, cache1 = M.forward(cfg, params, tokens, cache=cache)
-            # last valid logit (tokens are right-padded)
-            last = logits[jnp.arange(tokens.shape[0]), true_len - 1]
+            # lm_head projected only at the prompt's true last position
+            # (tokens are right-padded) — the full [B,T,V] logits tensor
+            # would dominate prefill memory
+            last, cache1 = M.prefill(cfg, params, tokens, cache,
+                                     last_positions=true_len - 1)
 
             def insert(big, small):
                 return jax.lax.dynamic_update_slice_in_dim(big, small, slot, axis=1)
