@@ -37,8 +37,7 @@ def main(batch=8, ctx=1024, max_len=2048):
 
     @jax.jit
     def prefill(p, t, c):
-        logits, c = M.forward(cfg, p, t, cache=c)
-        return logits[:, -1], c
+        return M.prefill(cfg, p, t, c)  # lm_head at last position only
 
     t0 = time.perf_counter()
     last, cache = prefill(params, toks, cache)

@@ -40,6 +40,11 @@ class EngineConfig:
     max_seq_len: int = 2048
     prefill_pad: int = 64      # prompts are right-padded to a multiple of this
                                # to bound the number of compiled prefill shapes
+    prefill_chunk: Optional[int] = None
+    # When set, prompts are prefilled in fixed-size chunks attending against
+    # the (INT8) cache — ONE compiled prefill shape regardless of prompt
+    # length, and the scheduler can interleave other work between chunks.
+    # Chunks after the first read back quantized K/V (tiny quality cost).
 
 
 @dataclasses.dataclass
@@ -68,6 +73,31 @@ class EngineMetrics:
 
     def p50_ttft_ms(self) -> float:
         return float(np.median(self.ttfts) * 1e3) if self.ttfts else 0.0
+
+    def p99_ttft_ms(self) -> float:
+        return float(np.percentile(self.ttfts, 99) * 1e3) if self.ttfts else 0.0
+
+    def to_dict(self) -> dict:
+        """Structured snapshot for logging/observability (SURVEY §5)."""
+        return {
+            "decode_tokens": self.decode_tokens,
+            "decode_tokens_per_s": round(self.decode_tokens_per_s, 2),
+            "prefill_tokens": self.prefill_tokens,
+            "prefill_tokens_per_s": round(
+                self.prefill_tokens / self.prefill_time_s, 2)
+            if self.prefill_time_s else 0.0,
+            "p50_ttft_ms": round(self.p50_ttft_ms(), 2),
+            "p99_ttft_ms": round(self.p99_ttft_ms(), 2),
+            "requests": len(self.ttfts),
+        }
+
+    def emit(self, path: str) -> None:
+        """Append one JSON line to `path`."""
+        import json
+        import time as _t
+
+        with open(path, "a") as f:
+            f.write(json.dumps({"ts": _t.time(), **self.to_dict()}) + "\n")
 
 
 class Engine:
@@ -113,6 +143,25 @@ class Engine:
 
         self._prefill = jax.jit(_prefill, static_argnames=())
 
+        # chunked prefill: one step per fixed-size chunk against a fresh
+        # single-slot cache; returns logits at `last_pos` (valid only on the
+        # final chunk) and the updated cache
+        def _prefill_chunk(params, tokens, offset, last_pos, cache):
+            b, c = tokens.shape
+            positions = offset[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
+            logits, cache = M.forward(cfg, params, tokens, positions=positions,
+                                      cache=cache, logit_positions=last_pos)
+            return logits[:, 0], cache
+
+        self._prefill_chunk = jax.jit(_prefill_chunk)
+
+        def _insert_slot(pool_cache, cache1, slot):
+            def insert(big, small):
+                return jax.lax.dynamic_update_slice_in_dim(big, small, slot, axis=1)
+            return jax.tree.map(insert, pool_cache, cache1)
+
+        self._insert_slot = jax.jit(_insert_slot)
+
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> None:
         if not req.prompt:
@@ -140,14 +189,26 @@ class Engine:
                     f"request {req.rid}: prompt {plen} + max_new "
                     f"{req.sampling.max_new_tokens} exceeds max_seq_len "
                     f"{self.ec.max_seq_len}")
-            pad = -plen % self.ec.prefill_pad or 0
-            padded = req.prompt + [0] * pad
-            toks = jnp.asarray([padded], jnp.int32)
             fresh = M.init_kv_cache(self.cfg, 1, max_len=self.ec.max_seq_len)
-            # mask the padded tail out of the fresh cache by truncating length
-            last, self.cache = self._prefill(
-                self.params, toks, jnp.asarray([plen], jnp.int32),
-                slot, fresh, self.cache)
+            if self.ec.prefill_chunk:
+                c = self.ec.prefill_chunk
+                pad = -plen % c
+                padded = req.prompt + [0] * pad
+                last = None
+                for i in range(0, len(padded), c):
+                    is_final = i + c >= len(padded)
+                    lp = jnp.asarray([plen - 1 - i if is_final else 0], jnp.int32)
+                    last, fresh = self._prefill_chunk(
+                        self.params, jnp.asarray([padded[i:i + c]], jnp.int32),
+                        jnp.asarray([i], jnp.int32), lp, fresh)
+                self.cache = self._insert_slot(self.cache, fresh, slot)
+            else:
+                pad = -plen % self.ec.prefill_pad or 0
+                padded = req.prompt + [0] * pad
+                toks = jnp.asarray([padded], jnp.int32)
+                last, self.cache = self._prefill(
+                    self.params, toks, jnp.asarray([plen], jnp.int32),
+                    slot, fresh, self.cache)
             # fix slot length bookkeeping: padded positions wrote scales too,
             # but attention masks beyond `position` ignore them
             tok = self._sample(last, req)

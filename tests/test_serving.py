@@ -98,3 +98,45 @@ def test_sampler_modes():
     assert int(t[0]) in (1, 2)
     t = sample(logits, SamplingParams(temperature=1.0, top_p=0.5), key)
     assert int(t[0]) == 1  # p(1) dominates past 0.5
+
+
+def test_chunked_prefill_engine(setup):
+    cfg, params = setup
+    n_new = 5
+    prompts = [[1, 2, 3, 4, 5, 6, 7], [9, 8, 7, 6, 5], [4, 4, 4]]
+
+    def run_engine(chunk):
+        eng = Engine(cfg, params, EngineConfig(batch_slots=2, max_seq_len=64,
+                                               prefill_pad=4,
+                                               prefill_chunk=chunk))
+        for i, p in enumerate(prompts):
+            eng.submit(Request(rid=i, prompt=p,
+                               sampling=SamplingParams(max_new_tokens=n_new)))
+        return sorted(eng.run(), key=lambda r: r.rid)
+
+    a = run_engine(4)
+    b = run_engine(4)
+    for ra, rb in zip(a, b):
+        assert len(ra.tokens) == n_new
+        assert ra.tokens == rb.tokens  # deterministic
+
+    # chunked prefill logits stay close to one-shot prefill (int8 readback)
+    from piquant_tpu.models import llama as M
+
+    prompt = jnp.asarray([prompts[0]], jnp.int32)
+    cache1 = M.init_kv_cache(cfg, 1, max_len=64)
+    l_one, _ = M.prefill(cfg, params, prompt, cache1)
+    cache2 = M.init_kv_cache(cfg, 1, max_len=64)
+    padded = prompts[0] + [0]  # pad to multiple of 4
+    l_ch = None
+    for i in range(0, 8, 4):
+        is_final = i + 4 >= 8
+        lp = jnp.asarray([len(prompts[0]) - 1 - i if is_final else 0], jnp.int32)
+        pos = jnp.asarray([i], jnp.int32)[:, None] + jnp.arange(4, dtype=jnp.int32)[None]
+        logits, cache2 = M.forward(cfg, params,
+                                   jnp.asarray([padded[i:i+4]], jnp.int32),
+                                   positions=pos, cache=cache2,
+                                   logit_positions=lp)
+        l_ch = logits[:, 0]
+    rel = float(jnp.abs(l_ch - l_one).max() / jnp.abs(l_one).max())
+    assert rel < 0.05, rel
