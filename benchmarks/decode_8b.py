@@ -32,24 +32,46 @@ def main(batch=8, ctx=1024, max_len=2048):
     cache = M.init_kv_cache(cfg, batch, max_len=max_len)
 
     # ---- prefill latency (the TTFT driver) -------------------------------
-    toks = jax.random.randint(jax.random.key(1), (batch, ctx), 0,
-                              cfg.vocab_size, jnp.int32)
+    # Whole-prompt prefill attention temporaries exceed HBM past B*ctx ~ 8k
+    # on one chip (engine uses chunked/slot-wise prefill instead); larger
+    # batches get a synthetic pre-filled cache and measure decode only.
+    if batch * ctx <= 8 * 1024:
+        toks = jax.random.randint(jax.random.key(1), (batch, ctx), 0,
+                                  cfg.vocab_size, jnp.int32)
 
-    @jax.jit
-    def prefill(p, t, c):
-        return M.prefill(cfg, p, t, c)  # lm_head at last position only
+        @jax.jit
+        def prefill(p, t, c):
+            return M.prefill(cfg, p, t, c)  # lm_head at last position only
 
-    t0 = time.perf_counter()
-    last, cache = prefill(params, toks, cache)
-    np.asarray(last[:1, :1])
-    t_prefill_cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    last, cache2 = prefill(params, toks, cache)
-    np.asarray(last[:1, :1])
-    t_prefill = time.perf_counter() - t0
-    print(f"prefill {batch}x{ctx}: {t_prefill*1e3:.0f} ms warm "
-          f"({batch*ctx/t_prefill:.0f} tok/s prefill; cold {t_prefill_cold:.1f}s)",
-          flush=True)
+        t0 = time.perf_counter()
+        last, cache = prefill(params, toks, cache)
+        np.asarray(last[:1, :1])
+        t_prefill_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        last, cache2 = prefill(params, toks, cache)
+        np.asarray(last[:1, :1])
+        t_prefill = time.perf_counter() - t0
+        print(f"prefill {batch}x{ctx}: {t_prefill*1e3:.0f} ms warm "
+              f"({batch*ctx/t_prefill:.0f} tok/s prefill; cold {t_prefill_cold:.1f}s)",
+              flush=True)
+        last_tok = last.argmax(-1).astype(jnp.int32)
+    else:
+        print(f"synthetic pre-filled cache for batch={batch} (decode-only)", flush=True)
+        kk = jax.random.key(2)
+        shape = cache.k_codes.shape  # [L, B, H, S, D]
+
+        def rnd_codes(k_):
+            return jax.random.randint(k_, shape, -127, 128, jnp.int32).astype(jnp.int8)
+
+        from piquant_tpu.quant.kv_cache import KVCache
+        cache = KVCache(
+            k_codes=rnd_codes(jax.random.fold_in(kk, 0)),
+            v_codes=rnd_codes(jax.random.fold_in(kk, 1)),
+            k_scale=jnp.full(shape[:4] + (1,), 0.01, jnp.float32),
+            v_scale=jnp.full(shape[:4] + (1,), 0.01, jnp.float32),
+            length=jnp.full(cache.length.shape, ctx, jnp.int32),
+        )
+        last_tok = jnp.zeros((batch,), jnp.int32)
 
     # ---- decode tokens/s: chained steps, slope over K --------------------
     def chain(k):
@@ -63,7 +85,7 @@ def main(batch=8, ctx=1024, max_len=2048):
             return tok
         return run
 
-    tok0 = last.argmax(-1).astype(jnp.int32)
+    tok0 = last_tok
     pos0 = jnp.full((batch,), ctx, jnp.int32)
     f4, f20 = chain(4), chain(20)
     np.asarray(f4(params, tok0, pos0, cache)[:1])

@@ -51,34 +51,35 @@ def _decode_attn_kernel(b: int, hkv: int, rep: int, s: int, d: int,
 
         @pl.when(s0 <= pos)  # skip compute for fully-masked chunks
         def _():
-            for h in range(hkv):
-                q = q_ref[0, h]                    # (rep, d) bf16
-                # int8 -> bf16 via int32 (Mosaic lacks some direct 8-bit casts)
-                kc = kc_ref[0, h].astype(jnp.int32).astype(jnp.bfloat16)  # (sc, d)
-                ks = ks_ref[0, h, :, 0]            # (sc,) f32
-                scores = jax.lax.dot_general(
-                    q, kc, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # (rep, sc)
-                scores = scores * (ks * scale)[None, :]
-                scores = jnp.where(valid, scores, NEG_INF)
+            # batched over kv heads in ONE dot_general per phase (a Python
+            # per-head loop measured ~1.5x slower)
+            qb = q_ref[0]                                        # (hkv, rep, d)
+            # int8 -> bf16 via int32 (Mosaic lacks some direct 8-bit casts)
+            kb = kc_ref[0].astype(jnp.int32).astype(jnp.bfloat16)  # (hkv, sc, d)
+            scores = jax.lax.dot_general(
+                qb, kb, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)              # (hkv, rep, sc)
+            ksb = ks_ref[0, :, :, 0]                             # (hkv, sc)
+            scores = scores * (ksb[:, None, :] * scale)
+            scores = jnp.where(valid[None], scores, NEG_INF)
 
-                m_old = m_ref[h]                   # (rep, 1)
-                m_new = jnp.maximum(m_old, jnp.max(scores, axis=1, keepdims=True))
-                p = jnp.exp(scores - m_new)        # (rep, sc)
-                corr = jnp.exp(m_old - m_new)      # (rep, 1)
-                l_ref[h] = l_ref[h] * corr + jnp.sum(p, axis=1, keepdims=True)
-                m_ref[h] = m_new
+            m_old = m_ref[:]                                     # (hkv, rep, 1)
+            m_new = jnp.maximum(m_old, jnp.max(scores, axis=2, keepdims=True))
+            p = jnp.exp(scores - m_new)
+            corr = jnp.exp(m_old - m_new)
+            l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=2, keepdims=True)
+            m_ref[:] = m_new
 
-                vs = vs_ref[0, h, :, 0]            # (sc,)
-                pv = (p * vs[None, :]).astype(jnp.bfloat16)
-                vc = vc_ref[0, h].astype(jnp.int32).astype(jnp.bfloat16)  # (sc, d)
-                acc_ref[h] = acc_ref[h] * corr + jnp.dot(
-                    pv, vc, preferred_element_type=jnp.float32)
+            vsb = vs_ref[0, :, :, 0]                             # (hkv, sc)
+            pv = (p * vsb[:, None, :]).astype(jnp.bfloat16)
+            vb = vc_ref[0].astype(jnp.int32).astype(jnp.bfloat16)
+            acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
+                pv, vb, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
 
         @pl.when(sci == nsc - 1)
         def _():
-            for h in range(hkv):
-                o_ref[0, h] = acc_ref[h] / l_ref[h]
+            o_ref[0] = acc_ref[:] / l_ref[:]
 
     grid = (b, nsc)
     return pl.pallas_call(
