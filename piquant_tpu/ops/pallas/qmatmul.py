@@ -30,7 +30,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-BN = 128          # N tile (fastest measured on v5e; >=512 crashes Mosaic)
+BN_CANDIDATES = (1024, 512, 256, 128)  # larger N tiles = fewer grid steps /
+# bigger DMAs; measured on v5e (M=16, K=4096, N=14336, median of 3):
+# bn=128: 352 GB/s | 256: 482 | 512: 561 | 1024: 929 (weight-stream)
+W_BLOCK_VMEM_LIMIT = 2 * 1024 * 1024   # packed-block byte cap: the unpack
+# temporaries (i32 + bf16 planes) cost ~6x the packed block in SCOPED vmem,
+# whose default limit is 16 MB — 7168x1024 bytes measured 44 MB scoped (OOM)
 M_MAX = 64        # beyond this the XLA path wins (prefill is compute-bound,
                   # and keeping full-K x blocks double-buffered in VMEM stops
                   # paying off — measured OOM at M=8192, K=14336)
@@ -102,11 +107,17 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
     k, n = ql.k, ql.n
     if getattr(ql, "group_size", None) is not None:
         return None  # group-wise scales: XLA path (pallas variant: future)
-    if n % BN or k % 256:
+    if n % 128 or k % 256:
         return None  # dispatch falls back to the XLA path
+    # weight rows per byte-block: k/2 (int4 split-half) or k (int8)
+    w_rows = k // 2 if ql.bits == 4 else k
+    bn = next((c for c in BN_CANDIDATES
+               if n % c == 0 and w_rows * c <= W_BLOCK_VMEM_LIMIT), None)
+    if bn is None:
+        return None
     # Measured on v5e (Llama-8B decode shapes, weight-stream GB/s):
-    #   int4 pallas 432 | int8 pallas 700 | XLA fallback 94 | bf16 dense 755
-    # i.e. ~2.3x faster decode matmuls than bf16 dense at 4 bits.
+    #   int4 pallas 560-930 (bn-dependent) | int8 pallas 700 | XLA fallback 94
+    #   | bf16 dense 755 — 8B decode 20.6 -> 17.8 ms/step with adaptive bn.
     lead = x.shape[:-1]
     m = 1
     for s in lead:
@@ -128,9 +139,9 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
     oname = "bf16" if jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16) else "f32"
 
     if ql.bits == 4:
-        kfun = _w4_kernel(mp, k, n, bm, BN, oname)
+        kfun = _w4_kernel(mp, k, n, bm, bn, oname)
     elif ql.bits == 8:
-        kfun = _w8_kernel(mp, k, n, bm, BN, oname)
+        kfun = _w8_kernel(mp, k, n, bm, bn, oname)
     else:
         return None
     y = kfun(x2, ql.data, scale, zp)
