@@ -75,6 +75,50 @@ def _w4_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
 
 
 @lru_cache(maxsize=None)
+def _w4_grouped_kernel(m: int, k: int, n: int, g: int, bm: int, bn: int,
+                       out_dtype: str):
+    """Group-wise scales (G groups along K): the zero-point no longer folds
+    into one rank-1 correction, so dequantize in-register to bf16 (the
+    standard W4A16 numerics) and run two plain dots.  Group boundaries must
+    not straddle the split-half plane boundary: (K/2) % group_size == 0."""
+    odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
+    kh = k // 2
+    g2 = g // 2
+    gs = k // g
+
+    def expand(a):  # (g2, bn) -> (kh, bn), repeat each group row gs times
+        return jnp.broadcast_to(a[:, None, :], (g2, gs, a.shape[-1])
+                                ).reshape(kh, a.shape[-1])
+
+    def kern(x_ref, b_ref, s_ref, z_ref, o_ref):
+        b = b_ref[:].astype(jnp.int32)
+        lo = (b & 15).astype(jnp.bfloat16)
+        hi = ((b >> 4) & 15).astype(jnp.bfloat16)
+        s = s_ref[:].astype(jnp.bfloat16)   # (g, bn)
+        z = z_ref[:].astype(jnp.bfloat16)
+        w_lo = (lo - expand(z[:g2])) * expand(s[:g2])
+        w_hi = (hi - expand(z[g2:])) * expand(s[g2:])
+        x = x_ref[:]
+        acc = jnp.dot(x[:, :kh], w_lo, preferred_element_type=jnp.float32)
+        acc += jnp.dot(x[:, kh:], w_hi, preferred_element_type=jnp.float32)
+        o_ref[:] = acc.astype(odt)
+
+    grid = (pl.cdiv(m, bm), n // bn)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n), odt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+    )
+
+
+@lru_cache(maxsize=None)
 def _w8_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
     odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
 
@@ -105,8 +149,11 @@ def _w8_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
 def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
     """x [..., K] @ packed weight -> [..., N]; None if no fast path."""
     k, n = ql.k, ql.n
-    if getattr(ql, "group_size", None) is not None:
-        return None  # group-wise scales: XLA path (pallas variant: future)
+    group_size = getattr(ql, "group_size", None)
+    if group_size is not None and (
+        ql.bits != 4 or (k // 2) % group_size or group_size % 8
+    ):
+        return None  # unsupported grouped shape: XLA path
     if n % 128 or k % 256:
         return None  # dispatch falls back to the XLA path
     # weight rows per byte-block: k/2 (int4 split-half) or k (int8)
@@ -134,9 +181,19 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
     if mp != m:
         x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
 
+    oname = "bf16" if jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16) else "f32"
+
+    if group_size is not None:
+        g = k // group_size
+        kfun = _w4_grouped_kernel(mp, k, n, g, bm, bn, oname)
+        y = kfun(x2, ql.data, ql.scale.astype(jnp.float32),
+                 ql.zero_point.astype(jnp.int32))
+        if mp != m:
+            y = y[:m]
+        return y.reshape(*lead, n).astype(out_dtype)
+
     scale = jnp.broadcast_to(ql.scale.astype(jnp.float32).reshape(1, -1), (1, n))
     zp = jnp.broadcast_to(ql.zero_point.astype(jnp.int32).reshape(1, -1), (1, n))
-    oname = "bf16" if jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16) else "f32"
 
     if ql.bits == 4:
         kfun = _w4_kernel(mp, k, n, bm, bn, oname)
