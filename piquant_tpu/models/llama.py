@@ -28,9 +28,8 @@ from jax.sharding import PartitionSpec as P
 
 from piquant_tpu.quant.kv_cache import (
     KVCache,
-    kv_cache_append,
+    kv_cache_append_stacked,
     kv_cache_init,
-    kv_cache_read,
 )
 from piquant_tpu.quant.linear import (
     QuantizedLinear,
@@ -237,8 +236,8 @@ def _attention(
     layer: Dict,
     x: Array,                # [B, T, D]
     positions: Array,        # [B, T]
-    cache: Optional[KVCache],
-    layer_cache: Optional[KVCache],
+    cache: Optional[KVCache],  # STACKED cache (leaves [L, B, H, S, D])
+    layer_idx: int,
     mask: Array,             # [B, 1, T, S] additive
     attend_in_layer: bool = False,
 ) -> Tuple[Array, Optional[KVCache]]:
@@ -264,37 +263,37 @@ def _attention(
     rep = cfg.n_heads // cfg.n_kv_heads
     qg = q.reshape(b, cfg.n_kv_heads, rep, t, hd)  # grouped heads: no repeat
 
-    if layer_cache is not None:
-        layer_cache = kv_cache_append(layer_cache, k, v, positions)
-    if layer_cache is not None and not attend_in_layer:
+    if cache is not None:
+        cache = kv_cache_append_stacked(cache, layer_idx, k, v, positions)
+    if cache is not None and not attend_in_layer:
         import os as _os
 
         if (t == 1 and jax.default_backend() == "tpu"
                 and _os.environ.get("PIQUANT_TPU_PALLAS_ATTN", "0") == "1"):
             # flash-decoding Pallas kernel (ops/pallas/attention.py).
-            # OFF by default: measured 27.1 vs 20.6 ms/step on 8B decode —
-            # the (B x S-chunk) grid with a per-head Python loop pays more
-            # in iteration overhead than it saves in cache traffic; needs
-            # batched-head dots / manual DMA before it wins.
+            # OFF by default: the XLA int8-cache path below measured
+            # 33 us/layer (cache-stream ~1 TB/s, i.e. at speed-of-light)
+            # vs 228 us/layer for the Pallas kernel on 8B decode shapes —
+            # kept for study/odd shapes only.
             from piquant_tpu.ops.pallas.attention import decode_attention
 
             ctx1 = decode_attention(
-                qg[:, :, :, 0], layer_cache.k_codes, layer_cache.k_scale,
-                layer_cache.v_codes, layer_cache.v_scale,
+                qg[:, :, :, 0], cache.k_codes[layer_idx], cache.k_scale[layer_idx],
+                cache.v_codes[layer_idx], cache.v_scale[layer_idx],
                 positions[:, 0], hd ** -0.5)
             if ctx1 is not None:
                 ctx = ctx1[:, :, :, None]  # [B,Hkv,rep,1,D]
                 ctx = ctx.astype(dt).reshape(b, cfg.n_heads, t, hd).transpose(0, 2, 1, 3)
                 ctx = ctx.reshape(b, t, cfg.n_heads * hd)
-                return _mm(ctx, layer["wo"], dt), layer_cache
+                return _mm(ctx, layer["wo"], dt), cache
         # Fused INT8-cache attention: the dots consume int8 codes directly
         # (the bf16 convert fuses into the MXU operand read — the float
         # cache is never materialized) and the per-token scales fold into
         # the scores / probabilities as rank-1 corrections.
-        kc = layer_cache.k_codes  # [B, Hkv, S, D] int8
-        vc = layer_cache.v_codes
-        ks = layer_cache.k_scale[:, :, None, None, :, 0]  # [B, Hkv, 1, 1, S]
-        vs = layer_cache.v_scale[:, :, :, 0]              # [B, Hkv, S]
+        kc = cache.k_codes[layer_idx]  # [B, Hkv, S, D] int8
+        vc = cache.v_codes[layer_idx]
+        ks = cache.k_scale[layer_idx][:, :, None, None, :, 0]  # [B, Hkv, 1, 1, S]
+        vs = cache.v_scale[layer_idx][:, :, :, 0]              # [B, Hkv, S]
         scores = jnp.einsum(
             "bhrtd,bhsd->bhrts", qg.astype(jnp.bfloat16), kc.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32) * ks
@@ -317,7 +316,7 @@ def _attention(
     ctx = ctx.astype(dt).reshape(b, cfg.n_heads, t, hd).transpose(0, 2, 1, 3)
     ctx = ctx.reshape(b, t, cfg.n_heads * hd)
     out = _mm(ctx, layer["wo"], dt)
-    return out, layer_cache
+    return out, cache
 
 
 def _mlp(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:
@@ -365,27 +364,18 @@ def forward(
             qp = positions[:, None, :, None]
             mask = jnp.where(kv_pos <= qp, 0.0, -1e9).astype(jnp.float32)
 
-    new_layers = [] if cache is not None else None
     for i, layer in enumerate(params["layers"]):
-        lc = None
-        if cache is not None:
-            lc = jax.tree.map(lambda a: a[i], cache)
-        h, lc = _attention(cfg, layer, rms_norm(x, layer["attn_norm"], cfg.rms_eps),
-                           positions, cache, lc, mask, attend_in_layer)
+        h, cache = _attention(cfg, layer,
+                              rms_norm(x, layer["attn_norm"], cfg.rms_eps),
+                              positions, cache, i, mask, attend_in_layer)
         x = x + h
         x = x + _mlp(cfg, layer, rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
-        if cache is not None:
-            new_layers.append(lc)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     if logit_positions is not None:
         x = x[jnp.arange(b), logit_positions][:, None, :]
     logits = _mm(x, params["lm_head"], jnp.float32)
-
-    new_cache = None
-    if cache is not None:
-        new_cache = jax.tree.map(lambda *xs: jnp.stack(xs), *new_layers)
-    return logits, new_cache
+    return logits, cache
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None) -> KVCache:

@@ -95,6 +95,37 @@ def kv_cache_append(
     return KVCache(k_codes, v_codes, k_scale, v_scale, new_len)
 
 
+def kv_cache_append_stacked(
+    cache: KVCache,
+    layer: int,
+    k_new: Array,  # [B, H_kv, T, D] float
+    v_new: Array,
+    positions: Array,  # [B, T] int32
+) -> KVCache:
+    """Append into layer `layer` of a STACKED cache (leaves [L, B, H, S, D]).
+
+    Scatters directly into the stacked buffers — no per-layer slice-out /
+    restack, so XLA aliases the update in place inside a decode loop instead
+    of copying the whole multi-GB cache every step (measured: the restack
+    pattern cost several ms/step on 8B decode)."""
+    kc, ks = _quantize_sym(k_new)
+    vc, vs = _quantize_sym(v_new)
+
+    b = jnp.arange(cache.k_codes.shape[1])[:, None, None]
+    h = jnp.arange(cache.k_codes.shape[2])[None, :, None]
+    p = positions[:, None, :]  # [B, 1, T]
+
+    new_len = jnp.maximum(cache.length[layer], positions.max(axis=-1) + 1)
+    new_len = jnp.minimum(new_len, cache.k_codes.shape[3])
+    return KVCache(
+        k_codes=cache.k_codes.at[layer, b, h, p].set(kc),
+        v_codes=cache.v_codes.at[layer, b, h, p].set(vc),
+        k_scale=cache.k_scale.at[layer, b, h, p].set(ks),
+        v_scale=cache.v_scale.at[layer, b, h, p].set(vs),
+        length=cache.length.at[layer].set(new_len),
+    )
+
+
 def kv_cache_read(cache: KVCache, dtype=jnp.bfloat16) -> Tuple[Array, Array]:
     """Dequantize the full cache (masking beyond `length` is the caller's
     job via attention masks).  [B, H_kv, S_max, D] each."""
