@@ -29,7 +29,7 @@ import numpy as np
 
 from piquant_tpu.models import llama as M
 from piquant_tpu.quant.kv_cache import KVCache
-from piquant_tpu.serving.sampler import SamplingParams, sample
+from piquant_tpu.serving.sampler import SamplingParams, sample, sample_batch
 
 Array = jax.Array
 
@@ -118,6 +118,13 @@ class Engine:
         self._positions = jnp.zeros((b,), jnp.int32)
         self._active = np.zeros((b,), bool)  # host-side mask
 
+        # per-slot sampling params mirrored as arrays so ONE fused
+        # decode+sample dispatch serves any per-request mix (and only the
+        # [B] token vector crosses the host boundary each step)
+        self._temps = np.zeros((b,), np.float32)
+        self._topks = np.zeros((b,), np.int32)
+        self._topps = np.ones((b,), np.float32)
+
         # --- jitted device programs -------------------------------------
         @jax.jit
         def _decode(params, tok, pos, cache):
@@ -125,6 +132,14 @@ class Engine:
             return logits, cache
 
         self._decode = _decode
+
+        @jax.jit
+        def _decode_sample(params, tok, pos, cache, temps, topks, topps, key):
+            logits, cache = M.decode_step(cfg, params, tok, pos, cache)
+            toks = sample_batch(logits, temps, topks, topps, key)
+            return toks, cache
+
+        self._decode_sample = _decode_sample
 
         # prefill computes a fresh single-sequence cache then scatters it
         # into the pool slot (one compile per padded prompt length)
@@ -229,6 +244,9 @@ class Engine:
         req.tokens.append(tok)
         self._slots[slot] = req
         self._active[slot] = True
+        self._temps[slot] = req.sampling.temperature
+        self._topks[slot] = req.sampling.top_k
+        self._topps[slot] = req.sampling.top_p
         self._cur_tok = self._cur_tok.at[slot].set(tok)
         self._positions = self._positions.at[slot].set(plen)
         self._maybe_finish(req, slot)
@@ -243,25 +261,22 @@ class Engine:
 
     def _step_decode(self) -> None:
         t0 = time.perf_counter()
-        logits, self.cache = self._decode(
-            self.params, self._cur_tok, self._positions, self.cache)
+        self._key, k = jax.random.split(self._key)
+        toks, self.cache = self._decode_sample(
+            self.params, self._cur_tok, self._positions, self.cache,
+            jnp.asarray(self._temps), jnp.asarray(self._topks),
+            jnp.asarray(self._topps), k)
         n_active = int(self._active.sum())
-        # per-slot sampling (host loop over active slots; logits already on host-
-        # reachable device memory, one transfer)
-        logits_np = None
-        new_toks = np.asarray(self._cur_tok).copy()
-        for i, req in enumerate(self._slots):
-            if req is None:
-                continue
-            tok = self._sample(logits[i: i + 1], req)
-            req.tokens.append(tok)
-            new_toks[i] = tok
-        self._cur_tok = jnp.asarray(new_toks)
+        # ONE fused decode+sample dispatch; only the [B] token vector crosses
+        # the host boundary (per-slot host sampling cost B transfers/step)
+        toks_np = np.asarray(toks)
+        self._cur_tok = toks
         self._positions = self._positions + jnp.asarray(self._active, jnp.int32)
         self.metrics.decode_tokens += n_active
         self.metrics.decode_time_s += time.perf_counter() - t0
         for i, req in enumerate(list(self._slots)):
             if req is not None:
+                req.tokens.append(int(toks_np[i]))
                 self._maybe_finish(req, i)
 
     # ------------------------------------------------------------------

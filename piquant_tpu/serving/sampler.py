@@ -38,3 +38,40 @@ def sample(logits: Array, params: SamplingParams, key: Optional[Array]) -> Array
         cutoff = jnp.take_along_axis(sorted_l, cutoff_idx[:, None], axis=-1)
         l = jnp.where(l < cutoff, -jnp.inf, l)
     return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
+
+
+def sample_batch(
+    logits: Array,       # [B, V]
+    temperature: Array,  # [B] f32; <= 0 => greedy for that row
+    top_k: Array,        # [B] i32; 0 => disabled
+    top_p: Array,        # [B] f32; >= 1 => disabled
+    key: Array,
+) -> Array:
+    """Per-row sampling params as TRACED arrays -> one compiled variant
+    serves every mix of per-slot settings (the continuous-batching engine
+    calls this once per decode step; per-request `SamplingParams` changes
+    never trigger a recompile)."""
+    b, v = logits.shape
+    l = logits.astype(jnp.float32)
+    greedy = temperature <= 0.0
+    lt = l / jnp.maximum(temperature, 1e-6)[:, None]
+
+    # top-k with per-row k: threshold = k-th largest (k=0 -> keep all)
+    sorted_asc = jnp.sort(lt, axis=-1)
+    eff_k = jnp.where(top_k > 0, jnp.minimum(top_k, v), v)
+    kth = jnp.take_along_axis(sorted_asc, (v - eff_k)[:, None], axis=-1)
+    lt = jnp.where(lt < kth, -jnp.inf, lt)
+
+    # top-p with per-row p: smallest prefix of the sorted distribution with
+    # cumulative mass >= p (p >= 1 -> keep all)
+    sorted_desc = sorted_asc[:, ::-1]
+    probs = jax.nn.softmax(jnp.where(sorted_desc < kth, -jnp.inf, sorted_desc),
+                           axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.argmax(cum >= top_p[:, None], axis=-1)
+    cutoff = jnp.take_along_axis(sorted_desc, cutoff_idx[:, None], axis=-1)
+    cutoff = jnp.where((top_p >= 1.0)[:, None], -jnp.inf, cutoff)
+    lt = jnp.where(lt < cutoff, -jnp.inf, lt)
+
+    drawn = jax.random.categorical(key, lt, axis=-1)
+    return jnp.where(greedy, jnp.argmax(l, axis=-1), drawn).astype(jnp.int32)

@@ -140,3 +140,42 @@ def test_chunked_prefill_engine(setup):
         l_ch = logits[:, 0]
     rel = float(jnp.abs(l_ch - l_one).max() / jnp.abs(l_one).max())
     assert rel < 0.05, rel
+
+
+def test_sample_batch_matches_per_row():
+    """sample_batch with traced per-row params == sample() per row (same key
+    handling for greedy; masked-support equivalence for stochastic rows)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from piquant_tpu.serving.sampler import SamplingParams, sample, sample_batch
+
+    key = jax.random.key(11)
+    logits = jax.random.normal(jax.random.key(5), (4, 64), jnp.float32) * 3.0
+
+    # all-greedy: must match argmax exactly regardless of k/p settings
+    toks = sample_batch(logits,
+                        jnp.zeros((4,), jnp.float32),
+                        jnp.asarray([0, 5, 0, 3], jnp.int32),
+                        jnp.asarray([1.0, 0.9, 0.5, 1.0], jnp.float32), key)
+    assert np.array_equal(np.asarray(toks), np.asarray(jnp.argmax(logits, -1)))
+
+    # stochastic rows: every draw must land in the allowed (top-k/top-p) set
+    temps = jnp.asarray([0.8, 0.8, 0.8, 0.8], jnp.float32)
+    topks = jnp.asarray([5, 0, 1, 64], jnp.int32)
+    topps = jnp.asarray([1.0, 0.9, 1.0, 1.0], jnp.float32)
+    for i in range(20):
+        k = jax.random.fold_in(key, i)
+        toks = np.asarray(sample_batch(logits, temps, topks, topps, k))
+        # row 2: top_k=1 == greedy
+        assert toks[2] == int(jnp.argmax(logits[2]))
+        # row 0: token must be among the top-5 logits
+        top5 = np.argsort(np.asarray(logits[0]))[-5:]
+        assert toks[0] in top5
+        # row 1: token must be inside the top-p=0.9 nucleus
+        p = jax.nn.softmax(logits[1] / 0.8)
+        order = np.argsort(-np.asarray(p))
+        cum = np.cumsum(np.asarray(p)[order])
+        nucleus = set(order[: int(np.argmax(cum >= 0.9)) + 1].tolist())
+        assert toks[1] in nucleus
