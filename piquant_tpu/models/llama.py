@@ -240,6 +240,7 @@ def _attention(
     layer_idx: int,
     mask: Array,             # [B, 1, T, S] additive
     attend_in_layer: bool = False,
+    kv_write_start: Optional[Array] = None,  # scalar: contiguous prefill writes
 ) -> Tuple[Array, Optional[KVCache]]:
     b, t, _ = x.shape
     hd = cfg.head_dim
@@ -264,7 +265,8 @@ def _attention(
     qg = q.reshape(b, cfg.n_kv_heads, rep, t, hd)  # grouped heads: no repeat
 
     if cache is not None:
-        cache = kv_cache_append_stacked(cache, layer_idx, k, v, positions)
+        cache = kv_cache_append_stacked(cache, layer_idx, k, v, positions,
+                                        contiguous_start=kv_write_start)
     if cache is not None and not attend_in_layer:
         import os as _os
 
@@ -343,6 +345,9 @@ def forward(
     logit_positions: Optional[Array] = None,  # [B] -> project lm_head only at
                                               # these positions (prefill: the
                                               # full [B,T,V] tensor is huge)
+    kv_write_start: Optional[Array] = None,   # scalar: every row's KV writes
+                                              # are [start, start+T) — enables
+                                              # the contiguous DUS append path
 ) -> Tuple[Array, Optional[KVCache]]:
     """Returns (logits [B, T, V] — or [B, 1, V] with logit_positions — and
     the updated cache or None)."""
@@ -367,7 +372,8 @@ def forward(
     for i, layer in enumerate(params["layers"]):
         h, cache = _attention(cfg, layer,
                               rms_norm(x, layer["attn_norm"], cfg.rms_eps),
-                              positions, cache, i, mask, attend_in_layer)
+                              positions, cache, i, mask, attend_in_layer,
+                              kv_write_start)
         x = x + h
         x = x + _mlp(cfg, layer, rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
 
@@ -394,7 +400,8 @@ def prefill(cfg: LlamaConfig, params: Dict, tokens: Array, cache: KVCache,
         last_positions = jnp.full((b,), t - 1, jnp.int32)
     logits, cache = forward(cfg, params, tokens, cache=cache,
                             attend_in_layer=True,
-                            logit_positions=last_positions)
+                            logit_positions=last_positions,
+                            kv_write_start=jnp.int32(0))
     return logits[:, 0], cache
 
 

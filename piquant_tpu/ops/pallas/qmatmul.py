@@ -75,6 +75,64 @@ def _w4_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
 
 
 @lru_cache(maxsize=None)
+def _w4_kernel_ksplit(m: int, k: int, n: int, bm: int, bn: int, bkh: int,
+                      out_dtype: str):
+    """K-split variant for large-K weights (w2: K=14336): a third grid axis
+    streams (bkh, bn) packed blocks and accumulates in f32 VMEM scratch, so
+    bn can stay large (big DMAs) without blowing the scoped-VMEM budget.
+    x is passed pre-split into lo/hi halves (a BlockSpec cannot fetch two
+    disjoint K-slices of one array)."""
+    odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
+    kh = k // 2
+    nk = kh // bkh
+
+    def kern(xlo_ref, xhi_ref, b_ref, s_ref, z_ref, o_ref, acc_ref, xsum_ref):
+        ki = pl.program_id(2)
+
+        @pl.when(ki == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            xsum_ref[:] = jnp.zeros_like(xsum_ref)
+
+        b = b_ref[:].astype(jnp.int32)
+        lo = (b & 15).astype(jnp.bfloat16)
+        hi = ((b >> 4) & 15).astype(jnp.bfloat16)
+        xlo = xlo_ref[:]
+        xhi = xhi_ref[:]
+        acc_ref[:] += (
+            jnp.dot(xlo, lo, preferred_element_type=jnp.float32)
+            + jnp.dot(xhi, hi, preferred_element_type=jnp.float32))
+        xsum_ref[:] += (jnp.sum(xlo.astype(jnp.float32), axis=1, keepdims=True)
+                        + jnp.sum(xhi.astype(jnp.float32), axis=1, keepdims=True))
+
+        @pl.when(ki == nk - 1)
+        def _():
+            s = s_ref[:]
+            z = z_ref[:].astype(jnp.float32)
+            o_ref[:] = (acc_ref[:] * s - xsum_ref[:] * (z * s)).astype(odt)
+
+    grid = (pl.cdiv(m, bm), n // bn, nk)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n), odt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bkh), lambda i, j, ki: (i, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bkh), lambda i, j, ki: (i, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkh, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, ki: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, ki: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, ki: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bm, bn), jnp.float32),
+            pltpu.VMEM((bm, 1), jnp.float32),
+        ],
+    )
+
+
+@lru_cache(maxsize=None)
 def _w4_grouped_kernel(m: int, k: int, n: int, g: int, bm: int, bn: int,
                        out_dtype: str):
     """Group-wise scales (G groups along K): the zero-point no longer folds
@@ -196,6 +254,16 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
     zp = jnp.broadcast_to(ql.zero_point.astype(jnp.int32).reshape(1, -1), (1, n))
 
     if ql.bits == 4:
+        kh = k // 2
+        # large-K weights force a tiny bn under the single-block budget;
+        # the K-split kernel keeps bn=1024 by streaming (bkh, bn) blocks
+        bkh = next((c for c in range(2048, 255, -128) if kh % c == 0), None)
+        if kh * 1024 > 2 * W_BLOCK_VMEM_LIMIT and bkh and n % 1024 == 0:
+            kfun = _w4_kernel_ksplit(mp, k, n, bm, 1024, bkh, oname)
+            y = kfun(x2[:, :kh], x2[:, kh:], ql.data, scale, zp)
+            if mp != m:
+                y = y[:m]
+            return y.reshape(*lead, n).astype(out_dtype)
         kfun = _w4_kernel(mp, k, n, bm, bn, oname)
     elif ql.bits == 8:
         kfun = _w8_kernel(mp, k, n, bm, bn, oname)

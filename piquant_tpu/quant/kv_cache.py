@@ -19,7 +19,7 @@ behind `kv_cache_read` later.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -101,6 +101,8 @@ def kv_cache_append_stacked(
     k_new: Array,  # [B, H_kv, T, D] float
     v_new: Array,
     positions: Array,  # [B, T] int32
+    contiguous_start: Optional[Array] = None,  # scalar: all rows write
+                                               # [start, start+T) (prefill)
 ) -> KVCache:
     """Append into layer `layer` of a STACKED cache (leaves [L, B, H, S, D]).
 
@@ -111,12 +113,32 @@ def kv_cache_append_stacked(
     kc, ks = _quantize_sym(k_new)
     vc, vs = _quantize_sym(v_new)
 
+    new_len = jnp.maximum(cache.length[layer], positions.max(axis=-1) + 1)
+    new_len = jnp.minimum(new_len, cache.k_codes.shape[3])
+
+    if contiguous_start is not None:
+        # prefill fast path: all rows write [start, start+T) — one
+        # dynamic-update-slice per buffer instead of a gather/scatter
+        # (measured ~25% faster 8x1024 prefill)
+        st = jnp.asarray(contiguous_start, jnp.int32).reshape(())
+
+        def dus(big, upd):
+            return jax.lax.dynamic_update_slice(
+                big, upd[None].astype(big.dtype),
+                (jnp.int32(layer), jnp.int32(0), jnp.int32(0), st, jnp.int32(0)))
+
+        return KVCache(
+            k_codes=dus(cache.k_codes, kc),
+            v_codes=dus(cache.v_codes, vc),
+            k_scale=dus(cache.k_scale, ks),
+            v_scale=dus(cache.v_scale, vs),
+            length=cache.length.at[layer].set(new_len),
+        )
+
     b = jnp.arange(cache.k_codes.shape[1])[:, None, None]
     h = jnp.arange(cache.k_codes.shape[2])[None, :, None]
     p = positions[:, None, :]  # [B, 1, T]
 
-    new_len = jnp.maximum(cache.length[layer], positions.max(axis=-1) + 1)
-    new_len = jnp.minimum(new_len, cache.k_codes.shape[3])
     return KVCache(
         k_codes=cache.k_codes.at[layer, b, h, p].set(kc),
         v_codes=cache.v_codes.at[layer, b, h, p].set(vc),

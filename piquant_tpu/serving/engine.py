@@ -165,7 +165,8 @@ class Engine:
             b, c = tokens.shape
             positions = offset[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
             logits, cache = M.forward(cfg, params, tokens, positions=positions,
-                                      cache=cache, logit_positions=last_pos)
+                                      cache=cache, logit_positions=last_pos,
+                                      kv_write_start=offset[0])
             return logits[:, 0], cache
 
         self._prefill_chunk = jax.jit(_prefill_chunk)
