@@ -27,7 +27,7 @@ Array = jax.Array
 
 LANES = 128
 # Rows per grid block (f32 VMEM use: 1024*128*4 = 512 KiB in + out).
-BLOCK_ROWS = 1024
+BLOCK_ROWS = 2048
 
 
 def supports_dtype(name: str) -> bool:
