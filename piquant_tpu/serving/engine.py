@@ -40,6 +40,12 @@ class EngineConfig:
     max_seq_len: int = 2048
     prefill_pad: int = 64      # prompts are right-padded to a multiple of this
                                # to bound the number of compiled prefill shapes
+    decode_block: int = 16
+    # decode steps per device dispatch: one jitted scan of `decode_block`
+    # steps and ONE [K, B] token readback amortize the host/relay round-trip
+    # (dominant at small per-step latency).  A request hitting EOS mid-block
+    # wastes <= decode_block-1 slot-steps (tokens are trimmed host-side) —
+    # the standard multi-step-scheduling trade.
     prefill_chunk: Optional[int] = None
     # When set, prompts are prefilled in fixed-size chunks attending against
     # the (INT8) cache — ONE compiled prefill shape regardless of prompt
@@ -100,6 +106,97 @@ class EngineMetrics:
             f.write(json.dumps({"ts": _t.time(), **self.to_dict()}) + "\n")
 
 
+# ---------------------------------------------------------------------------
+# jitted device programs — MODULE-LEVEL and cached by (cfg, block size) so
+# every Engine instance (and repeated constructions in one process) shares
+# the same compiled executables; per-instance closures paid a multi-second
+# executable load on each new Engine
+# ---------------------------------------------------------------------------
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_decode_block(cfg: M.LlamaConfig, kblk: int):
+    def _decode_block(params, tok, pos, cache, temps, topks, topps,
+                      base_key, blk_idx, active):
+        def step(carry, k):
+            t, p, c = carry
+            logits, c = M.decode_step(cfg, params, t, p, c)
+            toks = sample_batch(logits, temps, topks, topps, k)
+            t2 = jnp.where(active, toks, t)
+            return (t2, p + active.astype(jnp.int32), c), t2
+
+        # key derivation stays in-graph: the host passes one int per block
+        # (bundled with the dispatch — no eager split round-trip)
+        keys = jax.random.split(jax.random.fold_in(base_key, blk_idx), kblk)
+        (t, p, cache), tok_hist = jax.lax.scan(step, (tok, pos, cache), keys)
+        return tok_hist, t, p, cache  # [K, B], [B], [B], cache
+
+    return jax.jit(_decode_block, donate_argnums=(3,))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_prefill(cfg: M.LlamaConfig):
+    def _prefill(params, tokens, true_len, slot, cache, pool_cache,
+                 temp, topk, topp, base_key, idx):
+        # lm_head projected only at the prompt's true last position (tokens
+        # are right-padded) — the full [B,T,V] logits tensor would dominate
+        # prefill memory
+        last, cache1 = M.prefill(cfg, params, tokens, cache,
+                                 last_positions=true_len - 1)
+
+        def insert(big, small):
+            return jax.lax.dynamic_update_slice_in_dim(big, small, slot, axis=1)
+
+        new_pool = jax.tree.map(insert, pool_cache, cache1)
+        tok = sample_batch(last, temp, topk, topp,
+                           jax.random.fold_in(base_key, idx))
+        return tok, new_pool
+
+    return jax.jit(_prefill, donate_argnums=(5,))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_prefill_chunk(cfg: M.LlamaConfig):
+    def _prefill_chunk(params, tokens, offset, last_pos, cache):
+        b, c = tokens.shape
+        positions = offset[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
+        logits, cache = M.forward(cfg, params, tokens, positions=positions,
+                                  cache=cache, logit_positions=last_pos,
+                                  kv_write_start=offset[0])
+        return logits[:, 0], cache
+
+    return jax.jit(_prefill_chunk, donate_argnums=(4,))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_insert_slot():
+    def _insert_slot(pool_cache, cache1, slot):
+        def insert(big, small):
+            return jax.lax.dynamic_update_slice_in_dim(big, small, slot, axis=1)
+        return jax.tree.map(insert, pool_cache, cache1)
+
+    return jax.jit(_insert_slot, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_set_slot_state():
+    def _set_slot_state(tok, pos, slot, t, p):
+        return tok.at[slot].set(t), pos.at[slot].set(p)
+
+    return jax.jit(_set_slot_state)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_sample_first():
+    def _sample_first(logits, temp, topk, topp, base_key, idx):
+        return sample_batch(logits, temp, topk, topp,
+                            jax.random.fold_in(base_key, idx))
+
+    return jax.jit(_sample_first)
+
+
 class Engine:
     def __init__(self, cfg: M.LlamaConfig, params: Dict, econfig: EngineConfig,
                  *, rng_seed: int = 0):
@@ -111,6 +208,7 @@ class Engine:
         self._all: List[Request] = []
         self._slots: List[Optional[Request]] = [None] * econfig.batch_slots
         self._key = jax.random.key(rng_seed)
+        self._blk_counter = 0  # in-graph key derivation index
 
         b = econfig.batch_slots
         self.cache = M.init_kv_cache(cfg, b, max_len=econfig.max_seq_len)
@@ -124,59 +222,18 @@ class Engine:
         self._temps = np.zeros((b,), np.float32)
         self._topks = np.zeros((b,), np.int32)
         self._topps = np.ones((b,), np.float32)
+        self._slot_state_dirty = True  # device mirrors staged lazily
 
-        # --- jitted device programs -------------------------------------
-        @jax.jit
-        def _decode(params, tok, pos, cache):
-            logits, cache = M.decode_step(cfg, params, tok, pos, cache)
-            return logits, cache
+        # --- jitted device programs (shared, module-level caches) --------
+        self._decode_block = _jit_decode_block(cfg, econfig.decode_block)
+        self._prefill = _jit_prefill(cfg)
+        self._prefill_chunk = _jit_prefill_chunk(cfg)
+        self._insert_slot = _jit_insert_slot()
+        self._set_slot_state = _jit_set_slot_state()
+        self._sample_first = _jit_sample_first()
 
-        self._decode = _decode
-
-        @jax.jit
-        def _decode_sample(params, tok, pos, cache, temps, topks, topps, key):
-            logits, cache = M.decode_step(cfg, params, tok, pos, cache)
-            toks = sample_batch(logits, temps, topks, topps, key)
-            return toks, cache
-
-        self._decode_sample = _decode_sample
-
-        # prefill computes a fresh single-sequence cache then scatters it
-        # into the pool slot (one compile per padded prompt length)
-        def _prefill(params, tokens, true_len, slot, cache, pool_cache):
-            # lm_head projected only at the prompt's true last position
-            # (tokens are right-padded) — the full [B,T,V] logits tensor
-            # would dominate prefill memory
-            last, cache1 = M.prefill(cfg, params, tokens, cache,
-                                     last_positions=true_len - 1)
-
-            def insert(big, small):
-                return jax.lax.dynamic_update_slice_in_dim(big, small, slot, axis=1)
-
-            new_pool = jax.tree.map(insert, pool_cache, cache1)
-            return last, new_pool
-
-        self._prefill = jax.jit(_prefill, static_argnames=())
-
-        # chunked prefill: one step per fixed-size chunk against a fresh
-        # single-slot cache; returns logits at `last_pos` (valid only on the
-        # final chunk) and the updated cache
-        def _prefill_chunk(params, tokens, offset, last_pos, cache):
-            b, c = tokens.shape
-            positions = offset[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
-            logits, cache = M.forward(cfg, params, tokens, positions=positions,
-                                      cache=cache, logit_positions=last_pos,
-                                      kv_write_start=offset[0])
-            return logits[:, 0], cache
-
-        self._prefill_chunk = jax.jit(_prefill_chunk)
-
-        def _insert_slot(pool_cache, cache1, slot):
-            def insert(big, small):
-                return jax.lax.dynamic_update_slice_in_dim(big, small, slot, axis=1)
-            return jax.tree.map(insert, pool_cache, cache1)
-
-        self._insert_slot = jax.jit(_insert_slot)
+        # reusable zeroed single-slot cache (immutable; never donated)
+        self._fresh_template = M.init_kv_cache(cfg, 1, max_len=econfig.max_seq_len)
 
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> None:
@@ -205,12 +262,16 @@ class Engine:
                     f"request {req.rid}: prompt {plen} + max_new "
                     f"{req.sampling.max_new_tokens} exceeds max_seq_len "
                     f"{self.ec.max_seq_len}")
-            fresh = M.init_kv_cache(self.cfg, 1, max_len=self.ec.max_seq_len)
             if self.ec.prefill_chunk:
+                # chunked path donates the cache through the chunk chain, so
+                # it needs a per-admission buffer (the template would be
+                # consumed on the first chunk)
+                fresh = M.init_kv_cache(self.cfg, 1, max_len=self.ec.max_seq_len)
                 c = self.ec.prefill_chunk
                 pad = -plen % c
                 padded = req.prompt + [0] * pad
                 last = None
+                tok_dev = None
                 for i in range(0, len(padded), c):
                     is_final = i + c >= len(padded)
                     lp = jnp.asarray([plen - 1 - i if is_final else 0], jnp.int32)
@@ -219,21 +280,36 @@ class Engine:
                         jnp.asarray([i], jnp.int32), lp, fresh)
                 self.cache = self._insert_slot(self.cache, fresh, slot)
             else:
+                fresh = self._fresh_template  # never donated by _prefill
                 pad = -plen % self.ec.prefill_pad or 0
                 padded = req.prompt + [0] * pad
                 toks = jnp.asarray([padded], jnp.int32)
-                last, self.cache = self._prefill(
+                sp = req.sampling
+                self._blk_counter += 1
+                tok_dev, self.cache = self._prefill(
                     self.params, toks, jnp.asarray([plen], jnp.int32),
-                    slot, fresh, self.cache)
-            # fix slot length bookkeeping: padded positions wrote scales too,
-            # but attention masks beyond `position` ignore them
-            tok = self._sample(last, req)
+                    slot, fresh, self.cache,
+                    np.asarray([sp.temperature], np.float32),
+                    np.asarray([sp.top_k], np.int32),
+                    np.asarray([sp.top_p], np.float32),
+                    self._key, self._blk_counter)
+            # padded positions wrote scales too, but attention masks beyond
+            # `position` ignore them
+            if tok_dev is not None:
+                tok = int(np.asarray(tok_dev)[0])
+            else:
+                tok = self._sample(last, req)  # chunked path: sample here
             self._record_first_token(req, tok, slot, plen, t0)
 
     def _sample(self, logits: Array, req: Request) -> int:
-        self._key, k = jax.random.split(self._key)
-        t = sample(logits, req.sampling, k)
-        return int(t[0]) if t.shape[0] == 1 else int(t)
+        self._blk_counter += 1
+        sp = req.sampling
+        t = self._sample_first(logits,
+                               np.asarray([sp.temperature], np.float32),
+                               np.asarray([sp.top_k], np.int32),
+                               np.asarray([sp.top_p], np.float32),
+                               self._key, self._blk_counter)
+        return int(t[0])
 
     def _record_first_token(self, req: Request, tok: int, slot: int,
                             plen: int, t0: float) -> None:
@@ -248,8 +324,9 @@ class Engine:
         self._temps[slot] = req.sampling.temperature
         self._topks[slot] = req.sampling.top_k
         self._topps[slot] = req.sampling.top_p
-        self._cur_tok = self._cur_tok.at[slot].set(tok)
-        self._positions = self._positions.at[slot].set(plen)
+        self._slot_state_dirty = True
+        self._cur_tok, self._positions = self._set_slot_state(
+            self._cur_tok, self._positions, slot, tok, plen)
         self._maybe_finish(req, slot)
 
     def _maybe_finish(self, req: Request, slot: int) -> None:
@@ -257,34 +334,69 @@ class Engine:
         if len(req.tokens) >= s.max_new_tokens or (
                 s.eos_token >= 0 and req.tokens[-1] == s.eos_token):
             req.done = True
-            self._slots[slot] = None
-            self._active[slot] = False
+            if self._slots[slot] is req:  # pipelined bookkeeping runs a block
+                self._slots[slot] = None  # behind dispatch — never clobber a
+                self._active[slot] = False  # re-admitted slot
+                self._slot_state_dirty = True
+
+
+    def _dispatch_block(self):
+        """Dispatch one decode block (`decode_block` fused steps); returns
+        the device [K, B] token history + the slot snapshot for attribution.
+        Does NOT block on the result; device-resident sampling-param mirrors
+        are re-staged only when admissions/finishes changed them."""
+        if self._slot_state_dirty:
+            self._temps_dev = jnp.asarray(self._temps)
+            self._topks_dev = jnp.asarray(self._topks)
+            self._topps_dev = jnp.asarray(self._topps)
+            self._active_dev = jnp.asarray(self._active)
+            self._slot_state_dirty = False
+        self._blk_counter += 1
+        tok_hist, tok, pos, self.cache = self._decode_block(
+            self.params, self._cur_tok, self._positions, self.cache,
+            self._temps_dev, self._topks_dev, self._topps_dev,
+            self._key, self._blk_counter, self._active_dev)
+        self._cur_tok = tok
+        self._positions = pos
+        return tok_hist, list(self._slots)
+
+    def _process_block(self, tok_hist, slots_snapshot) -> None:
+        """Fetch a previously dispatched block's tokens and do bookkeeping.
+        Runs one block BEHIND dispatch so the host readback latency overlaps
+        the next block's device compute."""
+        toks_np = np.asarray(tok_hist)  # [K, B]
+        for step in range(toks_np.shape[0]):
+            for i, req in enumerate(slots_snapshot):
+                if req is not None and not req.done:
+                    req.tokens.append(int(toks_np[step, i]))
+                    self.metrics.decode_tokens += 1
+                    self._maybe_finish(req, i)
 
     def _step_decode(self) -> None:
+        """Synchronous block step (dispatch + process); the pipelined path
+        in run() is preferred — this remains for simple drivers."""
         t0 = time.perf_counter()
-        self._key, k = jax.random.split(self._key)
-        toks, self.cache = self._decode_sample(
-            self.params, self._cur_tok, self._positions, self.cache,
-            jnp.asarray(self._temps), jnp.asarray(self._topks),
-            jnp.asarray(self._topps), k)
-        n_active = int(self._active.sum())
-        # ONE fused decode+sample dispatch; only the [B] token vector crosses
-        # the host boundary (per-slot host sampling cost B transfers/step)
-        toks_np = np.asarray(toks)
-        self._cur_tok = toks
-        self._positions = self._positions + jnp.asarray(self._active, jnp.int32)
-        self.metrics.decode_tokens += n_active
+        hist, snap = self._dispatch_block()
+        self._process_block(hist, snap)
         self.metrics.decode_time_s += time.perf_counter() - t0
-        for i, req in enumerate(list(self._slots)):
-            if req is not None:
-                req.tokens.append(int(toks_np[i]))
-                self._maybe_finish(req, i)
 
     # ------------------------------------------------------------------
     def run(self) -> List[Request]:
-        """Run until queue and slots drain; returns completed requests."""
-        self._admit()
-        while any(r is not None for r in self._slots) or self._queue:
-            self._step_decode()
+        """Run until queue and slots drain; returns completed requests.
+
+        Pipelined: each iteration admits, dispatches decode block N, then
+        fetches/bookkeeps block N-1 — the token readback (a full host/relay
+        round-trip) overlaps the next block's device compute."""
+        pending = None
+        while (pending is not None or self._queue
+               or any(r is not None for r in self._slots)):
             self._admit()
+            t0 = time.perf_counter()
+            nxt = None
+            if any(r is not None for r in self._slots):
+                nxt = self._dispatch_block()
+            if pending is not None:
+                self._process_block(*pending)
+            self.metrics.decode_time_s += time.perf_counter() - t0
+            pending = nxt
         return [r for r in self._all if r.done]

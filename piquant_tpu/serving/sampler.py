@@ -40,38 +40,54 @@ def sample(logits: Array, params: SamplingParams, key: Optional[Array]) -> Array
     return jax.random.categorical(key, l, axis=-1).astype(jnp.int32)
 
 
+TOPK_CAND = 128  # top-k/top-p candidate window (see sample_batch docstring)
+
+
 def sample_batch(
     logits: Array,       # [B, V]
     temperature: Array,  # [B] f32; <= 0 => greedy for that row
-    top_k: Array,        # [B] i32; 0 => disabled
+    top_k: Array,        # [B] i32; 0 => disabled (capped at TOPK_CAND)
     top_p: Array,        # [B] f32; >= 1 => disabled
     key: Array,
 ) -> Array:
     """Per-row sampling params as TRACED arrays -> one compiled variant
     serves every mix of per-slot settings (the continuous-batching engine
     calls this once per decode step; per-request `SamplingParams` changes
-    never trigger a recompile)."""
+    never trigger a recompile).
+
+    A full-vocab sort costs tens of ms at V=128k on TPU, so order statistics
+    are computed inside a `lax.top_k(TOPK_CAND)` candidate window: top-k is
+    exact for k <= TOPK_CAND, and the top-p nucleus is truncated at
+    TOPK_CAND candidates (it only differs when >128 tokens are needed to
+    reach the requested mass — a regime where truncation is the standard
+    serving behavior anyway).  Pure-temperature rows (k=0, p>=1) use exact
+    full-vocab Gumbel sampling; greedy rows use exact argmax."""
     b, v = logits.shape
+    c = min(TOPK_CAND, v)
     l = logits.astype(jnp.float32)
     greedy = temperature <= 0.0
     lt = l / jnp.maximum(temperature, 1e-6)[:, None]
 
-    # top-k with per-row k: threshold = k-th largest (k=0 -> keep all)
-    sorted_asc = jnp.sort(lt, axis=-1)
-    eff_k = jnp.where(top_k > 0, jnp.minimum(top_k, v), v)
-    kth = jnp.take_along_axis(sorted_asc, (v - eff_k)[:, None], axis=-1)
-    lt = jnp.where(lt < kth, -jnp.inf, lt)
+    # exact paths (no order statistics needed)
+    full_draw = jax.random.categorical(key, lt, axis=-1)
+    arg = jnp.argmax(l, axis=-1)
 
-    # top-p with per-row p: smallest prefix of the sorted distribution with
-    # cumulative mass >= p (p >= 1 -> keep all)
-    sorted_desc = sorted_asc[:, ::-1]
-    probs = jax.nn.softmax(jnp.where(sorted_desc < kth, -jnp.inf, sorted_desc),
-                           axis=-1)
+    # candidate window for restricted rows
+    cand, cand_idx = jax.lax.top_k(lt, c)              # [B, c] descending
+    eff_k = jnp.clip(jnp.where(top_k > 0, top_k, c), 1, c)
+    pos = jnp.arange(c, dtype=jnp.int32)[None, :]
+    keep = pos < eff_k[:, None]
+
+    probs = jax.nn.softmax(jnp.where(keep, cand, -jnp.inf), axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    cutoff_idx = jnp.argmax(cum >= top_p[:, None], axis=-1)
-    cutoff = jnp.take_along_axis(sorted_desc, cutoff_idx[:, None], axis=-1)
-    cutoff = jnp.where((top_p >= 1.0)[:, None], -jnp.inf, cutoff)
-    lt = jnp.where(lt < cutoff, -jnp.inf, lt)
+    # smallest prefix with mass >= p (p >= 1 -> whole window)
+    nucleus = (cum - probs) < top_p[:, None]
+    keep = keep & (nucleus | (top_p >= 1.0)[:, None])
 
-    drawn = jax.random.categorical(key, lt, axis=-1)
-    return jnp.where(greedy, jnp.argmax(l, axis=-1), drawn).astype(jnp.int32)
+    masked = jnp.where(keep, cand, -jnp.inf)
+    draw_c = jax.random.categorical(jax.random.fold_in(key, 1), masked, axis=-1)
+    windowed = jnp.take_along_axis(cand_idx, draw_c[:, None], axis=-1)[:, 0]
+
+    restricted = (top_k > 0) | (top_p < 1.0)
+    out = jnp.where(restricted, windowed, full_draw)
+    return jnp.where(greedy, arg, out).astype(jnp.int32)
