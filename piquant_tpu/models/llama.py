@@ -241,6 +241,11 @@ def _attention(
     mask: Array,             # [B, 1, T, S] additive
     attend_in_layer: bool = False,
     kv_write_start: Optional[Array] = None,  # scalar: contiguous prefill writes
+    attn_window: Optional[int] = None,  # static: attend only to cache
+                                        # positions < attn_window (caller
+                                        # guarantees all positions fit) —
+                                        # cuts decode cache traffic to the
+                                        # live prefix instead of max_len
 ) -> Tuple[Array, Optional[KVCache]]:
     b, t, _ = x.shape
     hd = cfg.head_dim
@@ -292,10 +297,11 @@ def _attention(
         # (the bf16 convert fuses into the MXU operand read — the float
         # cache is never materialized) and the per-token scales fold into
         # the scores / probabilities as rank-1 corrections.
-        kc = cache.k_codes[layer_idx]  # [B, Hkv, S, D] int8
-        vc = cache.v_codes[layer_idx]
-        ks = cache.k_scale[layer_idx][:, :, None, None, :, 0]  # [B, Hkv, 1, 1, S]
-        vs = cache.v_scale[layer_idx][:, :, :, 0]              # [B, Hkv, S]
+        w = attn_window or cache.k_codes.shape[3]
+        kc = cache.k_codes[layer_idx, :, :, :w]  # [B, Hkv, W, D] int8
+        vc = cache.v_codes[layer_idx, :, :, :w]
+        ks = cache.k_scale[layer_idx, :, :, :w][:, :, None, None, :, 0]
+        vs = cache.v_scale[layer_idx, :, :, :w][:, :, :, 0]    # [B, Hkv, W]
         scores = jnp.einsum(
             "bhrtd,bhsd->bhrts", qg.astype(jnp.bfloat16), kc.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32) * ks
@@ -348,6 +354,11 @@ def forward(
     kv_write_start: Optional[Array] = None,   # scalar: every row's KV writes
                                               # are [start, start+T) — enables
                                               # the contiguous DUS append path
+    attn_window: Optional[int] = None,        # static: attend only to cache
+                                              # positions < attn_window (all
+                                              # positions must fit) — decode
+                                              # reads the live prefix, not
+                                              # max_len
 ) -> Tuple[Array, Optional[KVCache]]:
     """Returns (logits [B, T, V] — or [B, 1, V] with logit_positions — and
     the updated cache or None)."""
@@ -359,6 +370,8 @@ def forward(
     x = params["embed"][tokens].astype(dt)
 
     s_len = cache.k_codes.shape[3] if cache is not None else t
+    if attn_window is not None:
+        s_len = min(s_len, attn_window)
     if mask is None:
         if attend_in_layer or cache is None:
             causal = jnp.tril(jnp.ones((t, t), bool))
@@ -373,7 +386,7 @@ def forward(
         h, cache = _attention(cfg, layer,
                               rms_norm(x, layer["attn_norm"], cfg.rms_eps),
                               positions, cache, i, mask, attend_in_layer,
-                              kv_write_start)
+                              kv_write_start, attn_window)
         x = x + h
         x = x + _mlp(cfg, layer, rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
 
@@ -406,10 +419,13 @@ def prefill(cfg: LlamaConfig, params: Dict, tokens: Array, cache: KVCache,
 
 
 def decode_step(cfg: LlamaConfig, params: Dict, token: Array, position: Array,
-                cache: KVCache) -> Tuple[Array, KVCache]:
-    """One autoregressive step: token [B] int32, position [B] int32."""
+                cache: KVCache, attn_window: Optional[int] = None,
+                ) -> Tuple[Array, KVCache]:
+    """One autoregressive step: token [B] int32, position [B] int32.
+    `attn_window` (static) bounds the cache prefix attention reads."""
     logits, cache = forward(cfg, params, token[:, None],
-                            positions=position[:, None], cache=cache)
+                            positions=position[:, None], cache=cache,
+                            attn_window=attn_window)
     return logits[:, 0], cache
 
 

@@ -46,6 +46,14 @@ class EngineConfig:
     # (dominant at small per-step latency).  A request hitting EOS mid-block
     # wastes <= decode_block-1 slot-steps (tokens are trimmed host-side) —
     # the standard multi-step-scheduling trade.
+    attn_windows: tuple = ()
+    # Optional ladder of attention-window buckets (e.g. (512, 1024, 2048)):
+    # decode blocks attend only to the smallest bucket covering the longest
+    # active context, cutting cache traffic for short contexts.  Each bucket
+    # is a separate compiled executable — a cold bucket stalls one block on
+    # XLA compile, so enable it for long-max_len deployments (where the
+    # traffic win is large) and keep the ladder short.  Empty = always
+    # max_seq_len (one executable).
     prefill_chunk: Optional[int] = None
     # When set, prompts are prefilled in fixed-size chunks attending against
     # the (INT8) cache — ONE compiled prefill shape regardless of prompt
@@ -117,12 +125,15 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_decode_block(cfg: M.LlamaConfig, kblk: int):
+def _jit_decode_block(cfg: M.LlamaConfig, kblk: int, window: int):
+    """One compiled block per (config, block size, attention-window bucket):
+    attention reads only the live cache prefix [0, window) instead of
+    max_seq_len — decode cache traffic tracks actual context length."""
     def _decode_block(params, tok, pos, cache, temps, topks, topps,
                       base_key, blk_idx, active):
         def step(carry, k):
             t, p, c = carry
-            logits, c = M.decode_step(cfg, params, t, p, c)
+            logits, c = M.decode_step(cfg, params, t, p, c, attn_window=window)
             toks = sample_batch(logits, temps, topks, topps, k)
             t2 = jnp.where(active, toks, t)
             return (t2, p + active.astype(jnp.int32), c), t2
@@ -215,6 +226,8 @@ class Engine:
         self._cur_tok = jnp.zeros((b,), jnp.int32)
         self._positions = jnp.zeros((b,), jnp.int32)
         self._active = np.zeros((b,), bool)  # host-side mask
+        self._host_pos = np.zeros((b,), np.int64)  # host mirror for
+                                                   # attention-window buckets
 
         # per-slot sampling params mirrored as arrays so ONE fused
         # decode+sample dispatch serves any per-request mix (and only the
@@ -225,7 +238,6 @@ class Engine:
         self._slot_state_dirty = True  # device mirrors staged lazily
 
         # --- jitted device programs (shared, module-level caches) --------
-        self._decode_block = _jit_decode_block(cfg, econfig.decode_block)
         self._prefill = _jit_prefill(cfg)
         self._prefill_chunk = _jit_prefill_chunk(cfg)
         self._insert_slot = _jit_insert_slot()
@@ -325,6 +337,7 @@ class Engine:
         self._topks[slot] = req.sampling.top_k
         self._topps[slot] = req.sampling.top_p
         self._slot_state_dirty = True
+        self._host_pos[slot] = plen
         self._cur_tok, self._positions = self._set_slot_state(
             self._cur_tok, self._positions, slot, tok, plen)
         self._maybe_finish(req, slot)
@@ -352,7 +365,15 @@ class Engine:
             self._active_dev = jnp.asarray(self._active)
             self._slot_state_dirty = False
         self._blk_counter += 1
-        tok_hist, tok, pos, self.cache = self._decode_block(
+        kblk = self.ec.decode_block
+        window = self.ec.max_seq_len
+        if self.ec.attn_windows:
+            need = int(self._host_pos[self._active].max()) + kblk + 1
+            window = min((w for w in self.ec.attn_windows if w >= need),
+                         default=self.ec.max_seq_len)
+        self._host_pos[self._active] += kblk
+        block_fn = _jit_decode_block(self.cfg, kblk, window)
+        tok_hist, tok, pos, self.cache = block_fn(
             self.params, self._cur_tok, self._positions, self.cache,
             self._temps_dev, self._topks_dev, self._topps_dev,
             self._key, self._blk_counter, self._active_dev)
