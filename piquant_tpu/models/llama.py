@@ -52,11 +52,15 @@ class LlamaConfig:
     rms_eps: float = 1e-5
     max_seq_len: int = 8192
     qkv_bias: bool = False       # Qwen2-style attention biases
+    head_dim_override: Optional[int] = None  # Gemma: head_dim != d_model/heads
+    norm_plus_one: bool = False  # Gemma RMSNorm scales by (1 + w)
+    mlp_act: str = "silu"        # "silu" (Llama) or "gelu" (Gemma GeGLU)
+    scale_embed: bool = False    # Gemma multiplies embeddings by sqrt(d_model)
     dtype: Any = jnp.bfloat16
 
     @property
     def head_dim(self) -> int:
-        return self.d_model // self.n_heads
+        return self.head_dim_override or self.d_model // self.n_heads
 
     @staticmethod
     def llama3_8b() -> "LlamaConfig":
@@ -75,6 +79,24 @@ class LlamaConfig:
             vocab_size=152_064, d_model=3584, n_layers=28, n_heads=28,
             n_kv_heads=4, d_ff=18_944, rope_theta=1_000_000.0,
             max_seq_len=32_768, qkv_bias=True,
+        )
+
+    @staticmethod
+    def gemma_2b() -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=256_000, d_model=2048, n_layers=18, n_heads=8,
+            n_kv_heads=1, d_ff=16_384, rope_theta=10_000.0, max_seq_len=8192,
+            head_dim_override=256, norm_plus_one=True, mlp_act="gelu",
+            scale_embed=True,
+        )
+
+    @staticmethod
+    def gemma_7b() -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=256_000, d_model=3072, n_layers=28, n_heads=16,
+            n_kv_heads=16, d_ff=24_576, rope_theta=10_000.0, max_seq_len=8192,
+            head_dim_override=256, norm_plus_one=True, mlp_act="gelu",
+            scale_embed=True,
         )
 
     @staticmethod
@@ -205,10 +227,11 @@ def _mm(x: Array, w, out_dtype) -> Array:
 # building blocks
 # ---------------------------------------------------------------------------
 
-def rms_norm(x: Array, w: Array, eps: float) -> Array:
+def rms_norm(x: Array, w: Array, eps: float, plus_one: bool = False) -> Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+    normed = (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    return normed * (w + 1.0) if plus_one else normed * w
 
 
 def _rope_freqs(cfg: LlamaConfig, positions: Array) -> Tuple[Array, Array]:
@@ -331,7 +354,10 @@ def _mlp(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:
     dt = cfg.dtype
     g = _mm(x, layer["w1"], dt)
     u = _mm(x, layer["w3"], dt)
-    h = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)).astype(dt)
+    gf = g.astype(jnp.float32)
+    act = (jax.nn.gelu(gf, approximate=True) if cfg.mlp_act == "gelu"
+           else jax.nn.silu(gf))
+    h = (act * u.astype(jnp.float32)).astype(dt)
     return _mm(h, layer["w2"], dt)
 
 
@@ -368,6 +394,8 @@ def forward(
         positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32), (b, t))
 
     x = params["embed"][tokens].astype(dt)
+    if cfg.scale_embed:  # Gemma: sqrt(d_model) normalizer, rounded in model dtype
+        x = x * jnp.asarray(cfg.d_model ** 0.5, dt)
 
     s_len = cache.k_codes.shape[3] if cache is not None else t
     if attn_window is not None:
@@ -384,13 +412,15 @@ def forward(
 
     for i, layer in enumerate(params["layers"]):
         h, cache = _attention(cfg, layer,
-                              rms_norm(x, layer["attn_norm"], cfg.rms_eps),
+                              rms_norm(x, layer["attn_norm"], cfg.rms_eps,
+                                       cfg.norm_plus_one),
                               positions, cache, i, mask, attend_in_layer,
                               kv_write_start, attn_window)
         x = x + h
-        x = x + _mlp(cfg, layer, rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
+        x = x + _mlp(cfg, layer, rms_norm(x, layer["mlp_norm"], cfg.rms_eps,
+                                          cfg.norm_plus_one))
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps, cfg.norm_plus_one)
     if logit_positions is not None:
         x = x[jnp.arange(b), logit_positions][:, None, :]
     logits = _mm(x, params["lm_head"], jnp.float32)

@@ -23,6 +23,10 @@ from piquant_tpu.models.llama import LlamaConfig
 
 
 def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
+    mtype = getattr(hf_config, "model_type", "")
+    is_gemma = mtype == "gemma"
+    default_hd = hf_config.hidden_size // hf_config.num_attention_heads
+    hd = getattr(hf_config, "head_dim", default_hd) or default_hd
     return LlamaConfig(
         vocab_size=hf_config.vocab_size,
         d_model=hf_config.hidden_size,
@@ -35,7 +39,11 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         rms_eps=getattr(hf_config, "rms_norm_eps", 1e-5),
         max_seq_len=getattr(hf_config, "max_position_embeddings", 8192),
         qkv_bias=bool(getattr(hf_config, "attention_bias", False)
-                      or getattr(hf_config, "model_type", "") == "qwen2"),
+                      or mtype == "qwen2"),
+        head_dim_override=hd if hd != default_hd else None,
+        norm_plus_one=is_gemma,   # Gemma RMSNorm: x_norm * (1 + w)
+        mlp_act="gelu" if is_gemma else "silu",
+        scale_embed=is_gemma,     # Gemma: embeddings * sqrt(d_model)
         dtype=dtype,
     )
 

@@ -91,3 +91,47 @@ def test_qwen2_family_with_biases():
         want = model(torch.tensor(tokens)).logits.numpy()
     got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-3, rtol=3e-3)
+
+
+def test_gemma_family():
+    """Gemma: RMSNorm(1+w), GeGLU, sqrt(d_model) embedding scale, tied
+    lm_head, head_dim decoupled from d_model/n_heads."""
+    torch.manual_seed(SEED)
+    conf = transformers.GemmaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=1,
+        head_dim=32, max_position_embeddings=64, rope_theta=10_000.0,
+        rms_norm_eps=1e-5, attn_implementation="eager",
+    )
+    model = transformers.GemmaForCausalLM(conf)
+    model.eval()
+    cfg, params = load_from_hf(model, dtype=jnp.float32)
+    assert cfg.head_dim == 32 and cfg.norm_plus_one and cfg.mlp_act == "gelu"
+    assert cfg.scale_embed
+    rng = np.random.default_rng(SEED)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 9))
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+    got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-3, rtol=3e-3)
+
+
+def test_gemma_decode_matches_prefill():
+    torch.manual_seed(SEED)
+    cfg = M.LlamaConfig.tiny(norm_plus_one=True, mlp_act="gelu",
+                             scale_embed=True, head_dim_override=16,
+                             dtype=jnp.float32)
+    params = M.init_params(cfg, jax.random.key(3))
+    tokens = jax.random.randint(jax.random.key(4), (2, 12), 0,
+                                cfg.vocab_size, jnp.int32)
+    # full-sequence forward (no cache) vs prefill+decode path
+    want, _ = M.forward(cfg, params, tokens)
+    cache = M.init_kv_cache(cfg, 2, max_len=32)
+    logits_p, cache = M.prefill(cfg, params, tokens[:, :11], cache)
+    pos = jnp.full((2,), 11, jnp.int32)
+    logits_d, _ = M.decode_step(cfg, params, tokens[:, 11], pos, cache)
+    np.testing.assert_allclose(np.asarray(logits_p), np.asarray(want[:, 10]),
+                               atol=2e-3, rtol=2e-3)
+    # decode uses the INT8 cache -> looser bound
+    np.testing.assert_allclose(np.asarray(logits_d), np.asarray(want[:, 11]),
+                               atol=0.1, rtol=0.1)
