@@ -29,6 +29,11 @@ def main(batch=8, ctx=1024, max_len=2048):
     print(f"building INT4 8B params (batch={batch}, ctx={ctx})...", flush=True)
     params = M.random_quantized_params(cfg, jax.random.key(0), bits=4,
                                        lm_head_bits=8)
+    import os
+    if os.environ.get("PIQUANT_FUSE", "0") == "1":
+        # wqkv/w13 fusion: fewer launches/buffers but measured ~5% SLOWER
+        # end-to-end on one chip (11.47 vs 10.89 ms/step) — opt-in only
+        params = M.fuse_layer_projections(params, cfg)
     cache = M.init_kv_cache(cfg, batch, max_len=max_len)
 
     # ---- prefill latency (the TTFT driver) -------------------------------

@@ -216,6 +216,99 @@ def quantize_params(params: Dict, bits: int = 4, *, channelwise: bool = True,
     return out
 
 
+
+
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class StaticInt:
+    """Static pytree leaf: survives jit as a Python int (fused_tp is used
+    in reshape shapes, so it must not become a tracer)."""
+    value: int
+
+
+def _concat_qlinear(qls):
+    """Concatenate QuantizedLinear weights along N (same K/bits/group)."""
+    first = qls[0]
+    for q in qls[1:]:
+        if (q.bits, q.k, q.group_size) != (first.bits, first.k, first.group_size):
+            raise ValueError("cannot fuse mismatched quantized linears")
+    return QuantizedLinear(
+        data=jnp.concatenate([q.data for q in qls], axis=1),
+        scale=jnp.concatenate([q.scale for q in qls], axis=1),
+        zero_point=jnp.concatenate([q.zero_point for q in qls], axis=1),
+        bits=first.bits, k=first.k, group_size=first.group_size)
+
+
+def _interleave_cols(ws, tp: int):
+    """Shard-interleave column blocks: output = concat over shard s of
+    [w[0]_s | w[1]_s | ...] where w_s is w's s-th 1/tp column block — so a
+    plain P(None, "tp") sharding of the fused matrix keeps every logical
+    projection local to its shard."""
+    if tp == 1:
+        if isinstance(ws[0], QuantizedLinear):
+            return _concat_qlinear(ws)
+        return jnp.concatenate(ws, axis=1)
+    pieces = []
+    for st in range(tp):
+        for w in ws:
+            n = w.n if isinstance(w, QuantizedLinear) else w.shape[1]
+            if n % tp:
+                raise ValueError(f"N={n} not divisible by tp={tp}")
+            blk = n // tp
+            if isinstance(w, QuantizedLinear):
+                pieces.append(QuantizedLinear(
+                    data=w.data[:, st * blk:(st + 1) * blk],
+                    scale=w.scale[:, st * blk:(st + 1) * blk],
+                    zero_point=w.zero_point[:, st * blk:(st + 1) * blk],
+                    bits=w.bits, k=w.k, group_size=w.group_size))
+            else:
+                pieces.append(w[:, st * blk:(st + 1) * blk])
+    if isinstance(ws[0], QuantizedLinear):
+        return _concat_qlinear(pieces)
+    return jnp.concatenate(pieces, axis=1)
+
+
+def _split_interleaved(y: Array, sizes, tp: int):
+    """Inverse of _interleave_cols on the matmul OUTPUT: y[..., N_total] ->
+    per-projection tensors (pure reshapes/slices; column blocks within a
+    shard are contiguous)."""
+    if tp == 1:
+        outs, off = [], 0
+        for n in sizes:
+            outs.append(y[..., off:off + n])
+            off += n
+        return outs
+    lead = y.shape[:-1]
+    per_shard = sum(n // tp for n in sizes)
+    yr = y.reshape(*lead, tp, per_shard)
+    outs, off = [], 0
+    for n in sizes:
+        blk = n // tp
+        outs.append(yr[..., off:off + blk].reshape(*lead, n))
+        off += blk
+    return outs
+
+
+def fuse_layer_projections(params: Dict, cfg: LlamaConfig, tp: int = 1) -> Dict:
+    """Fuse per-layer wq/wk/wv -> wqkv and w1/w3 -> w13 (column concat,
+    shard-interleaved for `tp`-way tensor parallelism).  7 -> 4 projections
+    per layer: fewer kernel launches, fewer dispatch buffers, and the
+    activations are read once per fused matmul.  Works on float or
+    QuantizedLinear weights.  qkv_bias models keep unfused projections."""
+    if cfg.qkv_bias:
+        return params
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        nl = {k: v for k, v in layer.items()
+              if k not in ("wq", "wk", "wv", "w1", "w3")}
+        nl["wqkv"] = _interleave_cols([layer["wq"], layer["wk"], layer["wv"]], tp)
+        nl["w13"] = _interleave_cols([layer["w1"], layer["w3"]], tp)
+        nl["fused_tp"] = StaticInt(tp)
+        out["layers"].append(nl)
+    return out
+
+
 def _mm(x: Array, w, out_dtype) -> Array:
     if isinstance(w, QuantizedLinear):
         return quantized_matmul(x, w, out_dtype)
@@ -274,13 +367,19 @@ def _attention(
     hd = cfg.head_dim
     dt = cfg.dtype
 
-    q = _mm(x, layer["wq"], dt)
-    k = _mm(x, layer["wk"], dt)
-    v = _mm(x, layer["wv"], dt)
-    if cfg.qkv_bias:
-        q = q + layer["bq"]
-        k = k + layer["bk"]
-        v = v + layer["bv"]
+    if "wqkv" in layer:
+        nq = cfg.n_heads * hd
+        nkv = cfg.n_kv_heads * hd
+        y = _mm(x, layer["wqkv"], dt)
+        q, k, v = _split_interleaved(y, (nq, nkv, nkv), layer["fused_tp"].value)
+    else:
+        q = _mm(x, layer["wq"], dt)
+        k = _mm(x, layer["wk"], dt)
+        v = _mm(x, layer["wv"], dt)
+        if cfg.qkv_bias:
+            q = q + layer["bq"]
+            k = k + layer["bk"]
+            v = v + layer["bv"]
     q = q.reshape(b, t, cfg.n_heads, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, t, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
@@ -352,8 +451,12 @@ def _attention(
 
 def _mlp(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:
     dt = cfg.dtype
-    g = _mm(x, layer["w1"], dt)
-    u = _mm(x, layer["w3"], dt)
+    if "w13" in layer:
+        y = _mm(x, layer["w13"], dt)
+        g, u = _split_interleaved(y, (cfg.d_ff, cfg.d_ff), layer["fused_tp"].value)
+    else:
+        g = _mm(x, layer["w1"], dt)
+        u = _mm(x, layer["w3"], dt)
     gf = g.astype(jnp.float32)
     act = (jax.nn.gelu(gf, approximate=True) if cfg.mlp_act == "gelu"
            else jax.nn.silu(gf))
@@ -463,7 +566,7 @@ def decode_step(cfg: LlamaConfig, params: Dict, token: Array, position: Array,
 # sharding
 # ---------------------------------------------------------------------------
 
-_COL_PARALLEL = ("wq", "wk", "wv", "w1", "w3")
+_COL_PARALLEL = ("wq", "wk", "wv", "w1", "w3", "wqkv", "w13")
 _ROW_PARALLEL = ("wo", "w2")
 
 
@@ -474,12 +577,16 @@ def param_shardings(cfg: LlamaConfig, tp_axis: str = "tp") -> Dict:
     Column-parallel (shard N): wq/wk/wv/w1/w3; row-parallel (shard K):
     wo/w2; norms/embeddings replicated; lm_head column-sharded.
     """
-    def layer_spec():
+    def layer_spec(layer=None):
+        keys = layer.keys() if layer is not None else (
+            _COL_PARALLEL[:5] + _ROW_PARALLEL)
         s = {"attn_norm": P(None), "mlp_norm": P(None)}
         for k in _COL_PARALLEL:
-            s[k] = P(None, tp_axis)
+            if k in keys:
+                s[k] = P(None, tp_axis)
         for k in _ROW_PARALLEL:
-            s[k] = P(tp_axis, None)
+            if k in keys:
+                s[k] = P(tp_axis, None)
         return s
 
     return {
@@ -531,12 +638,16 @@ def shard_params(params: Dict, mesh, tp_axis: str = "tp") -> Dict:
         nl = {"attn_norm": put(layer["attn_norm"], P(None)),
               "mlp_norm": put(layer["mlp_norm"], P(None))}
         for k in _COL_PARALLEL:
-            nl[k] = put_linear(layer[k], "col")
+            if k in layer:
+                nl[k] = put_linear(layer[k], "col")
         for k in _ROW_PARALLEL:
-            nl[k] = put_linear(layer[k], "row")
+            if k in layer:
+                nl[k] = put_linear(layer[k], "row")
         for k in ("bq", "bk", "bv"):  # qkv biases follow their columns
             if k in layer:
                 nl[k] = put(layer[k], P(tp_axis))
+        if "fused_tp" in layer:
+            nl["fused_tp"] = layer["fused_tp"]
         out["layers"].append(nl)
     return out
 

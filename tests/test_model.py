@@ -164,3 +164,32 @@ def test_groupwise_model_forward(cfg, params):
     lf, _ = M.forward(cfg, params, tokens)
     pg = jax.nn.log_softmax(logits[0, -1]); pf = jax.nn.log_softmax(lf[0, -1])
     assert float(jnp.abs(pg - pf).mean()) < 0.25
+
+
+def test_fused_projections_match_unfused():
+    """wqkv/w13 fusion (shard-interleaved) is numerically identical for
+    quantized weights, including the decode-with-cache path."""
+    import numpy as np
+
+    cfg = M.LlamaConfig.tiny(dtype=jnp.float32)
+    params = M.quantize_params(M.init_params(cfg, jax.random.key(0)), bits=4)
+    toks = jax.random.randint(jax.random.key(1), (2, 8), 0, cfg.vocab_size,
+                              jnp.int32)
+    want, _ = M.forward(cfg, params, toks)
+    for tp in (1, 2, 4):
+        fused = M.fuse_layer_projections(params, cfg, tp=tp)
+        got, _ = M.forward(cfg, fused, toks)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # decode path
+    fused = M.fuse_layer_projections(params, cfg, tp=2)
+    cache_a = M.init_kv_cache(cfg, 2, max_len=32)
+    cache_b = M.init_kv_cache(cfg, 2, max_len=32)
+    la, cache_a = M.prefill(cfg, params, toks, cache_a)
+    lb, cache_b = M.prefill(cfg, fused, toks, cache_b)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    pos = jnp.full((2,), 8, jnp.int32)
+    tok = jnp.asarray([1, 2], jnp.int32)
+    da, _ = M.decode_step(cfg, params, tok, pos, cache_a)
+    db, _ = M.decode_step(cfg, fused, tok, pos, cache_b)
+    np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
