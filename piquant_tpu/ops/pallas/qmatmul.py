@@ -50,7 +50,7 @@ def _w4_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
     def kern(x_ref, b_ref, s_ref, z_ref, o_ref):
         b = b_ref[:].astype(jnp.int32)
         lo = (b & 15).astype(jnp.bfloat16)
-        hi = ((b >> 4) & 15).astype(jnp.bfloat16)
+        hi = (b >> 4).astype(jnp.bfloat16)  # b < 256: no mask needed
         x = x_ref[:]
         acc = jnp.dot(x[:, :kh], lo, preferred_element_type=jnp.float32)
         acc += jnp.dot(x[:, kh:], hi, preferred_element_type=jnp.float32)
@@ -96,7 +96,7 @@ def _w4_kernel_ksplit(m: int, k: int, n: int, bm: int, bn: int, bkh: int,
 
         b = b_ref[:].astype(jnp.int32)
         lo = (b & 15).astype(jnp.bfloat16)
-        hi = ((b >> 4) & 15).astype(jnp.bfloat16)
+        hi = (b >> 4).astype(jnp.bfloat16)  # b < 256: no mask needed
         xlo = xlo_ref[:]
         xhi = xhi_ref[:]
         acc_ref[:] += (
@@ -151,7 +151,7 @@ def _w4_grouped_kernel(m: int, k: int, n: int, g: int, bm: int, bn: int,
     def kern(x_ref, b_ref, s_ref, z_ref, o_ref):
         b = b_ref[:].astype(jnp.int32)
         lo = (b & 15).astype(jnp.bfloat16)
-        hi = ((b >> 4) & 15).astype(jnp.bfloat16)
+        hi = (b >> 4).astype(jnp.bfloat16)  # b < 256: no mask needed
         s = s_ref[:].astype(jnp.bfloat16)   # (g, bn)
         z = z_ref[:].astype(jnp.bfloat16)
         w_lo = (lo - expand(z[:g2])) * expand(s[:g2])
