@@ -47,17 +47,16 @@ def _w4_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
     odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
     kh = k // 2
 
-    def kern(x_ref, b_ref, s_ref, z_ref, o_ref):
+    def kern(x_ref, b_ref, s_ref, zs_ref, xsum_ref, o_ref):
         b = b_ref[:].astype(jnp.int32)
         lo = (b & 15).astype(jnp.bfloat16)
         hi = (b >> 4).astype(jnp.bfloat16)  # b < 256: no mask needed
         x = x_ref[:]
         acc = jnp.dot(x[:, :kh], lo, preferred_element_type=jnp.float32)
         acc += jnp.dot(x[:, kh:], hi, preferred_element_type=jnp.float32)
-        s = s_ref[:]  # (1, bn) f32
-        z = z_ref[:].astype(jnp.float32)
-        xsum = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
-        o_ref[:] = (acc * s - xsum * (z * s)).astype(odt)
+        # xsum and zp*scale are precomputed outside (xsum was a K-length
+        # reduction redundantly redone for every N tile)
+        o_ref[:] = (acc * s_ref[:] - xsum_ref[:] * zs_ref[:]).astype(odt)
 
     grid = (pl.cdiv(m, bm), n // bn)
     return pl.pallas_call(
@@ -69,6 +68,7 @@ def _w4_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
             pl.BlockSpec((kh, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
     )
@@ -86,30 +86,25 @@ def _w4_kernel_ksplit(m: int, k: int, n: int, bm: int, bn: int, bkh: int,
     kh = k // 2
     nk = kh // bkh
 
-    def kern(xlo_ref, xhi_ref, b_ref, s_ref, z_ref, o_ref, acc_ref, xsum_ref):
+    def kern(xlo_ref, xhi_ref, b_ref, s_ref, zs_ref, xsum_ref, o_ref,
+             acc_ref):
         ki = pl.program_id(2)
 
         @pl.when(ki == 0)
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
-            xsum_ref[:] = jnp.zeros_like(xsum_ref)
 
         b = b_ref[:].astype(jnp.int32)
         lo = (b & 15).astype(jnp.bfloat16)
         hi = (b >> 4).astype(jnp.bfloat16)  # b < 256: no mask needed
-        xlo = xlo_ref[:]
-        xhi = xhi_ref[:]
         acc_ref[:] += (
-            jnp.dot(xlo, lo, preferred_element_type=jnp.float32)
-            + jnp.dot(xhi, hi, preferred_element_type=jnp.float32))
-        xsum_ref[:] += (jnp.sum(xlo.astype(jnp.float32), axis=1, keepdims=True)
-                        + jnp.sum(xhi.astype(jnp.float32), axis=1, keepdims=True))
+            jnp.dot(xlo_ref[:], lo, preferred_element_type=jnp.float32)
+            + jnp.dot(xhi_ref[:], hi, preferred_element_type=jnp.float32))
 
         @pl.when(ki == nk - 1)
         def _():
-            s = s_ref[:]
-            z = z_ref[:].astype(jnp.float32)
-            o_ref[:] = (acc_ref[:] * s - xsum_ref[:] * (z * s)).astype(odt)
+            o_ref[:] = (acc_ref[:] * s_ref[:]
+                        - xsum_ref[:] * zs_ref[:]).astype(odt)
 
     grid = (pl.cdiv(m, bm), n // bn, nk)
     return pl.pallas_call(
@@ -122,12 +117,12 @@ def _w4_kernel_ksplit(m: int, k: int, n: int, bm: int, bn: int, bkh: int,
             pl.BlockSpec((bkh, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j, ki: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j, ki: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, ki: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, ki: (i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((bm, bn), jnp.float32),
-            pltpu.VMEM((bm, 1), jnp.float32),
         ],
     )
 
@@ -180,14 +175,11 @@ def _w4_grouped_kernel(m: int, k: int, n: int, g: int, bm: int, bn: int,
 def _w8_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
     odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
 
-    def kern(x_ref, b_ref, s_ref, z_ref, o_ref):
+    def kern(x_ref, b_ref, s_ref, zs_ref, xsum_ref, o_ref):
         codes = b_ref[:].astype(jnp.int32).astype(jnp.bfloat16)
         x = x_ref[:]
         acc = jnp.dot(x, codes, preferred_element_type=jnp.float32)
-        s = s_ref[:]
-        z = z_ref[:].astype(jnp.float32)
-        xsum = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
-        o_ref[:] = (acc * s - xsum * (z * s)).astype(odt)
+        o_ref[:] = (acc * s_ref[:] - xsum_ref[:] * zs_ref[:]).astype(odt)
 
     grid = (pl.cdiv(m, bm), n // bn)
     return pl.pallas_call(
@@ -199,6 +191,7 @@ def _w8_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
             pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
     )
@@ -240,6 +233,7 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
         x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
 
     oname = "bf16" if jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16) else "f32"
+    xsum = jnp.sum(x2.astype(jnp.float32), axis=1, keepdims=True)  # (mp, 1)
 
     if group_size is not None:
         g = k // group_size
@@ -260,7 +254,8 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
         bkh = next((c for c in range(2048, 255, -128) if kh % c == 0), None)
         if kh * 1024 > 2 * W_BLOCK_VMEM_LIMIT and bkh and n % 1024 == 0:
             kfun = _w4_kernel_ksplit(mp, k, n, bm, 1024, bkh, oname)
-            y = kfun(x2[:, :kh], x2[:, kh:], ql.data, scale, zp)
+            y = kfun(x2[:, :kh], x2[:, kh:], ql.data, scale,
+                     zp.astype(jnp.float32) * scale, xsum)
             if mp != m:
                 y = y[:m]
             return y.reshape(*lead, n).astype(out_dtype)
@@ -269,7 +264,7 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
         kfun = _w8_kernel(mp, k, n, bm, bn, oname)
     else:
         return None
-    y = kfun(x2, ql.data, scale, zp)
+    y = kfun(x2, ql.data, scale, zp.astype(jnp.float32) * scale, xsum)
     if mp != m:
         y = y[:m]
     return y.reshape(*lead, n).astype(out_dtype)
