@@ -56,6 +56,8 @@ class LlamaConfig:
     norm_plus_one: bool = False  # Gemma RMSNorm scales by (1 + w)
     mlp_act: str = "silu"        # "silu" (Llama) or "gelu" (Gemma GeGLU)
     scale_embed: bool = False    # Gemma multiplies embeddings by sqrt(d_model)
+    sliding_window: Optional[int] = None  # Mistral: attend only to the last
+                                          # `sliding_window` positions
     dtype: Any = jnp.bfloat16
 
     @property
@@ -71,6 +73,7 @@ class LlamaConfig:
         return LlamaConfig(
             vocab_size=32_000, d_model=4096, n_layers=32, n_heads=32,
             n_kv_heads=8, d_ff=14_336, rope_theta=10_000.0, max_seq_len=8192,
+            sliding_window=4096,
         )
 
     @staticmethod
@@ -505,13 +508,20 @@ def forward(
         s_len = min(s_len, attn_window)
     if mask is None:
         if attend_in_layer or cache is None:
-            causal = jnp.tril(jnp.ones((t, t), bool))
-            mask = jnp.where(causal, 0.0, -1e9)[None, None].astype(jnp.float32)
+            qp = positions[:, None, :, None]          # [B,1,T,1] absolute
+            kp = positions[:, None, None, :]          # [B,1,1,T]
+            ok = kp <= qp
+            if cfg.sliding_window is not None:
+                ok = ok & (kp > qp - cfg.sliding_window)
+            mask = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)
         elif cache is not None:
             # decode/prefill against cache: allow attention to pos <= position
             kv_pos = jnp.arange(s_len, dtype=jnp.int32)[None, None, None, :]
             qp = positions[:, None, :, None]
-            mask = jnp.where(kv_pos <= qp, 0.0, -1e9).astype(jnp.float32)
+            ok = kv_pos <= qp
+            if cfg.sliding_window is not None:
+                ok = ok & (kv_pos > qp - cfg.sliding_window)
+            mask = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)
 
     for i, layer in enumerate(params["layers"]):
         h, cache = _attention(cfg, layer,

@@ -135,3 +135,35 @@ def test_gemma_decode_matches_prefill():
     # decode uses the INT8 cache -> looser bound
     np.testing.assert_allclose(np.asarray(logits_d), np.asarray(want[:, 11]),
                                atol=0.1, rtol=0.1)
+
+
+def test_mistral_sliding_window():
+    """Sliding-window attention must match transformers' MistralForCausalLM
+    (window small enough to bite within the test sequence)."""
+    torch.manual_seed(SEED)
+    conf = transformers.MistralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10_000.0, rms_norm_eps=1e-5,
+        sliding_window=4, attn_implementation="eager",
+    )
+    model = transformers.MistralForCausalLM(conf)
+    model.eval()
+    cfg, params = load_from_hf(model, dtype=jnp.float32)
+    assert cfg.sliding_window == 4
+    rng = np.random.default_rng(SEED)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 12))
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+    got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-3, rtol=3e-3)
+
+    # decode path respects the window too (vs full forward)
+    cache = M.init_kv_cache(cfg, 2, max_len=32)
+    lp, cache = M.prefill(cfg, params, jnp.asarray(tokens[:, :11], jnp.int32),
+                          cache)
+    pos = jnp.full((2,), 11, jnp.int32)
+    ld, _ = M.decode_step(cfg, params, jnp.asarray(tokens[:, 11], jnp.int32),
+                          pos, cache)
+    np.testing.assert_allclose(np.asarray(ld), want[:, 11], atol=0.05,
+                               rtol=0.05)
