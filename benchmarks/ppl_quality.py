@@ -1,0 +1,103 @@
+"""Quantization-quality proxy for the BASELINE 0.1-ppl acceptance check.
+
+No pretrained Llama weights exist in this environment (zero egress), so
+this harness trains a small Llama on a synthetic but structured corpus
+(nested arithmetic-progression sequences with noise) until it has real
+predictive structure, then reports perplexity for bf16 vs INT8 / INT4
+(channelwise and group-wise) through the same eval path the real check
+would use (`piquant_tpu.eval.ppl`).
+
+The DELTAS are the product: they measure quantization damage on a model
+whose ppl is far from both 1.0 (memorized) and vocab-size (random).
+
+Usage: python benchmarks/ppl_quality.py [steps]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/piquant_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp
+import optax
+
+from piquant_tpu.eval.ppl import perplexity
+from piquant_tpu.models import llama as M
+
+VOCAB = 512
+
+
+def make_corpus(n_tokens: int, seed: int) -> np.ndarray:
+    """Structured streams: arithmetic progressions mod VOCAB with occasional
+    jumps — predictable enough to learn, noisy enough not to memorize."""
+    rng = np.random.default_rng(seed)
+    out = []
+    while sum(len(s) for s in out) < n_tokens:
+        start = int(rng.integers(0, VOCAB))
+        step = int(rng.integers(1, 7))
+        ln = int(rng.integers(16, 64))
+        seq = (start + step * np.arange(ln)) % VOCAB
+        if rng.random() < 0.3:  # noise token injection
+            seq[rng.integers(0, ln)] = rng.integers(0, VOCAB)
+        out.append(seq)
+    return np.concatenate(out)[:n_tokens].astype(np.int32)
+
+
+def main(steps: int = 400):
+    cfg = M.LlamaConfig(
+        vocab_size=VOCAB, d_model=256, n_layers=4, n_heads=8, n_kv_heads=4,
+        d_ff=768, max_seq_len=256, dtype=jnp.float32,
+    )
+    params = M.init_params(cfg, jax.random.key(0))
+    corpus = make_corpus(300_000, seed=1)
+    B, T = 16, 128
+
+    opt = optax.adamw(3e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def train_step(p, o, batch):
+        def loss_fn(p_):
+            logits, _ = M.forward(cfg, p_, batch[:, :-1])
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(lp, batch[:, 1:, None], axis=-1)
+            return nll.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    rng = np.random.default_rng(2)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        starts = rng.integers(0, corpus.size - T - 1, B)
+        batch = jnp.asarray(np.stack([corpus[s:s + T + 1] for s in starts]))
+        params, opt_state, loss = train_step(params, opt_state, batch)
+        if i % 100 == 0:
+            print(f"step {i}: loss {float(loss):.3f}", flush=True)
+    print(f"trained {steps} steps in {time.perf_counter()-t0:.0f}s "
+          f"(final loss {float(loss):.3f})", flush=True)
+
+    eval_toks = make_corpus(8_192, seed=9)
+    base = perplexity(cfg, params, eval_toks, window=128, stride=64)
+    print(f"bf16/f32 ppl: {base:.4f}", flush=True)
+    for name, kw in [
+        ("int8 channelwise", dict(bits=8)),
+        ("int4 channelwise", dict(bits=4)),
+        ("int4 group-wise gs=32", dict(bits=4, group_size=32)),
+    ]:
+        qp = M.quantize_params(params, **kw)
+        ppl = perplexity(cfg, qp, eval_toks, window=128, stride=64)
+        status = "PASS" if ppl - base <= 0.1 else "above-0.1"
+        print(f"{name:22s} ppl: {ppl:.4f}  (delta {ppl-base:+.4f}) [{status}]",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 400)
