@@ -220,6 +220,8 @@ class Engine:
         self._slots: List[Optional[Request]] = [None] * econfig.batch_slots
         self._key = jax.random.key(rng_seed)
         self._blk_counter = 0  # in-graph key derivation index
+        self._pending_prefill: Optional[dict] = None  # incremental chunked
+                                                      # admission state
 
         b = econfig.batch_slots
         self.cache = M.init_kv_cache(cfg, b, max_len=econfig.max_seq_len)
@@ -261,57 +263,87 @@ class Engine:
                 return i
         return None
 
-    def _admit(self) -> None:
-        while self._queue:
-            slot = self._free_slot()
-            if slot is None:
-                return
-            req = self._queue.popleft()
-            t0 = time.perf_counter()
-            plen = len(req.prompt)
-            if plen + req.sampling.max_new_tokens > self.ec.max_seq_len:
-                raise ValueError(
-                    f"request {req.rid}: prompt {plen} + max_new "
-                    f"{req.sampling.max_new_tokens} exceeds max_seq_len "
-                    f"{self.ec.max_seq_len}")
-            if self.ec.prefill_chunk:
-                # chunked path donates the cache through the chunk chain, so
-                # it needs a per-admission buffer (the template would be
-                # consumed on the first chunk)
-                fresh = M.init_kv_cache(self.cfg, 1, max_len=self.ec.max_seq_len)
+    def _admit(self, max_chunks: Optional[int] = None) -> None:
+        """Admit queued requests into free slots.
+
+        With `prefill_chunk` set, admission is INCREMENTAL: at most
+        `max_chunks` prefill chunks are processed per call, so the decode
+        loop never stalls more than one chunk per scheduler tick while a
+        long prompt streams in (prefill/decode interleaving).  Without
+        chunking (or max_chunks=None) admission completes inline."""
+        budget = max_chunks
+        while True:
+            if self._pending_prefill is None:
+                if not self._queue:
+                    return
+                slot = self._free_slot()
+                if slot is None:
+                    return
+                req = self._queue.popleft()
+                t0 = time.perf_counter()
+                plen = len(req.prompt)
+                if plen + req.sampling.max_new_tokens > self.ec.max_seq_len:
+                    raise ValueError(
+                        f"request {req.rid}: prompt {plen} + max_new "
+                        f"{req.sampling.max_new_tokens} exceeds max_seq_len "
+                        f"{self.ec.max_seq_len}")
+                if not self.ec.prefill_chunk:
+                    self._admit_one_shot(req, slot, plen, t0)
+                    continue
                 c = self.ec.prefill_chunk
                 pad = -plen % c
-                padded = req.prompt + [0] * pad
-                last = None
-                tok_dev = None
-                for i in range(0, len(padded), c):
-                    is_final = i + c >= len(padded)
-                    lp = jnp.asarray([plen - 1 - i if is_final else 0], jnp.int32)
-                    last, fresh = self._prefill_chunk(
-                        self.params, jnp.asarray([padded[i:i + c]], jnp.int32),
-                        jnp.asarray([i], jnp.int32), lp, fresh)
-                self.cache = self._insert_slot(self.cache, fresh, slot)
-            else:
-                fresh = self._fresh_template  # never donated by _prefill
-                pad = -plen % self.ec.prefill_pad or 0
-                padded = req.prompt + [0] * pad
-                toks = jnp.asarray([padded], jnp.int32)
-                sp = req.sampling
-                self._blk_counter += 1
-                tok_dev, self.cache = self._prefill(
-                    self.params, toks, jnp.asarray([plen], jnp.int32),
-                    slot, fresh, self.cache,
-                    np.asarray([sp.temperature], np.float32),
-                    np.asarray([sp.top_k], np.int32),
-                    np.asarray([sp.top_p], np.float32),
-                    self._key, self._blk_counter)
-            # padded positions wrote scales too, but attention masks beyond
-            # `position` ignore them
-            if tok_dev is not None:
-                tok = int(np.asarray(tok_dev)[0])
-            else:
-                tok = self._sample(last, req)  # chunked path: sample here
-            self._record_first_token(req, tok, slot, plen, t0)
+                self._pending_prefill = {
+                    "req": req, "slot": slot, "plen": plen, "t0": t0,
+                    "padded": req.prompt + [0] * pad, "i": 0, "last": None,
+                    # chunked path donates the cache through the chunk chain,
+                    # so it needs a per-admission buffer (the shared template
+                    # would be consumed by the first chunk)
+                    "fresh": M.init_kv_cache(self.cfg, 1,
+                                             max_len=self.ec.max_seq_len),
+                }
+
+            p = self._pending_prefill
+            c = self.ec.prefill_chunk
+            while p["i"] < len(p["padded"]):
+                if budget is not None and budget <= 0:
+                    return
+                i = p["i"]
+                is_final = i + c >= len(p["padded"])
+                lp = jnp.asarray([p["plen"] - 1 - i if is_final else 0],
+                                 jnp.int32)
+                p["last"], p["fresh"] = self._prefill_chunk(
+                    self.params,
+                    jnp.asarray([p["padded"][i:i + c]], jnp.int32),
+                    jnp.asarray([i], jnp.int32), lp, p["fresh"])
+                p["i"] = i + c
+                if budget is not None:
+                    budget -= 1
+            # all chunks done: install the slot cache + first token
+            self.cache = self._insert_slot(self.cache, p["fresh"], p["slot"])
+            tok = self._sample(p["last"], p["req"])
+            self._record_first_token(p["req"], tok, p["slot"], p["plen"],
+                                     p["t0"])
+            self._pending_prefill = None
+
+    def _admit_one_shot(self, req: Request, slot: int, plen: int,
+                        t0: float) -> None:
+        fresh = self._fresh_template  # never donated by _prefill
+        pad = -plen % self.ec.prefill_pad or 0
+        padded = req.prompt + [0] * pad
+        toks = jnp.asarray([padded], jnp.int32)
+        sp = req.sampling
+        self._blk_counter += 1
+        tok_dev, self.cache = self._prefill(
+            self.params, toks, jnp.asarray([plen], jnp.int32),
+            slot, fresh, self.cache,
+            np.asarray([sp.temperature], np.float32),
+            np.asarray([sp.top_k], np.int32),
+            np.asarray([sp.top_p], np.float32),
+            self._key, self._blk_counter)
+        # padded positions wrote scales too, but attention masks beyond
+        # `position` ignore them
+        tok = int(np.asarray(tok_dev)[0])
+        self._record_first_token(req, tok, slot, plen, t0)
 
     def _sample(self, logits: Array, req: Request) -> int:
         self._blk_counter += 1
@@ -410,8 +442,13 @@ class Engine:
         round-trip) overlaps the next block's device compute."""
         pending = None
         while (pending is not None or self._queue
-               or any(r is not None for r in self._slots)):
-            self._admit()
+               or any(r is not None for r in self._slots)
+               or self._pending_prefill is not None):
+            decoding = any(r is not None for r in self._slots)
+            # while decoding, bound the per-tick admission work to ONE
+            # prefill chunk so in-flight requests keep streaming tokens
+            self._admit(max_chunks=1 if (decoding and self.ec.prefill_chunk)
+                        else None)
             t0 = time.perf_counter()
             nxt = None
             if any(r is not None for r in self._slots):

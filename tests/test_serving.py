@@ -179,3 +179,44 @@ def test_sample_batch_matches_per_row():
         cum = np.cumsum(np.asarray(p)[order])
         nucleus = set(order[: int(np.argmax(cum >= 0.9)) + 1].tolist())
         assert toks[1] in nucleus
+
+
+def test_interleaved_chunked_admission_soak():
+    """Chunked admission interleaves with decode (one chunk per tick):
+    churn many mixed-length requests with random EOS through few slots and
+    check completion, token-count invariants, and determinism."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from piquant_tpu.models import llama as M
+    from piquant_tpu.serving import Engine, EngineConfig, Request, SamplingParams
+
+    cfg = M.LlamaConfig.tiny(vocab=64, dtype=jnp.float32)
+    params = M.quantize_params(M.init_params(cfg, jax.random.key(0)), bits=8)
+    def run_once():
+        rng = np.random.default_rng(5)  # fresh per run: identical workload
+        eng = Engine(cfg, params, EngineConfig(
+            batch_slots=3, max_seq_len=128, prefill_chunk=8, decode_block=4))
+        reqs = []
+        for i in range(9):
+            plen = int(rng.integers(3, 40)) if i % 3 else 33
+            prompt = (rng.integers(1, 60, plen)).tolist()
+            # eos_token=0 fires at random; max_new bounds the rest
+            reqs.append(Request(rid=i, prompt=prompt,
+                                sampling=SamplingParams(max_new_tokens=11,
+                                                        eos_token=0)))
+        for r in reqs:
+            eng.submit(r)
+        done = eng.run()
+        return sorted(done, key=lambda r: r.rid)
+
+    a = run_once()
+    b = run_once()
+    assert len(a) == 9
+    for ra, rb in zip(a, b):
+        assert ra.done and 1 <= len(ra.tokens) <= 11
+        if 0 in ra.tokens:
+            assert ra.tokens[-1] == 0 and 0 not in ra.tokens[:-1]
+        assert ra.tokens == rb.tokens  # deterministic under interleaving
+        assert ra.ttft_s is not None and ra.ttft_s > 0
