@@ -1,0 +1,124 @@
+"""Serving CLI:  python -m piquant_tpu.serving [options]
+
+Loads an HF checkpoint (or builds a random model), quantizes weights, and
+either serves prompts from the command line / stdin or runs a synthetic
+load benchmark through the continuous-batching engine.
+
+Examples:
+  python -m piquant_tpu.serving --model /path/to/llama --bits 4 "Hello"
+  python -m piquant_tpu.serving --random tiny --benchmark 16
+  echo "prompt" | python -m piquant_tpu.serving --model /path/to/llama
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="python -m piquant_tpu.serving",
+                                 description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("prompts", nargs="*", help="prompts (token ids if --random)")
+    ap.add_argument("--model", help="HF checkpoint path (needs transformers)")
+    ap.add_argument("--random", metavar="PRESET",
+                    choices=["tiny", "llama3_8b", "mistral_7b", "qwen2_7b",
+                             "gemma_2b", "gemma_7b"],
+                    help="random-weight model preset instead of --model")
+    ap.add_argument("--bits", type=int, default=4, choices=[4, 8],
+                    help="weight quantization bits (default 4)")
+    ap.add_argument("--group-size", type=int, default=None,
+                    help="group-wise quantization group size")
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--max-seq-len", type=int, default=2048)
+    ap.add_argument("--max-new", type=int, default=64)
+    ap.add_argument("--temperature", type=float, default=0.0)
+    ap.add_argument("--top-k", type=int, default=0)
+    ap.add_argument("--top-p", type=float, default=1.0)
+    ap.add_argument("--prefill-chunk", type=int, default=None)
+    ap.add_argument("--benchmark", type=int, metavar="N", default=None,
+                    help="run a synthetic N-request load benchmark and print "
+                         "engine metrics JSON")
+    ap.add_argument("--metrics-out", help="append engine metrics JSON line here")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/piquant_tpu_jax_cache")
+    import numpy as np
+
+    from piquant_tpu.models import llama as M
+    from piquant_tpu.serving import Engine, EngineConfig, Request, SamplingParams
+
+    tok = None
+    if args.model:
+        from transformers import AutoTokenizer
+
+        from piquant_tpu.models.loader import load_from_hf
+
+        tok = AutoTokenizer.from_pretrained(args.model)
+        cfg, params = load_from_hf(args.model, quantize_bits=None)
+        params = M.quantize_params(params, bits=args.bits,
+                                   group_size=args.group_size)
+    else:
+        preset = args.random or "tiny"
+        cfg = getattr(M.LlamaConfig, preset)()
+        if preset in ("llama3_8b", "mistral_7b", "qwen2_7b", "gemma_7b"):
+            params = M.random_quantized_params(cfg, jax.random.key(0),
+                                               bits=args.bits, lm_head_bits=8)
+        else:
+            params = M.quantize_params(M.init_params(cfg, jax.random.key(0)),
+                                       bits=args.bits,
+                                       group_size=args.group_size)
+
+    ec = EngineConfig(batch_slots=args.slots, max_seq_len=args.max_seq_len,
+                      prefill_chunk=args.prefill_chunk)
+    eng = Engine(cfg, params, ec)
+    sp = SamplingParams(temperature=args.temperature, top_k=args.top_k,
+                        top_p=args.top_p, max_new_tokens=args.max_new,
+                        eos_token=getattr(tok, "eos_token_id", -1) or -1
+                        if tok else -1)
+
+    if args.benchmark:
+        rng = np.random.default_rng(7)
+        t0 = time.perf_counter()
+        for i in range(args.benchmark):
+            plen = int(rng.integers(64, min(900, args.max_seq_len - args.max_new)))
+            eng.submit(Request(rid=i,
+                               prompt=rng.integers(5, cfg.vocab_size - 5,
+                                                   plen).tolist(),
+                               sampling=sp))
+        done = eng.run()
+        wall = time.perf_counter() - t0
+        import json
+
+        m = eng.metrics.to_dict()
+        m["wall_s"] = round(wall, 2)
+        m["completed"] = len(done)
+        print(json.dumps(m))
+        if args.metrics_out:
+            eng.metrics.emit(args.metrics_out)
+        return 0
+
+    raw = args.prompts or [l.strip() for l in sys.stdin if l.strip()]
+    if not raw:
+        print("no prompts (pass as args or stdin); see --help", file=sys.stderr)
+        return 2
+    for i, text in enumerate(raw):
+        ids = tok.encode(text) if tok else [int(t) for t in text.split(",")]
+        eng.submit(Request(rid=i, prompt=ids, sampling=sp))
+    for r in sorted(eng.run(), key=lambda r: r.rid):
+        out = tok.decode(r.tokens) if tok else r.tokens
+        print(f"[{r.rid}] ttft={r.ttft_s*1e3:.0f}ms | {out}")
+    if args.metrics_out:
+        eng.metrics.emit(args.metrics_out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
