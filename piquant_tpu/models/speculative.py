@@ -1,0 +1,108 @@
+"""Prompt-lookup speculative decoding (device-side n-gram drafting).
+
+Greedy decode emits one token per model call; with speculation the model
+verifies G drafted continuation tokens in a single T=G+1 forward, emitting
+1..G+1 tokens per call.  Drafts come from PROMPT LOOKUP: the most recent
+earlier occurrence of the current bigram in the token history predicts the
+continuation — no draft model, no extra weights, and the whole
+draft->verify->accept loop runs ON DEVICE inside one `lax.scan`, so a
+K-step speculative block costs exactly one dispatch like the normal decode
+block.
+
+Correctness invariant (tested): greedy speculative output is IDENTICAL to
+greedy non-speculative output.  Rejected draft positions leave garbage K/V
+in the cache and garbage entries in the history, but both sit at positions
+strictly beyond the continuation point: attention masks them out until the
+true tokens overwrite them.
+
+The reference (pi-quant) has no serving layer; this belongs to the
+BASELINE serving slice built on its quantization primitives (the verify
+forward runs the same INT4 fused-dequant matmuls and INT8 KV cache as
+normal decode).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from piquant_tpu.models import llama as M
+
+Array = jax.Array
+
+
+def ngram_draft(hist: Array, pos: Array, G: int) -> Array:
+    """Draft G tokens per row by bigram prompt lookup.
+
+    hist: [B, S] token history; entries at indices <= pos are valid and
+    hist[b, pos[b]] is the current (already-emitted) token.
+    Returns drafts [B, G] (zeros when no earlier bigram match exists —
+    verification then simply rejects them)."""
+    b, s = hist.shape
+    j = jnp.arange(s, dtype=jnp.int32)[None, :]          # candidate end idx
+    a_tok = jnp.take_along_axis(hist, jnp.maximum(pos - 1, 0)[:, None], 1)
+    b_tok = jnp.take_along_axis(hist, pos[:, None], 1)
+    prev = jnp.concatenate([hist[:, :1], hist[:, :-1]], axis=1)  # hist[j-1]
+    match = (j >= 1) & (j < pos[:, None]) & (prev == a_tok) & (hist == b_tok)
+    # latest match; -1 if none
+    idx = jnp.max(jnp.where(match, j, -1), axis=1).astype(jnp.int32)  # [B]
+    found = idx >= 0
+    base = jnp.where(found, idx + 1, 0)
+    gather = jnp.clip(base[:, None] + jnp.arange(G, dtype=jnp.int32)[None, :],
+                      0, s - 1)
+    drafts = jnp.take_along_axis(hist, gather, axis=1)
+    return jnp.where(found[:, None], drafts, 0)
+
+
+def spec_block(
+    cfg: M.LlamaConfig,
+    params: Dict,
+    tok: Array,        # [B] current token (already emitted)
+    pos: Array,        # [B] its position
+    cache,             # stacked KVCache
+    hist: Array,       # [B, S_hist] token history (see ngram_draft)
+    active: Array,     # [B] bool
+    n_steps: int,
+    G: int,
+) -> Tuple[Array, Array, Array, Array, Array, object]:
+    """Run `n_steps` speculative verify steps in one scan.
+
+    Returns (emit_hist [K, B, G+1], n_emit [K, B], tok, pos, hist, cache):
+    step k emitted emit_hist[k, b, :n_emit[k, b]] tokens for row b."""
+    b = tok.shape[0]
+    rows = jnp.arange(b)
+    garange = jnp.arange(G + 1, dtype=jnp.int32)
+
+    def step(carry, _):
+        tok, pos, cache, hist = carry
+        drafts = ngram_draft(hist, pos, G)               # [B, G]
+        tokens_in = jnp.concatenate([tok[:, None], drafts], axis=1)
+        positions = pos[:, None] + garange[None, :]
+        logits, cache = M.forward(cfg, params, tokens_in,
+                                  positions=positions, cache=cache)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, G+1]
+        ok = (drafts == greedy[:, :-1])
+        n_acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1,
+                        dtype=jnp.int32)
+        # emitted tokens are exactly the greedy prefix [: n_acc+1]
+        n_emit = jnp.where(active, n_acc + 1, 0)
+        next_tok = greedy[rows, n_acc]
+        new_pos = pos + n_emit
+        # history: write the verified inputs and the correction token
+        # (rejected tail entries are beyond new_pos -> ignored/overwritten)
+        hist = hist.at[rows[:, None], positions].set(
+            jnp.where(active[:, None], tokens_in,
+                      jnp.take_along_axis(hist, positions, 1)))
+        upd_pos = jnp.where(active, new_pos, pos)
+        hist = hist.at[rows, upd_pos].set(
+            jnp.where(active, next_tok,
+                      jnp.take_along_axis(hist, pos[:, None], 1)[:, 0]))
+        tok = jnp.where(active, next_tok, tok)
+        pos = jnp.where(active, new_pos, pos)
+        return (tok, pos, cache, hist), (greedy, n_emit)
+
+    (tok, pos, cache, hist), (emit_hist, n_emit) = jax.lax.scan(
+        step, (tok, pos, cache, hist), None, length=n_steps)
+    return emit_hist, n_emit, tok, pos, hist, cache

@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--top-k", type=int, default=0)
     ap.add_argument("--top-p", type=float, default=1.0)
     ap.add_argument("--prefill-chunk", type=int, default=None)
+    ap.add_argument("--speculate", type=int, default=0,
+                    help="prompt-lookup speculative decoding: drafts per "
+                         "verify step (greedy only)")
     ap.add_argument("--benchmark", type=int, metavar="N", default=None,
                     help="run a synthetic N-request load benchmark and print "
                          "engine metrics JSON")
@@ -77,7 +80,8 @@ def main(argv=None) -> int:
                                        group_size=args.group_size)
 
     ec = EngineConfig(batch_slots=args.slots, max_seq_len=args.max_seq_len,
-                      prefill_chunk=args.prefill_chunk)
+                      prefill_chunk=args.prefill_chunk,
+                      speculate=args.speculate)
     eng = Engine(cfg, params, ec)
     sp = SamplingParams(temperature=args.temperature, top_k=args.top_k,
                         top_p=args.top_p, max_new_tokens=args.max_new,

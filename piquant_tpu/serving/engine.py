@@ -46,6 +46,11 @@ class EngineConfig:
     # (dominant at small per-step latency).  A request hitting EOS mid-block
     # wastes <= decode_block-1 slot-steps (tokens are trimmed host-side) —
     # the standard multi-step-scheduling trade.
+    speculate: int = 0
+    # Prompt-lookup speculative decoding: verify `speculate` drafted tokens
+    # per model call (device-side n-gram drafting; see models/speculative).
+    # Greedy-only: a decode tick speculates only when every active slot has
+    # temperature <= 0; mixed/stochastic ticks use normal blocks.  0 = off.
     attn_windows: tuple = ()
     # Optional ladder of attention-window buckets (e.g. (512, 1024, 2048)):
     # decode blocks attend only to the smallest bucket covering the longest
@@ -148,6 +153,25 @@ def _jit_decode_block(cfg: M.LlamaConfig, kblk: int, window: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _jit_spec_block(cfg: M.LlamaConfig, kblk: int, g: int):
+    from piquant_tpu.models.speculative import spec_block
+
+    def _spec(params, tok, pos, cache, hist, active):
+        return spec_block(cfg, params, tok, pos, cache, hist, active, kblk, g)
+
+    return jax.jit(_spec, donate_argnums=(3,))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_hist_init():
+    def _hist_init(hist, slot, row, length):
+        mask = jnp.arange(hist.shape[1]) < length
+        return hist.at[slot].set(jnp.where(mask, row, hist[slot]))
+
+    return jax.jit(_hist_init)
+
+
+@functools.lru_cache(maxsize=None)
 def _jit_prefill(cfg: M.LlamaConfig):
     def _prefill(params, tokens, true_len, slot, cache, pool_cache,
                  temp, topk, topp, base_key, idx):
@@ -245,6 +269,9 @@ class Engine:
         self._insert_slot = _jit_insert_slot()
         self._set_slot_state = _jit_set_slot_state()
         self._sample_first = _jit_sample_first()
+        if econfig.speculate > 0:
+            self._hist = jnp.zeros((b, econfig.max_seq_len + econfig.speculate + 2),
+                                   jnp.int32)
 
         # reusable zeroed single-slot cache (immutable; never donated)
         self._fresh_template = M.init_kv_cache(cfg, 1, max_len=econfig.max_seq_len)
@@ -372,6 +399,12 @@ class Engine:
         self._host_pos[slot] = plen
         self._cur_tok, self._positions = self._set_slot_state(
             self._cur_tok, self._positions, slot, tok, plen)
+        if self.ec.speculate > 0:
+            row = np.zeros((self._hist.shape[1],), np.int32)
+            row[: plen] = np.asarray(req.prompt, np.int32)
+            row[plen] = tok
+            self._hist = _jit_hist_init()(self._hist, slot, jnp.asarray(row),
+                                          plen + 1)
         self._maybe_finish(req, slot)
 
     def _maybe_finish(self, req: Request, slot: int) -> None:
@@ -384,6 +417,15 @@ class Engine:
                 self._active[slot] = False  # re-admitted slot
                 self._slot_state_dirty = True
 
+
+    def _spec_ok(self) -> bool:
+        if self.ec.speculate <= 0:
+            return False
+        if any(self._temps[i] > 0 for i, r in enumerate(self._slots)
+               if r is not None):
+            return False  # stochastic slot active: greedy-only feature
+        bound = self.ec.decode_block * (self.ec.speculate + 1) + 1
+        return int(self._host_pos[self._active].max()) + bound < self.ec.max_seq_len
 
     def _dispatch_block(self):
         """Dispatch one decode block (`decode_block` fused steps); returns
@@ -403,6 +445,17 @@ class Engine:
             need = int(self._host_pos[self._active].max()) + kblk + 1
             window = min((w for w in self.ec.attn_windows if w >= need),
                          default=self.ec.max_seq_len)
+        if self._spec_ok():
+            g = self.ec.speculate
+            # conservative upper bound; _process_block corrects to actuals
+            self._host_pos[self._active] += kblk * (g + 1)
+            spec_fn = _jit_spec_block(self.cfg, kblk, g)
+            emit_hist, n_emit, tok, pos, self._hist, self.cache = spec_fn(
+                self.params, self._cur_tok, self._positions, self.cache,
+                self._hist, self._active_dev)
+            self._cur_tok = tok
+            self._positions = pos
+            return ("spec", emit_hist, n_emit), list(self._slots)
         self._host_pos[self._active] += kblk
         block_fn = _jit_decode_block(self.cfg, kblk, window)
         tok_hist, tok, pos, self.cache = block_fn(
@@ -411,13 +464,31 @@ class Engine:
             self._key, self._blk_counter, self._active_dev)
         self._cur_tok = tok
         self._positions = pos
-        return tok_hist, list(self._slots)
+        return ("norm", tok_hist), list(self._slots)
 
-    def _process_block(self, tok_hist, slots_snapshot) -> None:
+    def _process_block(self, payload, slots_snapshot) -> None:
         """Fetch a previously dispatched block's tokens and do bookkeeping.
         Runs one block BEHIND dispatch so the host readback latency overlaps
         the next block's device compute."""
-        toks_np = np.asarray(tok_hist)  # [K, B]
+        if payload[0] == "spec":
+            _, emit_hist, n_emit = payload
+            emits = np.asarray(emit_hist)   # [K, B, G+1]
+            counts = np.asarray(n_emit)     # [K, B]
+            for step in range(emits.shape[0]):
+                for i, req in enumerate(slots_snapshot):
+                    if req is None or req.done:
+                        continue
+                    for t in emits[step, i, : counts[step, i]]:
+                        req.tokens.append(int(t))
+                        self.metrics.decode_tokens += 1
+                        self._maybe_finish(req, i)
+                        if req.done:
+                            break
+                    # correct the conservative position upper bound
+                    self._host_pos[i] -= (self.ec.speculate + 1
+                                          - int(counts[step, i]))
+            return
+        toks_np = np.asarray(payload[1])  # [K, B]
         for step in range(toks_np.shape[0]):
             for i, req in enumerate(slots_snapshot):
                 if req is not None and not req.done:

@@ -220,3 +220,55 @@ def test_interleaved_chunked_admission_soak():
             assert ra.tokens[-1] == 0 and 0 not in ra.tokens[:-1]
         assert ra.tokens == rb.tokens  # deterministic under interleaving
         assert ra.ttft_s is not None and ra.ttft_s > 0
+
+
+def test_speculative_greedy_identical():
+    """Prompt-lookup speculative decoding must emit EXACTLY the same greedy
+    tokens as normal decode — on repetitive prompts (high acceptance) and
+    random ones (mostly rejected drafts)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from piquant_tpu.models import llama as M
+    from piquant_tpu.serving import Engine, EngineConfig, Request, SamplingParams
+
+    cfg = M.LlamaConfig.tiny(vocab=64, dtype=jnp.float32)
+    params = M.quantize_params(M.init_params(cfg, jax.random.key(0)), bits=8)
+    rng = np.random.default_rng(3)
+    prompts = [
+        ([5, 9, 11, 5, 9, 11, 5, 9, 11, 5, 9] * 2)[:20],   # repetitive
+        rng.integers(1, 60, 17).tolist(),                   # random
+        ([7, 7, 8, 8, 7, 7, 8, 8] * 3)[:21],                # periodic
+    ]
+
+    def run(spec):
+        eng = Engine(cfg, params, EngineConfig(
+            batch_slots=2, max_seq_len=128, decode_block=3, speculate=spec))
+        for i, p in enumerate(prompts):
+            eng.submit(Request(rid=i, prompt=p,
+                               sampling=SamplingParams(max_new_tokens=24)))
+        return [r.tokens for r in sorted(eng.run(), key=lambda r: r.rid)]
+
+    base = run(0)
+    spec = run(4)
+    assert [len(t) for t in base] == [24, 24, 24]
+    assert spec == base
+
+
+def test_ngram_draft_lookup():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from piquant_tpu.models.speculative import ngram_draft
+
+    #          0  1  2  3  4  5  6  7
+    hist = jnp.asarray([[3, 4, 9, 8, 3, 4, 7, 0, 0, 0]], jnp.int32)
+    # current bigram at pos=5 is (3, 4); earlier occurrence ends at j=1 ->
+    # draft continues with hist[2:5] = 9, 8, 3
+    d = np.asarray(ngram_draft(hist, jnp.asarray([5]), 3))
+    assert d.tolist() == [[9, 8, 3]]
+    # no match -> zeros
+    hist2 = jnp.asarray([[1, 2, 3, 4, 5, 0, 0, 0, 0, 0]], jnp.int32)
+    d2 = np.asarray(ngram_draft(hist2, jnp.asarray([4]), 3))
+    assert d2.tolist() == [[0, 0, 0]]
