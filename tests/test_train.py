@@ -1,0 +1,67 @@
+"""Quantized-gradient training on the virtual CPU mesh: loss must track the
+plain-psum baseline, and the quantized wire must not bias the updates."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from piquant_tpu.models import llama as M
+from piquant_tpu.train import make_train_step
+
+DP = 4
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()[:DP]), ("dp",))
+
+
+def _setup(mesh):
+    cfg = M.LlamaConfig.tiny(vocab=64, dtype=jnp.float32)
+    params = M.init_params(cfg, jax.random.key(0))
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+
+    def loss_fn(p, batch):
+        logits, _ = M.forward(cfg, p, batch[:, :-1])
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(lp, batch[:, 1:, None], axis=-1)
+        return nll.mean()
+
+    rng = np.random.default_rng(1)
+    one = jnp.asarray(rng.integers(0, 64, (DP * 2, 17)), jnp.int32)
+    batch = jax.device_put(one, NamedSharding(mesh, P("dp", None)))
+    batches = [batch] * 8  # repeated batch: clear overfitting signal
+    return cfg, params, loss_fn, batches
+
+
+def test_quantized_train_tracks_baseline(mesh):
+    cfg, params0, loss_fn, batches = _setup(mesh)
+    opt = optax.adam(3e-3)
+
+    def run(grad_wire):
+        step = jax.jit(make_train_step(loss_fn, opt, mesh, "dp",
+                                       grad_wire=grad_wire))
+        params = params0
+        opt_state = opt.init(params)
+        losses = []
+        for i, b in enumerate(batches):
+            params, opt_state, loss = step(params, opt_state, b,
+                                           jax.random.key(100 + i))
+            losses.append(float(loss))
+        return losses, params
+
+    base_losses, base_params = run(None)
+    q_losses, q_params = run("uint8")
+
+    assert base_losses[-1] < base_losses[0]  # actually learning
+    # per-step losses track closely (uint8 grads, stochastic rounding)
+    np.testing.assert_allclose(q_losses, base_losses, rtol=0.05, atol=0.05)
+    # final params in the same neighborhood (Adam's per-param normalization
+    # amplifies wire noise on tiny-magnitude grads, so this is a sanity
+    # bound, not a tight one — loss tracking above is the real invariant)
+    for a, b in zip(jax.tree.leaves(q_params), jax.tree.leaves(base_params)):
+        denom = float(jnp.abs(b).max()) + 1e-6
+        assert float(jnp.abs(a - b).max()) / denom < 0.3
