@@ -580,7 +580,8 @@ _COL_PARALLEL = ("wq", "wk", "wv", "w1", "w3", "wqkv", "w13")
 _ROW_PARALLEL = ("wo", "w2")
 
 
-def param_shardings(cfg: LlamaConfig, tp_axis: str = "tp") -> Dict:
+def param_shardings(cfg: LlamaConfig, tp_axis: str = "tp",
+                    params: Optional[Dict] = None) -> Dict:
     """PartitionSpec pytree for tensor parallelism over `tp_axis`
     (FLOAT params; for quantized params use `shard_params`).
 
@@ -588,8 +589,8 @@ def param_shardings(cfg: LlamaConfig, tp_axis: str = "tp") -> Dict:
     wo/w2; norms/embeddings replicated; lm_head column-sharded.
     """
     def layer_spec(layer=None):
-        keys = layer.keys() if layer is not None else (
-            _COL_PARALLEL[:5] + _ROW_PARALLEL)
+        keys = (layer.keys() if layer is not None
+                else _COL_PARALLEL[:5] + _ROW_PARALLEL)
         s = {"attn_norm": P(None), "mlp_norm": P(None)}
         for k in _COL_PARALLEL:
             if k in keys:
@@ -597,13 +598,20 @@ def param_shardings(cfg: LlamaConfig, tp_axis: str = "tp") -> Dict:
         for k in _ROW_PARALLEL:
             if k in keys:
                 s[k] = P(tp_axis, None)
+        if layer is not None:
+            for k in ("bq", "bk", "bv"):
+                if k in layer:
+                    s[k] = P(tp_axis)
+            if "fused_tp" in layer:
+                s["fused_tp"] = layer["fused_tp"]  # static leaf: spec unused
         return s
 
     return {
         "embed": P(None, None),
         "final_norm": P(None),
         "lm_head": P(None, tp_axis),
-        "layers": [layer_spec() for _ in range(cfg.n_layers)],
+        "layers": [layer_spec(l) for l in params["layers"]] if params
+        else [layer_spec() for _ in range(cfg.n_layers)],
     }
 
 
@@ -628,12 +636,12 @@ def shard_params(params: Dict, mesh, tp_axis: str = "tp") -> Dict:
                     data=put(w.data, P(None, tp_axis)),
                     scale=put(w.scale, P(None, tp_axis)),
                     zero_point=put(w.zero_point, P(None, tp_axis)),
-                    bits=w.bits, k=w.k)
+                    bits=w.bits, k=w.k, group_size=w.group_size)
             return QuantizedLinear(
                 data=put(w.data, P(tp_axis, None)),
                 scale=put(w.scale, P(None, None)),
                 zero_point=put(w.zero_point, P(None, None)),
-                bits=w.bits, k=w.k)
+                bits=w.bits, k=w.k, group_size=w.group_size)
         return put(w, P(None, tp_axis) if kind == "col" else P(tp_axis, None))
 
     out = {

@@ -41,7 +41,11 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         qkv_bias=bool(getattr(hf_config, "attention_bias", False)
                       or mtype == "qwen2"),
         head_dim_override=hd if hd != default_hd else None,
-        sliding_window=getattr(hf_config, "sliding_window", None),
+        # e.g. Qwen2 configs carry sliding_window=4096 with
+        # use_sliding_window=False — honor the gate
+        sliding_window=(getattr(hf_config, "sliding_window", None)
+                        if getattr(hf_config, "use_sliding_window", True)
+                        else None),
         norm_plus_one=is_gemma,   # Gemma RMSNorm: x_norm * (1 + w)
         mlp_act="gelu" if is_gemma else "silu",
         scale_embed=is_gemma,     # Gemma: embeddings * sqrt(d_model)

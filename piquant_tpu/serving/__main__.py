@@ -83,16 +83,17 @@ def main(argv=None) -> int:
                       prefill_chunk=args.prefill_chunk,
                       speculate=args.speculate)
     eng = Engine(cfg, params, ec)
+    eos = getattr(tok, "eos_token_id", None) if tok else None
     sp = SamplingParams(temperature=args.temperature, top_k=args.top_k,
                         top_p=args.top_p, max_new_tokens=args.max_new,
-                        eos_token=getattr(tok, "eos_token_id", -1) or -1
-                        if tok else -1)
+                        eos_token=eos if eos is not None else -1)
 
     if args.benchmark:
         rng = np.random.default_rng(7)
         t0 = time.perf_counter()
+        hi = max(66, min(900, args.max_seq_len - args.max_new))
         for i in range(args.benchmark):
-            plen = int(rng.integers(64, min(900, args.max_seq_len - args.max_new)))
+            plen = int(rng.integers(min(64, hi - 1), hi))
             eng.submit(Request(rid=i,
                                prompt=rng.integers(5, cfg.vocab_size - 5,
                                                    plen).tolist(),

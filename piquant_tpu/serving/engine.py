@@ -29,7 +29,7 @@ import numpy as np
 
 from piquant_tpu.models import llama as M
 from piquant_tpu.quant.kv_cache import KVCache
-from piquant_tpu.serving.sampler import SamplingParams, sample, sample_batch
+from piquant_tpu.serving.sampler import SamplingParams, sample_batch
 
 Array = jax.Array
 
@@ -163,6 +163,20 @@ def _jit_spec_block(cfg: M.LlamaConfig, kblk: int, g: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _jit_hist_append():
+    def _hist_append(hist, tok_hist, pos0, active):
+        # normal decode block emitted tok_hist[k, b] at position pos0+1+k
+        b = jnp.arange(hist.shape[0])
+        k = tok_hist.shape[0]
+        positions = pos0[:, None] + 1 + jnp.arange(k, dtype=jnp.int32)[None, :]
+        cur = jnp.take_along_axis(hist, positions, 1)
+        upd = jnp.where(active[:, None], tok_hist.T, cur)
+        return hist.at[b[:, None], positions].set(upd)
+
+    return jax.jit(_hist_append)
+
+
+@functools.lru_cache(maxsize=None)
 def _jit_hist_init():
     def _hist_init(hist, slot, row, length):
         mask = jnp.arange(hist.shape[1]) < length
@@ -273,8 +287,10 @@ class Engine:
             self._hist = jnp.zeros((b, econfig.max_seq_len + econfig.speculate + 2),
                                    jnp.int32)
 
-        # reusable zeroed single-slot cache (immutable; never donated)
-        self._fresh_template = M.init_kv_cache(cfg, 1, max_len=econfig.max_seq_len)
+        # reusable zeroed single-slot cache (immutable; never donated);
+        # lazy: only the one-shot prefill path uses it, and the chunked
+        # path would otherwise strand ~100+ MB of HBM
+        self._fresh_template_cache = None
 
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> None:
@@ -354,7 +370,10 @@ class Engine:
 
     def _admit_one_shot(self, req: Request, slot: int, plen: int,
                         t0: float) -> None:
-        fresh = self._fresh_template  # never donated by _prefill
+        if self._fresh_template_cache is None:
+            self._fresh_template_cache = M.init_kv_cache(
+                self.cfg, 1, max_len=self.ec.max_seq_len)
+        fresh = self._fresh_template_cache  # never donated by _prefill
         pad = -plen % self.ec.prefill_pad or 0
         padded = req.prompt + [0] * pad
         toks = jnp.asarray([padded], jnp.int32)
@@ -458,12 +477,18 @@ class Engine:
             return ("spec", emit_hist, n_emit), list(self._slots)
         self._host_pos[self._active] += kblk
         block_fn = _jit_decode_block(self.cfg, kblk, window)
+        pos_before = self._positions
         tok_hist, tok, pos, self.cache = block_fn(
             self.params, self._cur_tok, self._positions, self.cache,
             self._temps_dev, self._topks_dev, self._topps_dev,
             self._key, self._blk_counter, self._active_dev)
         self._cur_tok = tok
         self._positions = pos
+        if self.ec.speculate > 0:
+            # keep the speculation history current through non-spec ticks
+            # (stale gaps would silently zero the drafting hit-rate)
+            self._hist = _jit_hist_append()(self._hist, tok_hist, pos_before,
+                                            self._active_dev)
         return ("norm", tok_hist), list(self._slots)
 
     def _process_block(self, payload, slots_snapshot) -> None:

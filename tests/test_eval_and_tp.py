@@ -71,3 +71,25 @@ def test_tp_sharded_decode_with_cache(setup):
         logits, cache = step(sharded, tok, jnp.full((2,), i, jnp.int32), cache)
         tok = logits.argmax(-1).astype(jnp.int32)
     assert logits.shape == (2, cfg.vocab_size)
+
+
+def test_tp_sharded_groupwise_forward(setup):
+    """shard_params must preserve group_size on QuantizedLinear leaves
+    (regression: it was dropped, breaking TP of group-wise models)."""
+    cfg, params = setup
+    qparams = M.quantize_params(params, bits=4, group_size=32)
+    mesh = make_mesh([("tp", -1)])
+    sharded = M.shard_params(qparams, mesh, "tp")
+    assert sharded["layers"][0]["wq"].group_size == 32
+
+    tokens = jnp.asarray([[1, 5, 9, 13, 2, 8, 7, 3]], jnp.int32)
+    want, _ = M.forward(cfg, qparams, tokens)
+
+    @jax.jit
+    def fwd(p, t):
+        logits, _ = M.forward(cfg, p, t)
+        return logits
+
+    got = fwd(sharded, tokens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2, rtol=2e-2)

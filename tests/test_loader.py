@@ -167,3 +167,22 @@ def test_mistral_sliding_window():
                           pos, cache)
     np.testing.assert_allclose(np.asarray(ld), want[:, 11], atol=0.05,
                                rtol=0.05)
+
+
+def test_qwen2_sliding_window_gate():
+    """Qwen2 configs carry sliding_window with use_sliding_window=False —
+    the loader must not enable windowed masking for them."""
+    conf = transformers.Qwen2Config(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+        sliding_window=4096, use_sliding_window=False,
+    )
+    from piquant_tpu.models.loader import config_from_hf
+
+    assert config_from_hf(conf).sliding_window is None
+    conf2 = transformers.MistralConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+        sliding_window=128,
+    )
+    assert config_from_hf(conf2).sliding_window == 128
