@@ -84,18 +84,23 @@ def main(steps: int = 400):
     print(f"trained {steps} steps in {time.perf_counter()-t0:.0f}s "
           f"(final loss {float(loss):.3f})", flush=True)
 
+    import dataclasses
+
     eval_toks = make_corpus(8_192, seed=9)
-    base = perplexity(cfg, params, eval_toks, window=128, stride=64)
+    # window >= ACT_QUANT_MIN_M so the W4A8 row actually engages act quant
+    base = perplexity(cfg, params, eval_toks, window=512, stride=256)
     print(f"bf16/f32 ppl: {base:.4f}", flush=True)
-    for name, kw in [
-        ("int8 channelwise", dict(bits=8)),
-        ("int4 channelwise", dict(bits=4)),
-        ("int4 group-wise gs=32", dict(bits=4, group_size=32)),
+    for name, kw, aq in [
+        ("int8 channelwise", dict(bits=8), False),
+        ("int4 channelwise", dict(bits=4), False),
+        ("int4 group-wise gs=32", dict(bits=4, group_size=32), False),
+        ("int4 + int8 act (W4A8)", dict(bits=4), True),
     ]:
         qp = M.quantize_params(params, **kw)
-        ppl = perplexity(cfg, qp, eval_toks, window=128, stride=64)
+        c = dataclasses.replace(cfg, act_quant_prefill=aq)
+        ppl = perplexity(c, qp, eval_toks, window=512, stride=256)
         status = "PASS" if ppl - base <= 0.1 else "above-0.1"
-        print(f"{name:22s} ppl: {ppl:.4f}  (delta {ppl-base:+.4f}) [{status}]",
+        print(f"{name:24s} ppl: {ppl:.4f}  (delta {ppl-base:+.4f}) [{status}]",
               flush=True)
 
 

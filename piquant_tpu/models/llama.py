@@ -58,6 +58,10 @@ class LlamaConfig:
     scale_embed: bool = False    # Gemma multiplies embeddings by sqrt(d_model)
     sliding_window: Optional[int] = None  # Mistral: attend only to the last
                                           # `sliding_window` positions
+    act_quant_prefill: bool = False  # W4A8: int8 per-token activations for
+                                     # LARGE-M (prefill) matmuls — 1.85x MXU
+                                     # rate; small ppl cost (see
+                                     # benchmarks/ppl_quality.py)
     dtype: Any = jnp.bfloat16
 
     @property
@@ -312,9 +316,9 @@ def fuse_layer_projections(params: Dict, cfg: LlamaConfig, tp: int = 1) -> Dict:
     return out
 
 
-def _mm(x: Array, w, out_dtype) -> Array:
+def _mm(x: Array, w, out_dtype, act_quant: bool = False) -> Array:
     if isinstance(w, QuantizedLinear):
-        return quantized_matmul(x, w, out_dtype)
+        return quantized_matmul(x, w, out_dtype, act_quant=act_quant)
     return jnp.dot(x.astype(out_dtype), w.astype(out_dtype),
                    preferred_element_type=jnp.float32).astype(out_dtype)
 
@@ -370,15 +374,16 @@ def _attention(
     hd = cfg.head_dim
     dt = cfg.dtype
 
+    aq = cfg.act_quant_prefill
     if "wqkv" in layer:
         nq = cfg.n_heads * hd
         nkv = cfg.n_kv_heads * hd
-        y = _mm(x, layer["wqkv"], dt)
+        y = _mm(x, layer["wqkv"], dt, aq)
         q, k, v = _split_interleaved(y, (nq, nkv, nkv), layer["fused_tp"].value)
     else:
-        q = _mm(x, layer["wq"], dt)
-        k = _mm(x, layer["wk"], dt)
-        v = _mm(x, layer["wv"], dt)
+        q = _mm(x, layer["wq"], dt, aq)
+        k = _mm(x, layer["wk"], dt, aq)
+        v = _mm(x, layer["wv"], dt, aq)
         if cfg.qkv_bias:
             q = q + layer["bq"]
             k = k + layer["bk"]
@@ -448,23 +453,24 @@ def _attention(
 
     ctx = ctx.astype(dt).reshape(b, cfg.n_heads, t, hd).transpose(0, 2, 1, 3)
     ctx = ctx.reshape(b, t, cfg.n_heads * hd)
-    out = _mm(ctx, layer["wo"], dt)
+    out = _mm(ctx, layer["wo"], dt, aq)
     return out, cache
 
 
 def _mlp(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:
     dt = cfg.dtype
+    aq = cfg.act_quant_prefill
     if "w13" in layer:
-        y = _mm(x, layer["w13"], dt)
+        y = _mm(x, layer["w13"], dt, aq)
         g, u = _split_interleaved(y, (cfg.d_ff, cfg.d_ff), layer["fused_tp"].value)
     else:
-        g = _mm(x, layer["w1"], dt)
-        u = _mm(x, layer["w3"], dt)
+        g = _mm(x, layer["w1"], dt, aq)
+        u = _mm(x, layer["w3"], dt, aq)
     gf = g.astype(jnp.float32)
     act = (jax.nn.gelu(gf, approximate=True) if cfg.mlp_act == "gelu"
            else jax.nn.silu(gf))
     h = (act * u.astype(jnp.float32)).astype(dt)
-    return _mm(h, layer["w2"], dt)
+    return _mm(h, layer["w2"], dt, aq)
 
 
 # ---------------------------------------------------------------------------

@@ -128,6 +128,138 @@ def _w4_kernel_ksplit(m: int, k: int, n: int, bm: int, bn: int, bkh: int,
 
 
 @lru_cache(maxsize=None)
+def _w4a8_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
+    """Activation-quantized (W4A8) matmul for LARGE M (prefill): int8
+    activations feed the MXU at 2x the bf16 rate (measured 346 TFLOP/s vs
+    187 for the bf16 paths at M=4096 — 88% of v5e int8 peak) and integer
+    arithmetic is exact; the only approximation is the per-token activation
+    quantization done by the caller.
+
+    y = xs_row * s_col * (acc - z_col * sum_k xq)  with acc = xq @ codes."""
+    odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
+    kh = k // 2
+
+    def kern(xq_ref, xs_ref, b_ref, s_ref, zs_ref, xsum_ref, o_ref):
+        b = b_ref[:].astype(jnp.int32)
+        lo = (b & 15).astype(jnp.int8)
+        hi = (b >> 4).astype(jnp.int8)
+        xq = xq_ref[:]
+        acc = jax.lax.dot_general(xq[:, :kh], lo, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        acc += jax.lax.dot_general(xq[:, kh:], hi, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
+        corr = acc.astype(jnp.float32) * s_ref[:] - xsum_ref[:] * zs_ref[:]
+        o_ref[:] = (corr * xs_ref[:]).astype(odt)
+
+    grid = (pl.cdiv(m, bm), n // bn)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n), odt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+    )
+
+
+@lru_cache(maxsize=None)
+def _w4a8_kernel_ksplit(m: int, k: int, n: int, bm: int, bn: int, bkh: int,
+                        out_dtype: str):
+    """K-split W4A8 (large-K weights crash Mosaic in the single-K form)."""
+    odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
+    kh = k // 2
+    nk = kh // bkh
+
+    def kern(xlo_ref, xhi_ref, xs_ref, b_ref, s_ref, zs_ref, xsum_ref, o_ref,
+             acc_ref):
+        ki = pl.program_id(2)
+
+        @pl.when(ki == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        b = b_ref[:].astype(jnp.int32)
+        lo = (b & 15).astype(jnp.int8)
+        hi = (b >> 4).astype(jnp.int8)
+        acc_ref[:] += (
+            jax.lax.dot_general(xlo_ref[:], lo, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+            + jax.lax.dot_general(xhi_ref[:], hi, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32))
+
+        @pl.when(ki == nk - 1)
+        def _():
+            corr = (acc_ref[:].astype(jnp.float32) * s_ref[:]
+                    - xsum_ref[:] * zs_ref[:])
+            o_ref[:] = (corr * xs_ref[:]).astype(odt)
+
+    grid = (pl.cdiv(m, bm), n // bn, nk)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n), odt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bkh), lambda i, j, ki: (i, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, bkh), lambda i, j, ki: (i, ki), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, ki: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkh, bn), lambda i, j, ki: (ki, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, ki: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, ki: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, ki: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, ki: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+    )
+
+
+def w4a8_matmul(xq: Array, xs: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
+    """Pre-quantized activations xq [M, K] int8 + per-row scales xs [M, 1]
+    against an int4 channelwise weight; None if no fast path."""
+    k, n = ql.k, ql.n
+    if ql.bits != 4 or getattr(ql, "group_size", None) is not None:
+        return None
+    if n % 256 or k % 512:
+        return None
+    m = xq.shape[0]
+    kh = k // 2
+    bn = next((c for c in (512, 256)
+               if n % c == 0 and kh * c <= W_BLOCK_VMEM_LIMIT), None)
+    if bn is None:
+        return None
+    # bigger M tiles amortize the per-M-tile weight re-fetch; large-K
+    # weights keep bm small (the xq block must fit VMEM double-buffered)
+    bm = 512 if (k <= 4096 and m >= 512) else 256
+    mp = m + (-m % bm)
+    if mp != m:
+        xq = jnp.pad(xq, ((0, mp - m), (0, 0)))
+        xs = jnp.pad(xs, ((0, mp - m), (0, 0)))
+    oname = "bf16" if jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16) else "f32"
+    scale = ql.scale.astype(jnp.float32).reshape(1, n)
+    zs = (ql.zero_point.astype(jnp.float32) * ql.scale.astype(jnp.float32)
+          ).reshape(1, n)
+    xsum = jnp.sum(xq.astype(jnp.float32), axis=1, keepdims=True)
+    if k > 8192:  # single-K form crashes Mosaic at w2-scale K
+        bkh = next((c for c in range(2048, 255, -128) if kh % c == 0), None)
+        if bkh is None:
+            return None
+        kfun = _w4a8_kernel_ksplit(mp, k, n, bm, bn, bkh, oname)
+        y = kfun(xq[:, :kh], xq[:, kh:], xs.astype(jnp.float32), ql.data,
+                 scale, zs, xsum)
+        return y[:m] if mp != m else y
+    kfun = _w4a8_kernel(mp, k, n, bm, bn, oname)
+    y = kfun(xq, xs.astype(jnp.float32), ql.data, scale, zs, xsum)
+    return y[:m] if mp != m else y
+
+
+@lru_cache(maxsize=None)
 def _w4_grouped_kernel(m: int, k: int, n: int, g: int, bm: int, bn: int,
                        out_dtype: str):
     """Group-wise scales (G groups along K): the zero-point no longer folds

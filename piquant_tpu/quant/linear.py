@@ -248,10 +248,25 @@ def _matmul_dequant_jnp(x: Array, ql: QuantizedLinear, out_dtype) -> Array:
     return out.astype(out_dtype)
 
 
+def _quantize_act(x: Array):
+    """Dynamic per-token symmetric int8 activation quantization."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
+ACT_QUANT_MIN_M = 256  # per-token int8 activations only pay off where the
+                       # matmul is MXU-bound (prefill); decode stays bf16
+
+
 def quantized_matmul(
     x: Array,
     ql: QuantizedLinear,
     out_dtype=jnp.bfloat16,
+    *,
+    act_quant: bool = False,
 ) -> Array:
     """y = x @ dequant(W), weights stay packed in HBM/VMEM.
 
@@ -265,13 +280,38 @@ def quantized_matmul(
         raise ValueError(f"x last dim {x.shape[-1]} != weight K {ql.k}")
     import os
 
+    lead = x.shape[:-1]
+    m = 1
+    for d in lead:
+        m *= d
+    use_a8 = (act_quant and m >= ACT_QUANT_MIN_M and ql.bits == 4
+              and ql.group_size is None)
+
     if jax.default_backend() == "tpu" and os.environ.get("PIQUANT_TPU_FORCE_REF", "0") != "1":
         try:
             from piquant_tpu.ops.pallas import qmatmul as _qmm
 
+            if use_a8:
+                xq, xs = _quantize_act(x.reshape(m, ql.k))
+                res = _qmm.w4a8_matmul(xq, xs, ql, out_dtype)
+                if res is not None:
+                    return res.reshape(*lead, ql.n).astype(out_dtype)
             res = _qmm.quantized_matmul(x, ql, out_dtype)
             if res is not None:
                 return res
         except ImportError:
             pass
+    if use_a8:
+        # fallback (CPU/tests): same W4A8 numerics in plain XLA
+        xq, xs = _quantize_act(x.reshape(m, ql.k))
+        b = ql.data.astype(jnp.int32)
+        kh = ql.k // 2
+        codes = jnp.concatenate([b & 15, b >> 4], axis=0).astype(jnp.float32)
+        acc = jnp.dot(xq.astype(jnp.float32), codes,
+                      preferred_element_type=jnp.float32)
+        scale = ql.scale.astype(jnp.float32).reshape(1, -1)
+        zs = scale * ql.zero_point.astype(jnp.float32).reshape(1, -1)
+        xsum = jnp.sum(xq.astype(jnp.float32), axis=1, keepdims=True)
+        y = (acc * scale - xsum * zs) * xs
+        return y.reshape(*lead, ql.n).astype(out_dtype)
     return _matmul_dequant_jnp(x, ql, out_dtype)

@@ -45,3 +45,23 @@ def test_qmatmul_batch_dims_and_fallback_condition():
     w2 = jnp.asarray(rng.normal(0, 0.05, (k, 100)), jnp.float32)
     ql2 = quantize_linear_weight(w2, 4)
     assert Q.quantized_matmul(x, ql2, jnp.float32) is None
+
+
+def test_act_quant_w4a8_fallback_numerics():
+    """W4A8 (per-token int8 activations) XLA fallback: close to the bf16
+    weight-only result, and the int arithmetic path is self-consistent."""
+    import numpy as np
+
+    k, n, m = 512, 256, 384  # m >= ACT_QUANT_MIN_M engages act quant
+    w = jax.random.normal(jax.random.key(0), (k, n), jnp.float32) * 0.02
+    ql = quantize_linear_weight(w, 4)
+    x = jax.random.normal(jax.random.key(1), (m, k), jnp.float32)
+    y_aq = quantized_matmul(x, ql, jnp.float32, act_quant=True)
+    y_wq = quantized_matmul(x, ql, jnp.float32, act_quant=False)
+    rel = float(jnp.max(jnp.abs(y_aq - y_wq)) / (jnp.max(jnp.abs(y_wq)) + 1e-9))
+    assert rel < 0.05, rel
+    # below the M threshold act_quant must be a no-op
+    xs = x[:8]
+    a = quantized_matmul(xs, ql, jnp.float32, act_quant=True)
+    b = quantized_matmul(xs, ql, jnp.float32, act_quant=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
