@@ -52,6 +52,8 @@ def test_act_quant_w4a8_fallback_numerics():
     weight-only result, and the int arithmetic path is self-consistent."""
     import numpy as np
 
+    from piquant_tpu.quant.linear import quantized_matmul
+
     k, n, m = 512, 256, 384  # m >= ACT_QUANT_MIN_M engages act quant
     w = jax.random.normal(jax.random.key(0), (k, n), jnp.float32) * 0.02
     ql = quantize_linear_weight(w, 4)
