@@ -7,8 +7,12 @@ running (max, denom, acc) in VMEM scratch carries across the sequential
 S-chunk grid dimension.  The bf16 cache is never materialized — the
 traffic is exactly the packed codes.
 
-Decode only (T=1).  Longer queries (prefill) use the XLA path in
-models/llama.py, which is compute-bound anyway.
+Decode only (T=1).  NOT wired into models/llama.py: the fused XLA
+int8-cache attention measured 33 us/layer (~1 TB/s effective — at the HBM
+wall) vs 228 us/layer for this kernel on 8B decode shapes, so the model
+keeps the XLA path.  The kernel stays as a reference implementation of
+scalar-prefetch flash-decoding (and the starting point for a paged variant
+should one ever be needed).
 """
 
 from __future__ import annotations

@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--top-k", type=int, default=0)
     ap.add_argument("--top-p", type=float, default=1.0)
     ap.add_argument("--prefill-chunk", type=int, default=None)
+    ap.add_argument("--act-quant-prefill", action="store_true",
+                    help="W4A8: int8 per-token activations for prefill "
+                         "matmuls (1.85x MXU rate, ~+0.002 ppl)")
     ap.add_argument("--speculate", type=int, default=0,
                     help="prompt-lookup speculative decoding: drafts per "
                          "verify step (greedy only)")
@@ -57,6 +60,8 @@ def main(argv=None) -> int:
 
     from piquant_tpu.models import llama as M
     from piquant_tpu.serving import Engine, EngineConfig, Request, SamplingParams
+
+    import dataclasses
 
     tok = None
     if args.model:
@@ -79,6 +84,8 @@ def main(argv=None) -> int:
                                        bits=args.bits,
                                        group_size=args.group_size)
 
+    if args.act_quant_prefill:
+        cfg = dataclasses.replace(cfg, act_quant_prefill=True)
     ec = EngineConfig(batch_slots=args.slots, max_seq_len=args.max_seq_len,
                       prefill_chunk=args.prefill_chunk,
                       speculate=args.speculate)
