@@ -25,11 +25,12 @@ from piquant_tpu.models import llama as M
 
 
 def main(batch=8, ctx=1024, max_len=2048):
-    cfg = M.LlamaConfig.llama3_8b()
-    print(f"building INT4 8B params (batch={batch}, ctx={ctx})...", flush=True)
-    params = M.random_quantized_params(cfg, jax.random.key(0), bits=4,
-                                       lm_head_bits=8)
     import os
+    bits = int(os.environ.get("PIQUANT_BITS", "4"))
+    cfg = M.LlamaConfig.llama3_8b()
+    print(f"building INT{bits} 8B params (batch={batch}, ctx={ctx})...", flush=True)
+    params = M.random_quantized_params(cfg, jax.random.key(0), bits=bits,
+                                       lm_head_bits=8)
     if os.environ.get("PIQUANT_FUSE", "0") == "1":
         # wqkv/w13 fusion: fewer launches/buffers but measured ~5% SLOWER
         # end-to-end on one chip (11.47 vs 10.89 ms/step) — opt-in only

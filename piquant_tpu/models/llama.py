@@ -169,7 +169,7 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
 
     def qlin(k_, din, dout, b=None):
         b = b if b is not None else bits
-        rows = din // 2 if b == 4 else din
+        rows = {2: din // 4, 4: din // 2}.get(b, din)
         data = jax.random.randint(k_, (rows, dout), 0, 256, jnp.int32).astype(jnp.uint8)
         scale = jnp.full((1, dout), 2.0 / ((1 << b) - 1) / (din ** 0.5), jnp.float32)
         zp = jnp.full((1, dout), (1 << (b - 1)), jnp.int32)

@@ -304,6 +304,44 @@ def _w4_grouped_kernel(m: int, k: int, n: int, g: int, bm: int, bn: int,
 
 
 @lru_cache(maxsize=None)
+def _w2_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
+    """INT2 split-quarter (quant/linear.py pack_split_quarter): four 2-bit
+    planes per byte, four elementwise unpacks + four dots.  Weight traffic
+    is K*N/4 bytes — half of int4."""
+    odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
+    kq = k // 4
+
+    def kern(x_ref, b_ref, s_ref, zs_ref, xsum_ref, o_ref):
+        b = b_ref[:].astype(jnp.int32)
+        x = x_ref[:]
+        acc = jnp.dot(x[:, :kq], (b & 3).astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        acc += jnp.dot(x[:, kq:2 * kq], ((b >> 2) & 3).astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        acc += jnp.dot(x[:, 2 * kq:3 * kq], ((b >> 4) & 3).astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        acc += jnp.dot(x[:, 3 * kq:], (b >> 6).astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        o_ref[:] = (acc * s_ref[:] - xsum_ref[:] * zs_ref[:]).astype(odt)
+
+    grid = (pl.cdiv(m, bm), n // bn)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n), odt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kq, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+    )
+
+
+@lru_cache(maxsize=None)
 def _w8_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
     odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
 
@@ -339,8 +377,8 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
         return None  # unsupported grouped shape: XLA path
     if n % 128 or k % 256:
         return None  # dispatch falls back to the XLA path
-    # weight rows per byte-block: k/2 (int4 split-half) or k (int8)
-    w_rows = k // 2 if ql.bits == 4 else k
+    # weight rows per byte-block: k/4 (int2), k/2 (int4), or k (int8)
+    w_rows = {2: k // 4, 4: k // 2}.get(ql.bits, k)
     bn = next((c for c in BN_CANDIDATES
                if n % c == 0 and w_rows * c <= W_BLOCK_VMEM_LIMIT), None)
     if bn is None:
@@ -392,6 +430,10 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
                 y = y[:m]
             return y.reshape(*lead, n).astype(out_dtype)
         kfun = _w4_kernel(mp, k, n, bm, bn, oname)
+    elif ql.bits == 2:
+        if k % 512:
+            return None
+        kfun = _w2_kernel(mp, k, n, bm, bn, oname)
     elif ql.bits == 8:
         kfun = _w8_kernel(mp, k, n, bm, bn, oname)
     else:

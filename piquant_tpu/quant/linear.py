@@ -51,6 +51,26 @@ def pack_split_half(codes: Array) -> Array:
     return lo | (hi << 4)
 
 
+def pack_split_quarter(codes: Array) -> Array:
+    """Pack int2 codes [K, N] -> bytes [K//4, N] (split-quarter layout:
+    byte row k holds code rows k, k+K/4, k+K/2, k+3K/4 in bit fields
+    0-1, 2-3, 4-5, 6-7 — the 2-bit analogue of split-half: unpacking is
+    pure elementwise, no lane shuffles)."""
+    k = codes.shape[0]
+    if k % 4:
+        raise ValueError(f"K={k} must be divisible by 4 for split-quarter")
+    q = k // 4
+    c = codes.astype(jnp.uint8) & jnp.uint8(3)
+    return (c[:q] | (c[q:2 * q] << 2) | (c[2 * q:3 * q] << 4)
+            | (c[3 * q:] << 6))
+
+
+def unpack_split_quarter(packed: Array) -> Array:
+    """bytes [K//4, N] -> int32 codes [K, N]."""
+    b = packed.astype(jnp.int32)
+    return jnp.concatenate([b & 3, (b >> 2) & 3, (b >> 4) & 3, b >> 6], axis=0)
+
+
 def unpack_split_half(packed: Array, *, signed: bool = False) -> Array:
     """bytes [K//2, N] -> int32 codes [K, N]."""
     b = packed.astype(jnp.int32)
@@ -92,7 +112,8 @@ def split_half_to_wire(packed: Array) -> Array:
 class QuantizedLinear:
     """Packed weight + affine params for y = x @ W.
 
-    data: uint8 [K//2, N] (int4 split-half) or int8 [K, N].
+    data: uint8 [K//4, N] (int2 split-quarter), [K//2, N] (int4
+    split-half), or int8 [K, N].
     scale/zp: (1, N) channelwise, (1, 1) per-tensor, or (G, N) group-wise
     (group_size = K // G contraction rows per group), f32 / int32.
     """
@@ -129,7 +150,9 @@ class QuantizedLinear:
 
     def dequantize(self, dtype=jnp.bfloat16) -> Array:
         """Materialize the full [K, N] float weight (debug / fallback)."""
-        if self.bits == 4:
+        if self.bits == 2:
+            codes = unpack_split_quarter(self.data)
+        elif self.bits == 4:
             codes = unpack_split_half(self.data)
         else:
             codes = self.data.astype(jnp.int32)
@@ -158,8 +181,8 @@ def quantize_linear_weight(
     if w.ndim != 2:
         raise ValueError("quantize_linear_weight expects a 2-D weight")
     k, n = w.shape
-    if bits not in (4, 8):
-        raise ValueError("bits must be 4 or 8")
+    if bits not in (2, 4, 8):
+        raise ValueError("bits must be 2, 4, or 8")
     qmin, qmax = 0, (1 << bits) - 1
     wf = w.astype(jnp.float32)
 
@@ -194,7 +217,9 @@ def quantize_linear_weight(
         rounded = round_half_away(r)
     codes = jnp.clip(rounded.astype(jnp.int32) + z_full, qmin, qmax)
 
-    if bits == 4:
+    if bits == 2:
+        data = pack_split_quarter(codes)
+    elif bits == 4:
         data = pack_split_half(codes)
     else:
         data = codes.astype(jnp.uint8)
@@ -217,7 +242,9 @@ def _matmul_dequant_jnp(x: Array, ql: QuantizedLinear, out_dtype) -> Array:
         # codes [K, N] -> [G, gs, N]; x [..., K] -> [..., G, gs].
         # f32 operands: CPU XLA lacks bf16 batched dots, and this path is
         # the (non-pallas) fallback anyway.
-        if ql.bits == 4:
+        if ql.bits == 2:
+            codes = unpack_split_quarter(ql.data).astype(jnp.float32)
+        elif ql.bits == 4:
             codes = unpack_split_half(ql.data).astype(jnp.float32)
         else:
             codes = ql.data.astype(jnp.float32)
@@ -232,7 +259,16 @@ def _matmul_dequant_jnp(x: Array, ql: QuantizedLinear, out_dtype) -> Array:
         out = out - jnp.einsum("...g,gn->...n", xsum_g, zp * scale)
         return out.astype(out_dtype)
 
-    if ql.bits == 4:
+    if ql.bits == 2:
+        b = ql.data.astype(jnp.int32)
+        kq = ql.k // 4
+        acc = None
+        for i, plane in enumerate((b & 3, (b >> 2) & 3, (b >> 4) & 3, b >> 6)):
+            part = jnp.dot(xf[..., i * kq:(i + 1) * kq],
+                           plane.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+    elif ql.bits == 4:
         b = ql.data.astype(jnp.int32)
         lo = (b & 15).astype(jnp.bfloat16)
         hi = ((b >> 4) & 15).astype(jnp.bfloat16)

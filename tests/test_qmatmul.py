@@ -67,3 +67,31 @@ def test_act_quant_w4a8_fallback_numerics():
     a = quantized_matmul(xs, ql, jnp.float32, act_quant=True)
     b = quantized_matmul(xs, ql, jnp.float32, act_quant=False)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int2_split_quarter_roundtrip_and_matmul():
+    """INT2 weight-only: pack/unpack identity, dequant consistency, and the
+    grouped variant; matmul matches full dequantization."""
+    import numpy as np
+
+    from piquant_tpu.quant.linear import (
+        pack_split_quarter,
+        quantized_matmul,
+        unpack_split_quarter,
+    )
+
+    codes = jax.random.randint(jax.random.key(0), (64, 32), 0, 4, jnp.int32)
+    packed = pack_split_quarter(codes)
+    assert packed.shape == (16, 32) and packed.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(unpack_split_quarter(packed)),
+                                  np.asarray(codes))
+
+    for kw in (dict(), dict(group_size=16)):
+        w = jax.random.normal(jax.random.key(1), (128, 64), jnp.float32) * 0.05
+        ql = quantize_linear_weight(w, 2, **kw)
+        x = jax.random.normal(jax.random.key(2), (4, 128), jnp.float32)
+        y = quantized_matmul(x, ql, jnp.float32)
+        ref = x @ ql.dequantize(jnp.float32)
+        rel = float(jnp.max(jnp.abs(y - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
+        # channelwise path runs bf16 activations; grouped runs f32
+        assert rel < 2e-2, rel
