@@ -95,6 +95,7 @@ def main(steps: int = 400):
         ("int4 channelwise", dict(bits=4), False),
         ("int4 group-wise gs=32", dict(bits=4, group_size=32), False),
         ("int4 + int8 act (W4A8)", dict(bits=4), True),
+        ("int2 group-wise gs=32", dict(bits=2, group_size=32), False),
     ]:
         qp = M.quantize_params(params, **kw)
         c = dataclasses.replace(cfg, act_quant_prefill=aq)
