@@ -104,6 +104,34 @@ def main(steps: int = 400):
         print(f"{name:24s} ppl: {ppl:.4f}  (delta {ppl-base:+.4f}) [{status}]",
               flush=True)
 
+    # --- QAT recovery for INT2: continue training THROUGH the 2-bit
+    # fake-quant (STE) so the weights adapt to the code grid ---------------
+    from piquant_tpu.quant.qat import fake_quant_model_weights
+
+    @jax.jit
+    def qat_step(p, o, batch):
+        def loss_fn(p_):
+            pq = fake_quant_model_weights(p_, bits=2, group_size=32)
+            logits, _ = M.forward(cfg, pq, batch[:, :-1])
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(lp, batch[:, 1:, None], axis=-1)
+            return nll.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    qat_params = params
+    qat_opt = opt.init(qat_params)
+    for i in range(steps):
+        starts = rng.integers(0, corpus.size - T - 1, B)
+        batch = jnp.asarray(np.stack([corpus[s:s + T + 1] for s in starts]))
+        qat_params, qat_opt, loss = qat_step(qat_params, qat_opt, batch)
+    q2 = M.quantize_params(qat_params, bits=2, group_size=32)
+    ppl = perplexity(cfg, q2, eval_toks, window=512, stride=256)
+    print(f"{'int2 gs=32 + QAT':24s} ppl: {ppl:.4f}  (delta {ppl-base:+.4f}) "
+          f"[QAT recovery vs naive]", flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 400)

@@ -70,3 +70,34 @@ def fake_quant_params(params, qdtype: str = "int4", *, keys=("w",),
         return fake_quant(leaf, s, z, qdtype, round_mode)
 
     return jax.tree.map(visit, params)
+
+
+def fake_quant_weight(w: Array, bits: int = 4, *,
+                      group_size: Optional[int] = None,
+                      channelwise: bool = True) -> Array:
+    """Differentiable weight fake-quant matching quantize_linear_weight's
+    granularity (per-channel or group-wise) — the QAT counterpart of the
+    weight-only serving path.  Straight-through estimator via the
+    x + stop_grad(dq(x) - x) identity."""
+    from piquant_tpu.quant.linear import quantize_linear_weight
+
+    ql = quantize_linear_weight(w, bits, channelwise=channelwise,
+                                group_size=group_size)
+    dq = ql.dequantize(jnp.float32).astype(w.dtype)
+    return w + jax.lax.stop_gradient(dq - w)
+
+
+def fake_quant_model_weights(params, bits: int = 4, *,
+                             group_size: Optional[int] = None,
+                             keys=("wq", "wk", "wv", "wo", "w1", "w2", "w3")):
+    """Apply fake_quant_weight to the named 2-D projection leaves of a
+    llama-style param pytree (QAT forward for weight-only serving)."""
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        nl = dict(layer)
+        for k in keys:
+            if k in nl:
+                nl[k] = fake_quant_weight(nl[k], bits, group_size=group_size)
+        out["layers"].append(nl)
+    return out

@@ -43,3 +43,23 @@ def test_qat_training_reduces_loss():
         w = w - 0.1 * jax.grad(loss)(w)
     l1 = float(loss(w))
     assert l1 < l0 * 0.2, (l0, l1)
+
+
+def test_fake_quant_weight_group_ste():
+    """Group-wise weight fake-quant: forward equals dequant(quantize(w)),
+    gradient is identity (STE)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from piquant_tpu.quant.linear import quantize_linear_weight
+    from piquant_tpu.quant.qat import fake_quant_weight
+
+    w = jax.random.normal(jax.random.key(0), (64, 32), jnp.float32) * 0.1
+    y = fake_quant_weight(w, 2, group_size=16)
+    want = quantize_linear_weight(w, 2, group_size=16).dequantize(jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), atol=1e-6)
+
+    g = jax.grad(lambda v: jnp.sum(fake_quant_weight(v, 2, group_size=16) ** 2))(w)
+    # STE: d/dw sum(fq(w)^2) = 2*fq(w) (identity through the rounding)
+    np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(want), atol=1e-5)
