@@ -379,7 +379,8 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
         return None  # dispatch falls back to the XLA path
     # weight rows per byte-block: k/4 (int2), k/2 (int4), or k (int8)
     w_rows = {2: k // 4, 4: k // 2}.get(ql.bits, k)
-    bn = next((c for c in BN_CANDIDATES
+    cands = (2048,) + BN_CANDIDATES if ql.bits == 2 else BN_CANDIDATES
+    bn = next((c for c in cands
                if n % c == 0 and w_rows * c <= W_BLOCK_VMEM_LIMIT), None)
     if bn is None:
         return None

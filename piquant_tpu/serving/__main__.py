@@ -27,7 +27,7 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["tiny", "llama3_8b", "mistral_7b", "qwen2_7b",
                              "gemma_2b", "gemma_7b"],
                     help="random-weight model preset instead of --model")
-    ap.add_argument("--bits", type=int, default=4, choices=[4, 8],
+    ap.add_argument("--bits", type=int, default=4, choices=[2, 4, 8],
                     help="weight quantization bits (default 4)")
     ap.add_argument("--group-size", type=int, default=None,
                     help="group-wise quantization group size")
