@@ -82,6 +82,24 @@ def unpack_split_half(packed: Array, *, signed: bool = False) -> Array:
     return codes
 
 
+def wire_to_split_quarter(wire: Array, k: int, n: int) -> Array:
+    """Reference uint2 wire layout (4 crumbs/byte, LSB-first over the
+    flattened [K, N] row-major array — quantize.inl:43-50) -> split-quarter.
+    Host-side/one-time (checkpoint load)."""
+    flat = wire.reshape(-1)
+    crumbs = jnp.stack([(flat >> (2 * i)) & 3 for i in range(4)],
+                       axis=1).reshape(-1)[: k * n].astype(jnp.uint8)
+    return pack_split_quarter(crumbs.reshape(k, n))
+
+
+def split_quarter_to_wire(packed: Array) -> Array:
+    """Split-quarter [K//4, N] -> reference wire bytes of the [K, N] array."""
+    codes = unpack_split_quarter(packed).astype(jnp.uint8).reshape(-1)
+    c = codes.reshape(-1, 4)
+    return (c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4) | (c[:, 3] << 6)
+            ).astype(jnp.uint8)
+
+
 def wire_to_split_half(wire: Array, k: int, n: int) -> Array:
     """Reference wire layout (adjacent-pair bytes of the flattened [K, N]
     row-major array, low nibble first — quantize.inl:37-41) -> split-half.

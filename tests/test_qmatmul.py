@@ -95,3 +95,31 @@ def test_int2_split_quarter_roundtrip_and_matmul():
         rel = float(jnp.max(jnp.abs(y - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9))
         # channelwise path runs bf16 activations; grouped runs f32
         assert rel < 2e-2, rel
+
+
+def test_int2_wire_abi_roundtrip():
+    """Split-quarter <-> reference uint2 wire (4 crumbs/byte LSB-first,
+    quantize.inl:43-50) roundtrip, cross-checked against the quantize op's
+    packed output."""
+    import numpy as np
+
+    import piquant_tpu as pq
+    from piquant_tpu.quant.linear import (
+        pack_split_quarter,
+        split_quarter_to_wire,
+        unpack_split_quarter,
+        wire_to_split_quarter,
+    )
+
+    k, n = 16, 8
+    codes = jax.random.randint(jax.random.key(0), (k, n), 0, 4, jnp.int32)
+    packed = pack_split_quarter(codes)
+    wire = split_quarter_to_wire(packed)
+    back = wire_to_split_quarter(wire, k, n)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(packed))
+
+    # the wire bytes must equal what the quantize op emits for the same
+    # values (scale=1, zp=0 -> codes pass through)
+    x = codes.astype(jnp.float32).reshape(-1)
+    q = pq.quantize(x, 1.0, 0, "uint2")
+    np.testing.assert_array_equal(np.asarray(wire), np.asarray(q))
