@@ -28,6 +28,9 @@ def main(batch=8, ctx=1024, max_len=2048):
     import os
     bits = int(os.environ.get("PIQUANT_BITS", "4"))
     cfg = M.LlamaConfig.llama3_8b()
+    if os.environ.get("PIQUANT_AQ_DECODE", "0") == "1":
+        import dataclasses
+        cfg = dataclasses.replace(cfg, act_quant_decode=True)
     print(f"building INT{bits} 8B params (batch={batch}, ctx={ctx})...", flush=True)
     params = M.random_quantized_params(cfg, jax.random.key(0), bits=bits,
                                        lm_head_bits=8)

@@ -96,9 +96,14 @@ def main(steps: int = 400):
         ("int4 group-wise gs=32", dict(bits=4, group_size=32), False),
         ("int4 + int8 act (W4A8)", dict(bits=4), True),
         ("int2 group-wise gs=32", dict(bits=2, group_size=32), False),
+        ("int2 channelwise", dict(bits=2), False),
+        ("int2 + int8 act (W2A8)", dict(bits=2), "decode"),
     ]:
         qp = M.quantize_params(params, **kw)
-        c = dataclasses.replace(cfg, act_quant_prefill=aq)
+        if aq == "decode":  # act quant at every M (the INT2 decode path)
+            c = dataclasses.replace(cfg, act_quant_decode=True)
+        else:
+            c = dataclasses.replace(cfg, act_quant_prefill=aq)
         ppl = perplexity(c, qp, eval_toks, window=512, stride=256)
         status = "PASS" if ppl - base <= 0.1 else "above-0.1"
         print(f"{name:24s} ppl: {ppl:.4f}  (delta {ppl-base:+.4f}) [{status}]",

@@ -58,15 +58,27 @@ class LlamaConfig:
     scale_embed: bool = False    # Gemma multiplies embeddings by sqrt(d_model)
     sliding_window: Optional[int] = None  # Mistral: attend only to the last
                                           # `sliding_window` positions
+    rotary_dim_override: Optional[int] = None  # Phi-style partial rotary:
+                                               # rotate only the first
+                                               # `rotary_dim` dims per head
     act_quant_prefill: bool = False  # W4A8: int8 per-token activations for
                                      # LARGE-M (prefill) matmuls — 1.85x MXU
                                      # rate; small ppl cost (see
                                      # benchmarks/ppl_quality.py)
+    act_quant_decode: bool = False   # int8 activations at EVERY M, incl.
+                                     # decode.  Pays off for INT2 weights
+                                     # (int8-plane kernel: 710 vs 380 GB/s
+                                     # weight-stream); int4 decode stays
+                                     # DMA-bound either way
     dtype: Any = jnp.bfloat16
 
     @property
     def head_dim(self) -> int:
         return self.head_dim_override or self.d_model // self.n_heads
+
+    @property
+    def rotary_dim(self) -> int:
+        return self.rotary_dim_override or self.head_dim
 
     @staticmethod
     def llama3_8b() -> "LlamaConfig":
@@ -104,6 +116,13 @@ class LlamaConfig:
             n_kv_heads=16, d_ff=24_576, rope_theta=10_000.0, max_seq_len=8192,
             head_dim_override=256, norm_plus_one=True, mlp_act="gelu",
             scale_embed=True,
+        )
+
+    @staticmethod
+    def phi3_mini() -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=32_064, d_model=3072, n_layers=32, n_heads=32,
+            n_kv_heads=32, d_ff=8192, rope_theta=10_000.0, max_seq_len=4096,
         )
 
     @staticmethod
@@ -335,23 +354,28 @@ def rms_norm(x: Array, w: Array, eps: float, plus_one: bool = False) -> Array:
 
 
 def _rope_freqs(cfg: LlamaConfig, positions: Array) -> Tuple[Array, Array]:
-    hd = cfg.head_dim
-    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
-    ang = positions[..., None].astype(jnp.float32) * inv  # [..., T, hd/2]
+    rd = cfg.rotary_dim
+    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
+    ang = positions[..., None].astype(jnp.float32) * inv  # [..., T, rd/2]
     return jnp.cos(ang), jnp.sin(ang)
 
 
 def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
-    """x: [B, H, T, D]; cos/sin: [B, T, D/2] -> rotate pairs (even, odd)."""
-    xf = x.astype(jnp.float32)
+    """x: [B, H, T, D]; cos/sin: [B, T, R/2] -> rotate pairs (even, odd) of
+    the first R dims; dims R..D pass through (Phi-style partial rotary when
+    R < D)."""
+    rd = 2 * cos.shape[-1]
+    xf = x[..., :rd].astype(jnp.float32)
     x1 = xf[..., 0::2]
     x2 = xf[..., 1::2]
     c = cos[:, None, :, :]
     s = sin[:, None, :, :]
     r1 = x1 * c - x2 * s
     r2 = x2 * c + x1 * s
-    out = jnp.stack([r1, r2], axis=-1).reshape(x.shape)
-    return out.astype(x.dtype)
+    out = jnp.stack([r1, r2], axis=-1).reshape(xf.shape).astype(x.dtype)
+    if rd == x.shape[-1]:
+        return out
+    return jnp.concatenate([out, x[..., rd:]], axis=-1)
 
 
 def _attention(
@@ -374,7 +398,7 @@ def _attention(
     hd = cfg.head_dim
     dt = cfg.dtype
 
-    aq = cfg.act_quant_prefill
+    aq = "all" if cfg.act_quant_decode else cfg.act_quant_prefill
     if "wqkv" in layer:
         nq = cfg.n_heads * hd
         nkv = cfg.n_kv_heads * hd
@@ -427,6 +451,15 @@ def _attention(
         # (the bf16 convert fuses into the MXU operand read — the float
         # cache is never materialized) and the per-token scales fold into
         # the scores / probabilities as rank-1 corrections.
+        if _os.environ.get("PIQUANT_SKIP_ATTN", "0") == "1":
+            # attribution hook for benchmarks/decode_parts.py: ctx := q
+            # (same [B,Hkv,rep,T,D] shape; skips scores/softmax/AV and all
+            # cache reads)
+            ctx = qg.astype(jnp.float32)
+            ctx = ctx.astype(dt).reshape(b, cfg.n_heads, t, hd
+                                         ).transpose(0, 2, 1, 3)
+            ctx = ctx.reshape(b, t, cfg.n_heads * hd)
+            return _mm(ctx, layer["wo"], dt, aq), cache
         w = attn_window or cache.k_codes.shape[3]
         kc = cache.k_codes[layer_idx, :, :, :w]  # [B, Hkv, W, D] int8
         vc = cache.v_codes[layer_idx, :, :, :w]
@@ -459,7 +492,7 @@ def _attention(
 
 def _mlp(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:
     dt = cfg.dtype
-    aq = cfg.act_quant_prefill
+    aq = "all" if cfg.act_quant_decode else cfg.act_quant_prefill
     if "w13" in layer:
         y = _mm(x, layer["w13"], dt, aq)
         g, u = _split_interleaved(y, (cfg.d_ff, cfg.d_ff), layer["fused_tp"].value)

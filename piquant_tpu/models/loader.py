@@ -49,6 +49,11 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         norm_plus_one=is_gemma,   # Gemma RMSNorm: x_norm * (1 + w)
         mlp_act="gelu" if is_gemma else "silu",
         scale_embed=is_gemma,     # Gemma: embeddings * sqrt(d_model)
+        # Phi family: rotate only partial_rotary_factor of the head dim
+        rotary_dim_override=(
+            int(hf_config.partial_rotary_factor * hd)
+            if getattr(hf_config, "partial_rotary_factor", 1.0) != 1.0
+            else None),
         dtype=dtype,
     )
 
@@ -63,10 +68,15 @@ def _half_to_interleaved_perm(head_dim: int) -> np.ndarray:
     return p
 
 
-def _permute_rope_cols(w: np.ndarray, n_heads: int, head_dim: int) -> np.ndarray:
+def _permute_rope_cols(w: np.ndarray, n_heads: int, head_dim: int,
+                       rotary_dim: Optional[int] = None) -> np.ndarray:
     """w: [d_model, n_heads*head_dim] (already transposed); permute each
-    head's columns from half-rotation order to interleaved order."""
-    p = _half_to_interleaved_perm(head_dim)
+    head's columns from half-rotation order to interleaved order.  With
+    partial rotary (Phi), only the first rotary_dim columns per head
+    rotate — the rest stay in place."""
+    rd = rotary_dim or head_dim
+    p = np.arange(head_dim, dtype=np.int64)
+    p[:rd] = _half_to_interleaved_perm(rd)
     w = w.reshape(w.shape[0], n_heads, head_dim)
     return w[:, :, p].reshape(w.shape[0], n_heads * head_dim)
 
@@ -101,21 +111,38 @@ def params_from_state_dict(state_dict: Dict[str, Any], cfg: LlamaConfig) -> Dict
     else:  # tied embeddings
         params["lm_head"] = jnp.asarray(npy("model.embed_tokens.weight").T, dt)
 
+    rd = cfg.rotary_dim
     for i in range(cfg.n_layers):
         pre = f"model.layers.{i}."
-        wq = _permute_rope_cols(lin(pre + "self_attn.q_proj.weight"),
-                                cfg.n_heads, hd)
-        wk = _permute_rope_cols(lin(pre + "self_attn.k_proj.weight"),
-                                cfg.n_kv_heads, hd)
+        if pre + "self_attn.qkv_proj.weight" in state_dict:
+            # Phi-3: fused [q; k; v] rows -> split along the output dim
+            qkv = lin(pre + "self_attn.qkv_proj.weight")
+            nq = cfg.n_heads * hd
+            nkv = cfg.n_kv_heads * hd
+            wq_raw, wk_raw = qkv[:, :nq], qkv[:, nq:nq + nkv]
+            wv = qkv[:, nq + nkv:]
+        else:
+            wq_raw = lin(pre + "self_attn.q_proj.weight")
+            wk_raw = lin(pre + "self_attn.k_proj.weight")
+            wv = lin(pre + "self_attn.v_proj.weight")
+        wq = _permute_rope_cols(wq_raw, cfg.n_heads, hd, rd)
+        wk = _permute_rope_cols(wk_raw, cfg.n_kv_heads, hd, rd)
+        if pre + "mlp.gate_up_proj.weight" in state_dict:
+            # Phi-3: fused [gate; up]
+            gu = lin(pre + "mlp.gate_up_proj.weight")
+            w1, w3 = gu[:, :cfg.d_ff], gu[:, cfg.d_ff:]
+        else:
+            w1 = lin(pre + "mlp.gate_proj.weight")
+            w3 = lin(pre + "mlp.up_proj.weight")
         params["layers"].append({
             "attn_norm": jnp.asarray(npy(pre + "input_layernorm.weight"), dt),
             "mlp_norm": jnp.asarray(npy(pre + "post_attention_layernorm.weight"), dt),
             "wq": jnp.asarray(wq, dt),
             "wk": jnp.asarray(wk, dt),
-            "wv": jnp.asarray(lin(pre + "self_attn.v_proj.weight"), dt),
+            "wv": jnp.asarray(wv, dt),
             "wo": jnp.asarray(lin(pre + "self_attn.o_proj.weight"), dt),
-            "w1": jnp.asarray(lin(pre + "mlp.gate_proj.weight"), dt),
-            "w3": jnp.asarray(lin(pre + "mlp.up_proj.weight"), dt),
+            "w1": jnp.asarray(w1, dt),
+            "w3": jnp.asarray(w3, dt),
             "w2": jnp.asarray(lin(pre + "mlp.down_proj.weight"), dt),
         })
         if cfg.qkv_bias:

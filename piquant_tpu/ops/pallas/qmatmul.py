@@ -342,6 +342,84 @@ def _w2_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
 
 
 @lru_cache(maxsize=None)
+def _w2a8_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
+    """W2A8: int8 activations against int8-unpacked 2-bit planes.  The int8
+    MXU dots and 1-byte plane temporaries relieve both INT2 bottlenecks
+    (bf16-plane VMEM pressure and bf16 dot structure): measured 710 GB/s
+    weight-stream vs 380 for the bf16 single-K kernel on the 8B w1/w3
+    decode shape.  y = xs_row * (scale_col * acc - xsum * zp*scale)."""
+    odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
+    kq = k // 4
+
+    def kern(xq_ref, xs_ref, b_ref, s_ref, zs_ref, xsum_ref, o_ref):
+        b = b_ref[:].astype(jnp.int32)
+        xq = xq_ref[:]
+        dot = lambda a, w: jax.lax.dot_general(  # noqa: E731
+            a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        acc = dot(xq[:, :kq], (b & 3).astype(jnp.int8))
+        acc += dot(xq[:, kq:2 * kq], ((b >> 2) & 3).astype(jnp.int8))
+        acc += dot(xq[:, 2 * kq:3 * kq], ((b >> 4) & 3).astype(jnp.int8))
+        acc += dot(xq[:, 3 * kq:], (b >> 6).astype(jnp.int8))
+        corr = acc.astype(jnp.float32) * s_ref[:] - xsum_ref[:] * zs_ref[:]
+        o_ref[:] = (corr * xs_ref[:]).astype(odt)
+
+    grid = (pl.cdiv(m, bm), n // bn)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n), odt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kq, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+    )
+
+
+def w2a8_matmul(xq: Array, xs: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
+    """Pre-quantized activations xq [M, K] int8 + per-row scales xs [M, 1]
+    against an int2 channelwise weight; None if no fast path."""
+    k, n = ql.k, ql.n
+    if ql.bits != 2 or getattr(ql, "group_size", None) is not None:
+        return None
+    if n % 128 or k % 512:
+        return None
+    kq = k // 4
+    m = xq.shape[0]
+    bm = max(32, min(512, m + (-m % 32)))  # int8 sublane quantum = 32;
+    while bm > 32 and bm * k > XK_VMEM_LIMIT:  # bm>512 crashes Mosaic
+        bm //= 2
+    if bm * k > XK_VMEM_LIMIT:
+        return None
+    # prefill-sized M tiles add bm*k xq + bm*bn acc to the scoped-VMEM
+    # budget; shrink the packed block (i32+planes temporaries are ~9x its
+    # bytes) to stay under the 16 MB limit (measured 20.6M OOM at
+    # bm=512, kq*bn=2MB)
+    limit = W_BLOCK_VMEM_LIMIT if bm <= 32 else W_BLOCK_VMEM_LIMIT // 4
+    bn = next((c for c in (2048,) + BN_CANDIDATES
+               if n % c == 0 and kq * c <= limit), None)
+    if bn is None:
+        return None
+    mp = m + (-m % bm)
+    if mp != m:
+        xq = jnp.pad(xq, ((0, mp - m), (0, 0)))
+        xs = jnp.pad(xs, ((0, mp - m), (0, 0)))
+    oname = "bf16" if jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16) else "f32"
+    scale = ql.scale.astype(jnp.float32).reshape(1, n)
+    zs = (ql.zero_point.astype(jnp.float32) * ql.scale.astype(jnp.float32)
+          ).reshape(1, n)
+    xsum = jnp.sum(xq.astype(jnp.float32), axis=1, keepdims=True)
+    kfun = _w2a8_kernel(mp, k, n, bm, bn, oname)
+    y = kfun(xq, xs.astype(jnp.float32), ql.data, scale, zs, xsum)
+    return y[:m] if mp != m else y
+
+
+@lru_cache(maxsize=None)
 def _w8_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
     odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
 
@@ -434,6 +512,11 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
     elif ql.bits == 2:
         if k % 512:
             return None
+        # NB: a K-split variant (third grid axis + f32 scratch, mirroring
+        # _w4_kernel_ksplit) was measured at 345 GB/s vs 360 for this
+        # single-K form on the 8B w1/w3 shape with long-chain slope timing —
+        # no win, removed.  The honest INT2 fast path is W2A8 below
+        # (int8 planes, 440-455 GB/s weight-stream).
         kfun = _w2_kernel(mp, k, n, bm, bn, oname)
     elif ql.bits == 8:
         kfun = _w8_kernel(mp, k, n, bm, bn, oname)

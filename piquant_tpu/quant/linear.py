@@ -338,8 +338,14 @@ def quantized_matmul(
     m = 1
     for d in lead:
         m *= d
-    use_a8 = (act_quant and m >= ACT_QUANT_MIN_M and ql.bits == 4
-              and ql.group_size is None)
+    # act_quant=True: int8 activations where the matmul is MXU-bound
+    # (prefill-sized M >= ACT_QUANT_MIN_M).  act_quant="all": at every M,
+    # including decode — pays off for INT2, whose int8-plane kernel halves
+    # the unpack+dot cost that bounds INT2 decode (710 vs 380 GB/s
+    # weight-stream measured on v5e, ops/pallas/qmatmul.py).
+    use_a8 = (bool(act_quant) and ql.group_size is None
+              and ql.bits in (2, 4)
+              and (act_quant == "all" or m >= ACT_QUANT_MIN_M))
 
     if jax.default_backend() == "tpu" and os.environ.get("PIQUANT_TPU_FORCE_REF", "0") != "1":
         try:
@@ -347,7 +353,9 @@ def quantized_matmul(
 
             if use_a8:
                 xq, xs = _quantize_act(x.reshape(m, ql.k))
-                res = _qmm.w4a8_matmul(xq, xs, ql, out_dtype)
+                res = (_qmm.w2a8_matmul(xq, xs, ql, out_dtype)
+                       if ql.bits == 2 else
+                       _qmm.w4a8_matmul(xq, xs, ql, out_dtype))
                 if res is not None:
                     return res.reshape(*lead, ql.n).astype(out_dtype)
             res = _qmm.quantized_matmul(x, ql, out_dtype)
@@ -356,11 +364,15 @@ def quantized_matmul(
         except ImportError:
             pass
     if use_a8:
-        # fallback (CPU/tests): same W4A8 numerics in plain XLA
+        # fallback (CPU/tests): same W4A8/W2A8 numerics in plain XLA
         xq, xs = _quantize_act(x.reshape(m, ql.k))
         b = ql.data.astype(jnp.int32)
-        kh = ql.k // 2
-        codes = jnp.concatenate([b & 15, b >> 4], axis=0).astype(jnp.float32)
+        if ql.bits == 2:
+            codes = jnp.concatenate(
+                [b & 3, (b >> 2) & 3, (b >> 4) & 3, b >> 6],
+                axis=0).astype(jnp.float32)
+        else:
+            codes = jnp.concatenate([b & 15, b >> 4], axis=0).astype(jnp.float32)
         acc = jnp.dot(xq.astype(jnp.float32), codes,
                       preferred_element_type=jnp.float32)
         scale = ql.scale.astype(jnp.float32).reshape(1, -1)

@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--model", help="HF checkpoint path (needs transformers)")
     ap.add_argument("--random", metavar="PRESET",
                     choices=["tiny", "llama3_8b", "mistral_7b", "qwen2_7b",
-                             "gemma_2b", "gemma_7b"],
+                             "gemma_2b", "gemma_7b", "phi3_mini"],
                     help="random-weight model preset instead of --model")
     ap.add_argument("--bits", type=int, default=4, choices=[2, 4, 8],
                     help="weight quantization bits (default 4)")
@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--act-quant-prefill", action="store_true",
                     help="W4A8: int8 per-token activations for prefill "
                          "matmuls (1.85x MXU rate, ~+0.002 ppl)")
+    ap.add_argument("--act-quant-decode", action="store_true",
+                    help="int8 activations at every M incl. decode "
+                         "(the INT2 fast path: int8-plane kernel)")
     ap.add_argument("--speculate", type=int, default=0,
                     help="prompt-lookup speculative decoding: drafts per "
                          "verify step (greedy only)")
@@ -76,7 +79,8 @@ def main(argv=None) -> int:
     else:
         preset = args.random or "tiny"
         cfg = getattr(M.LlamaConfig, preset)()
-        if preset in ("llama3_8b", "mistral_7b", "qwen2_7b", "gemma_7b"):
+        if preset in ("llama3_8b", "mistral_7b", "qwen2_7b", "gemma_7b",
+                      "phi3_mini"):
             params = M.random_quantized_params(cfg, jax.random.key(0),
                                                bits=args.bits, lm_head_bits=8)
         else:
@@ -86,6 +90,8 @@ def main(argv=None) -> int:
 
     if args.act_quant_prefill:
         cfg = dataclasses.replace(cfg, act_quant_prefill=True)
+    if args.act_quant_decode:
+        cfg = dataclasses.replace(cfg, act_quant_decode=True)
     ec = EngineConfig(batch_slots=args.slots, max_seq_len=args.max_seq_len,
                       prefill_chunk=args.prefill_chunk,
                       speculate=args.speculate)

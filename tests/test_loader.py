@@ -186,3 +186,33 @@ def test_qwen2_sliding_window_gate():
         sliding_window=128,
     )
     assert config_from_hf(conf2).sliding_window == 128
+
+
+@pytest.fixture(scope="module")
+def hf_phi3():
+    torch.manual_seed(SEED + 4)
+    conf = transformers.Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10_000.0, rms_norm_eps=1e-5,
+        partial_rotary_factor=0.5, pad_token_id=0, bos_token_id=1,
+        eos_token_id=2, attn_implementation="eager",
+    )
+    model = transformers.Phi3ForCausalLM(conf)
+    model.eval()
+    return model
+
+
+def test_phi3_matches_transformers(hf_phi3):
+    """Phi-3: fused qkv/gate_up projections + partial rotary (rotate only
+    partial_rotary_factor of each head)."""
+    cfg, params = load_from_hf(hf_phi3, dtype=jnp.float32)
+    assert cfg.rotary_dim == cfg.head_dim // 2
+    rng = np.random.default_rng(SEED + 5)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 10))
+
+    with torch.no_grad():
+        want = hf_phi3(torch.tensor(tokens)).logits.numpy()
+
+    got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)

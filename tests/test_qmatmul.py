@@ -123,3 +123,49 @@ def test_int2_wire_abi_roundtrip():
     x = codes.astype(jnp.float32).reshape(-1)
     q = pq.quantize(x, 1.0, 0, "uint2")
     np.testing.assert_array_equal(np.asarray(wire), np.asarray(q))
+
+
+def test_w2a8_kernel_matches_xla_fallback():
+    """Pallas W2A8 (int8 activations x int8-unpacked 2-bit planes) must be
+    bit-comparable to the XLA fallback: both compute exact integer dots on
+    the same xq, so outputs agree to float rounding."""
+    from piquant_tpu.quant.linear import (_quantize_act,
+                                          quantize_linear_weight)
+
+    rng = np.random.default_rng(SEED + 8)
+    k, n = 512, 256
+    w = jnp.asarray(rng.normal(0, 0.05, (k, n)), jnp.float32)
+    ql = quantize_linear_weight(w, 2)
+    x = jnp.asarray(rng.normal(0, 1, (8, k)), jnp.float32)
+    xq, xs = _quantize_act(x)
+    got = Q.w2a8_matmul(xq, xs, ql, jnp.float32)
+    assert got is not None
+    b = ql.data.astype(jnp.int32)
+    codes = jnp.concatenate([b & 3, (b >> 2) & 3, (b >> 4) & 3, b >> 6],
+                            axis=0).astype(jnp.float32)
+    acc = xq.astype(jnp.float32) @ codes
+    scale = ql.scale.astype(jnp.float32).reshape(1, -1)
+    zs = scale * ql.zero_point.astype(jnp.float32).reshape(1, -1)
+    xsum = jnp.sum(xq.astype(jnp.float32), axis=1, keepdims=True)
+    want = (acc * scale - xsum * zs) * xs
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_act_quant_all_mode_int2():
+    """act_quant="all" engages int8 activations at decode-sized M for INT2;
+    result stays close to the weight-only path (act-quant error only)."""
+    from piquant_tpu.quant.linear import quantize_linear_weight, quantized_matmul
+
+    rng = np.random.default_rng(SEED + 9)
+    k, n = 512, 256
+    w = jnp.asarray(rng.normal(0, 0.05, (k, n)), jnp.float32)
+    ql = quantize_linear_weight(w, 2)
+    x = jnp.asarray(rng.normal(0, 1, (4, k)), jnp.float32)
+    y_a8 = quantized_matmul(x, ql, jnp.float32, act_quant="all")
+    y_wq = quantized_matmul(x, ql, jnp.float32, act_quant=False)
+    rel = float(jnp.max(jnp.abs(y_a8 - y_wq)) / (jnp.max(jnp.abs(y_wq)) + 1e-9))
+    assert rel < 0.05, rel
+    # plain True keeps the prefill threshold: small M stays weight-only
+    y_thr = quantized_matmul(x, ql, jnp.float32, act_quant=True)
+    np.testing.assert_array_equal(np.asarray(y_thr), np.asarray(y_wq))
