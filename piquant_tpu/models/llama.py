@@ -61,6 +61,11 @@ class LlamaConfig:
     rotary_dim_override: Optional[int] = None  # Phi-style partial rotary:
                                                # rotate only the first
                                                # `rotary_dim` dims per head
+    n_experts: int = 0           # Mixtral-style MoE MLP when > 1
+    moe_top_k: int = 2           # experts per token (softmax over selected)
+    ep_axis: Optional[str] = None  # expert-parallel mesh axis: experts are
+                                   # sharded over it (stacked leading dim),
+                                   # outputs psum'd — run under shard_map
     act_quant_prefill: bool = False  # W4A8: int8 per-token activations for
                                      # LARGE-M (prefill) matmuls — 1.85x MXU
                                      # rate; small ppl cost (see
@@ -126,6 +131,14 @@ class LlamaConfig:
         )
 
     @staticmethod
+    def mixtral_8x7b() -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=32_000, d_model=4096, n_layers=32, n_heads=32,
+            n_kv_heads=8, d_ff=14_336, rope_theta=1_000_000.0,
+            max_seq_len=32_768, n_experts=8, moe_top_k=2,
+        )
+
+    @staticmethod
     def tiny(vocab: int = 256, **kw) -> "LlamaConfig":
         """Small config for tests / compile checks."""
         return LlamaConfig(
@@ -140,7 +153,7 @@ class LlamaConfig:
 
 def init_params(cfg: LlamaConfig, key: Array) -> Dict:
     """Random init (testing / benchmarking); loaders fill the same pytree."""
-    keys = iter(jax.random.split(key, 4 + cfg.n_layers * 8))
+    keys = iter(jax.random.split(key, 4 + cfg.n_layers * (8 + 3 * cfg.n_experts)))
     dt = cfg.dtype
 
     def dense(k, din, dout, std=0.02):
@@ -161,10 +174,19 @@ def init_params(cfg: LlamaConfig, key: Array) -> Dict:
             "wk": dense(next(keys), cfg.d_model, cfg.n_kv_heads * hd),
             "wv": dense(next(keys), cfg.d_model, cfg.n_kv_heads * hd),
             "wo": dense(next(keys), cfg.n_heads * hd, cfg.d_model),
-            "w1": dense(next(keys), cfg.d_model, cfg.d_ff),
-            "w3": dense(next(keys), cfg.d_model, cfg.d_ff),
-            "w2": dense(next(keys), cfg.d_ff, cfg.d_model),
         }
+        if cfg.n_experts > 1:
+            layer["router"] = dense(next(keys), cfg.d_model, cfg.n_experts)
+            layer["moe_w1"] = jnp.stack([dense(next(keys), cfg.d_model, cfg.d_ff)
+                                         for _ in range(cfg.n_experts)])
+            layer["moe_w3"] = jnp.stack([dense(next(keys), cfg.d_model, cfg.d_ff)
+                                         for _ in range(cfg.n_experts)])
+            layer["moe_w2"] = jnp.stack([dense(next(keys), cfg.d_ff, cfg.d_model)
+                                         for _ in range(cfg.n_experts)])
+        else:
+            layer["w1"] = dense(next(keys), cfg.d_model, cfg.d_ff)
+            layer["w3"] = dense(next(keys), cfg.d_model, cfg.d_ff)
+            layer["w2"] = dense(next(keys), cfg.d_ff, cfg.d_model)
         if cfg.qkv_bias:
             layer["bq"] = jnp.zeros((cfg.n_heads * hd,), dt)
             layer["bk"] = jnp.zeros((cfg.n_kv_heads * hd,), dt)
@@ -174,6 +196,7 @@ def init_params(cfg: LlamaConfig, key: Array) -> Dict:
 
 
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
+_MOE_QUANT_KEYS = ("moe_w1", "moe_w2", "moe_w3")
 
 
 def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
@@ -182,7 +205,7 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
     materializing float weights — lets an 8B model be constructed on a
     single chip for performance benchmarking (weight values don't matter
     for bandwidth/latency measurements)."""
-    keys = iter(jax.random.split(key, 4 + cfg.n_layers * 8))
+    keys = iter(jax.random.split(key, 4 + cfg.n_layers * (8 + 3 * cfg.n_experts)))
     dt = cfg.dtype
     hd = cfg.head_dim
 
@@ -213,10 +236,25 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
             "wk": qlin(next(keys), cfg.d_model, cfg.n_kv_heads * hd),
             "wv": qlin(next(keys), cfg.d_model, cfg.n_kv_heads * hd),
             "wo": qlin(next(keys), cfg.n_heads * hd, cfg.d_model),
-            "w1": qlin(next(keys), cfg.d_model, cfg.d_ff),
-            "w3": qlin(next(keys), cfg.d_model, cfg.d_ff),
-            "w2": qlin(next(keys), cfg.d_ff, cfg.d_model),
         }
+        if cfg.n_experts > 1:
+            from piquant_tpu.quant.linear import QuantizedExpertStack
+            layer["router"] = (jax.random.normal(
+                next(keys), (cfg.d_model, cfg.n_experts), jnp.float32) * 0.02
+                ).astype(dt)
+            layer["moe_w1"] = QuantizedExpertStack.stack(
+                [qlin(next(keys), cfg.d_model, cfg.d_ff)
+                 for _ in range(cfg.n_experts)])
+            layer["moe_w3"] = QuantizedExpertStack.stack(
+                [qlin(next(keys), cfg.d_model, cfg.d_ff)
+                 for _ in range(cfg.n_experts)])
+            layer["moe_w2"] = QuantizedExpertStack.stack(
+                [qlin(next(keys), cfg.d_ff, cfg.d_model)
+                 for _ in range(cfg.n_experts)])
+        else:
+            layer["w1"] = qlin(next(keys), cfg.d_model, cfg.d_ff)
+            layer["w3"] = qlin(next(keys), cfg.d_model, cfg.d_ff)
+            layer["w2"] = qlin(next(keys), cfg.d_ff, cfg.d_model)
         if cfg.qkv_bias:
             layer["bq"] = jnp.zeros((cfg.n_heads * hd,), dt)
             layer["bk"] = jnp.zeros((cfg.n_kv_heads * hd,), dt)
@@ -228,14 +266,27 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
 def quantize_params(params: Dict, bits: int = 4, *, channelwise: bool = True,
                     group_size: Optional[int] = None,
                     quantize_lm_head: bool = False) -> Dict:
-    """Weight-only quantization of every linear; norms/embeddings stay float."""
+    """Weight-only quantization of every linear; norms/embeddings/router
+    stay float.  MoE expert stacks are quantized per expert (each expert
+    gets its own channelwise scale/zp) and restacked."""
+    from piquant_tpu.quant.linear import QuantizedExpertStack
+
     out = dict(params)
     out["layers"] = []
     for layer in params["layers"]:
         ql = dict(layer)
         for k in _QUANT_KEYS:
-            ql[k] = quantize_linear_weight(layer[k], bits, channelwise=channelwise,
+            if k in layer:
+                ql[k] = quantize_linear_weight(
+                    layer[k], bits, channelwise=channelwise,
+                    group_size=group_size)
+        for k in _MOE_QUANT_KEYS:
+            if k in layer:
+                ql[k] = QuantizedExpertStack.stack([
+                    quantize_linear_weight(layer[k][e], bits,
+                                           channelwise=channelwise,
                                            group_size=group_size)
+                    for e in range(layer[k].shape[0])])
         out["layers"].append(ql)
     if quantize_lm_head:
         out["lm_head"] = quantize_linear_weight(params["lm_head"], 8, channelwise=channelwise)
@@ -490,7 +541,58 @@ def _attention(
     return out, cache
 
 
+def _expert_weight(stack, i: int):
+    """Expert i of a stacked MoE weight (QuantizedExpertStack or float
+    [E, K, N] array) as a 2-D linear for `_mm`."""
+    if hasattr(stack, "expert"):
+        return stack.expert(i)
+    return stack[i]
+
+
+def _mlp_moe(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:
+    """Mixtral-style sparse MoE MLP (SURVEY.md §2.3: the EP strategy).
+
+    Routing: top-k of the router logits per token, softmax over the
+    SELECTED logits (the Mixtral normalization).  Compute: every local
+    expert processes all tokens, masked by its routing weight — on TPU the
+    dense-weighted form stays jit-static (no data-dependent shapes) and the
+    weight traffic, not FLOPs, bounds decode anyway.  Under expert
+    parallelism (cfg.ep_axis inside shard_map) each device holds
+    E/ep whole experts (stacked leading dim sharded), computes their masked
+    contributions, and the psum here completes the token outputs."""
+    dt = cfg.dtype
+    aq = "all" if cfg.act_quant_decode else cfg.act_quant_prefill
+    logits = jnp.einsum("btd,de->bte", x.astype(jnp.float32),
+                        layer["router"].astype(jnp.float32))
+    topv, topi = jax.lax.top_k(logits, cfg.moe_top_k)       # [B, T, k]
+    probs = jax.nn.softmax(topv, axis=-1)                    # over selected
+
+    w1s, w3s, w2s = layer["moe_w1"], layer["moe_w3"], layer["moe_w2"]
+    e_local = (w1s.n_experts if hasattr(w1s, "n_experts")
+               else w1s.shape[0])
+    off = (jax.lax.axis_index(cfg.ep_axis) * e_local
+           if cfg.ep_axis is not None else 0)
+
+    y = jnp.zeros(x.shape, jnp.float32)
+    for el in range(e_local):
+        e_glob = off + el
+        gate = jnp.sum(jnp.where(topi == e_glob, probs, 0.0),
+                       axis=-1, keepdims=True)               # [B, T, 1]
+        g = _mm(x, _expert_weight(w1s, el), dt, aq)
+        u = _mm(x, _expert_weight(w3s, el), dt, aq)
+        gf = g.astype(jnp.float32)
+        act = (jax.nn.gelu(gf, approximate=True) if cfg.mlp_act == "gelu"
+               else jax.nn.silu(gf))
+        h = (act * u.astype(jnp.float32)).astype(dt)
+        y += _mm(h, _expert_weight(w2s, el), dt, aq).astype(jnp.float32) * gate
+    if cfg.ep_axis is not None:
+        y = jax.lax.psum(y, cfg.ep_axis)
+    return y.astype(dt)
+
+
 def _mlp(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:
+    if "router" in layer:
+        return _mlp_moe(cfg, layer, x)
     dt = cfg.dtype
     aq = "all" if cfg.act_quant_decode else cfg.act_quant_prefill
     if "w13" in layer:
@@ -620,7 +722,8 @@ _ROW_PARALLEL = ("wo", "w2")
 
 
 def param_shardings(cfg: LlamaConfig, tp_axis: str = "tp",
-                    params: Optional[Dict] = None) -> Dict:
+                    params: Optional[Dict] = None,
+                    ep_axis: Optional[str] = None) -> Dict:
     """PartitionSpec pytree for tensor parallelism over `tp_axis`
     (FLOAT params; for quantized params use `shard_params`).
 
@@ -628,8 +731,12 @@ def param_shardings(cfg: LlamaConfig, tp_axis: str = "tp",
     wo/w2; norms/embeddings replicated; lm_head column-sharded.
     """
     def layer_spec(layer=None):
-        keys = (layer.keys() if layer is not None
-                else _COL_PARALLEL[:5] + _ROW_PARALLEL)
+        if layer is not None:
+            keys = layer.keys()
+        elif cfg.n_experts > 1:
+            keys = ("wq", "wk", "wv", "wo", "router") + _MOE_QUANT_KEYS
+        else:
+            keys = _COL_PARALLEL[:5] + _ROW_PARALLEL
         s = {"attn_norm": P(None), "mlp_norm": P(None)}
         for k in _COL_PARALLEL:
             if k in keys:
@@ -637,6 +744,10 @@ def param_shardings(cfg: LlamaConfig, tp_axis: str = "tp",
         for k in _ROW_PARALLEL:
             if k in keys:
                 s[k] = P(tp_axis, None)
+        if "router" in keys:
+            s["router"] = P(None, None)
+            for k in _MOE_QUANT_KEYS:
+                s[k] = P(ep_axis, None, None)  # whole experts per shard
         if layer is not None:
             for k in ("bq", "bk", "bv"):
                 if k in layer:
@@ -654,14 +765,16 @@ def param_shardings(cfg: LlamaConfig, tp_axis: str = "tp",
     }
 
 
-def shard_params(params: Dict, mesh, tp_axis: str = "tp") -> Dict:
+def shard_params(params: Dict, mesh, tp_axis: str = "tp",
+                 ep_axis: Optional[str] = None) -> Dict:
     """device_put the param pytree with TP shardings; handles both float
     weights and QuantizedLinear leaves.
 
     QuantizedLinear.data for 4-bit is [K//2, N]: the row-parallel K-shard
     splits split-half byte rows evenly because (K/2) % tp == 0 for supported
     configs; per-channel scale/zp follow the N axis (replicated for
-    row-parallel layers).
+    row-parallel layers).  MoE expert stacks shard whole experts over
+    `ep_axis` (leading dim); the router stays replicated.
     """
     from jax.sharding import NamedSharding
 
@@ -703,6 +816,20 @@ def shard_params(params: Dict, mesh, tp_axis: str = "tp") -> Dict:
         for k in ("bq", "bk", "bv"):  # qkv biases follow their columns
             if k in layer:
                 nl[k] = put(layer[k], P(tp_axis))
+        if "router" in layer:  # MoE: router replicated, experts EP-sharded
+            from piquant_tpu.quant.linear import QuantizedExpertStack
+            nl["router"] = put(layer["router"], P(None, None))
+            for k in _MOE_QUANT_KEYS:
+                w = layer[k]
+                espec = P(ep_axis, None, None)
+                if isinstance(w, QuantizedExpertStack):
+                    nl[k] = QuantizedExpertStack(
+                        data=put(w.data, espec),
+                        scale=put(w.scale, espec),
+                        zero_point=put(w.zero_point, espec),
+                        bits=w.bits, k=w.k, group_size=w.group_size)
+                else:
+                    nl[k] = put(w, espec)
         if "fused_tp" in layer:
             nl["fused_tp"] = layer["fused_tp"]
         out["layers"].append(nl)

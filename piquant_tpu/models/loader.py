@@ -54,6 +54,9 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
             int(hf_config.partial_rotary_factor * hd)
             if getattr(hf_config, "partial_rotary_factor", 1.0) != 1.0
             else None),
+        # Mixtral MoE
+        n_experts=getattr(hf_config, "num_local_experts", 0) or 0,
+        moe_top_k=getattr(hf_config, "num_experts_per_tok", 2) or 2,
         dtype=dtype,
     )
 
@@ -127,24 +130,37 @@ def params_from_state_dict(state_dict: Dict[str, Any], cfg: LlamaConfig) -> Dict
             wv = lin(pre + "self_attn.v_proj.weight")
         wq = _permute_rope_cols(wq_raw, cfg.n_heads, hd, rd)
         wk = _permute_rope_cols(wk_raw, cfg.n_kv_heads, hd, rd)
-        if pre + "mlp.gate_up_proj.weight" in state_dict:
-            # Phi-3: fused [gate; up]
-            gu = lin(pre + "mlp.gate_up_proj.weight")
-            w1, w3 = gu[:, :cfg.d_ff], gu[:, cfg.d_ff:]
-        else:
-            w1 = lin(pre + "mlp.gate_proj.weight")
-            w3 = lin(pre + "mlp.up_proj.weight")
-        params["layers"].append({
+        layer: Dict[str, Any] = {
             "attn_norm": jnp.asarray(npy(pre + "input_layernorm.weight"), dt),
             "mlp_norm": jnp.asarray(npy(pre + "post_attention_layernorm.weight"), dt),
             "wq": jnp.asarray(wq, dt),
             "wk": jnp.asarray(wk, dt),
             "wv": jnp.asarray(wv, dt),
             "wo": jnp.asarray(lin(pre + "self_attn.o_proj.weight"), dt),
-            "w1": jnp.asarray(w1, dt),
-            "w3": jnp.asarray(w3, dt),
-            "w2": jnp.asarray(lin(pre + "mlp.down_proj.weight"), dt),
-        })
+        }
+        if pre + "block_sparse_moe.gate.weight" in state_dict:
+            # Mixtral MoE: router + per-expert w1 (gate), w3 (up), w2 (down)
+            layer["router"] = jnp.asarray(
+                lin(pre + "block_sparse_moe.gate.weight"), dt)
+            ep = pre + "block_sparse_moe.experts."
+            layer["moe_w1"] = jnp.asarray(np.stack(
+                [lin(f"{ep}{e}.w1.weight") for e in range(cfg.n_experts)]), dt)
+            layer["moe_w3"] = jnp.asarray(np.stack(
+                [lin(f"{ep}{e}.w3.weight") for e in range(cfg.n_experts)]), dt)
+            layer["moe_w2"] = jnp.asarray(np.stack(
+                [lin(f"{ep}{e}.w2.weight") for e in range(cfg.n_experts)]), dt)
+        else:
+            if pre + "mlp.gate_up_proj.weight" in state_dict:
+                # Phi-3: fused [gate; up]
+                gu = lin(pre + "mlp.gate_up_proj.weight")
+                w1, w3 = gu[:, :cfg.d_ff], gu[:, cfg.d_ff:]
+            else:
+                w1 = lin(pre + "mlp.gate_proj.weight")
+                w3 = lin(pre + "mlp.up_proj.weight")
+            layer["w1"] = jnp.asarray(w1, dt)
+            layer["w3"] = jnp.asarray(w3, dt)
+            layer["w2"] = jnp.asarray(lin(pre + "mlp.down_proj.weight"), dt)
+        params["layers"].append(layer)
         if cfg.qkv_bias:
             # biases get the same head-dim permutation as their projections
             layer = params["layers"][-1]

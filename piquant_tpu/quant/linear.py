@@ -179,6 +179,62 @@ class QuantizedLinear:
         return w.astype(dtype)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedExpertStack:
+    """E stacked QuantizedLinear weights with identical geometry
+    (MoE experts): data [E, rows, N], scale/zp [E, G-or-1, N].
+
+    The leading axis is the EXPERT-PARALLEL sharding axis — placing
+    PartitionSpec("ep", None, None) on it gives each device a contiguous
+    block of whole experts (SURVEY.md §2.3: the EP strategy the reference
+    lacks).  `expert(i)` returns a 2-D QuantizedLinear view for the fused
+    kernels."""
+
+    data: Array
+    scale: Array
+    zero_point: Array
+    bits: int
+    k: int
+    group_size: Optional[int] = None
+
+    def tree_flatten(self):
+        return (self.data, self.scale, self.zero_point), (self.bits, self.k,
+                                                          self.group_size)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        data, scale, zp = children
+        bits, k, group_size = aux
+        return cls(data, scale, zp, bits, k, group_size)
+
+    @property
+    def n_experts(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.data.shape[-1]
+
+    def expert(self, i: int) -> "QuantizedLinear":
+        return QuantizedLinear(data=self.data[i], scale=self.scale[i],
+                               zero_point=self.zero_point[i], bits=self.bits,
+                               k=self.k, group_size=self.group_size)
+
+    @staticmethod
+    def stack(qls: "list[QuantizedLinear]") -> "QuantizedExpertStack":
+        q0 = qls[0]
+        for q in qls[1:]:
+            if (q.bits, q.k, q.group_size, q.data.shape) != (
+                    q0.bits, q0.k, q0.group_size, q0.data.shape):
+                raise ValueError("experts must share geometry")
+        return QuantizedExpertStack(
+            data=jnp.stack([q.data for q in qls]),
+            scale=jnp.stack([q.scale for q in qls]),
+            zero_point=jnp.stack([q.zero_point for q in qls]),
+            bits=q0.bits, k=q0.k, group_size=q0.group_size)
+
+
 def quantize_linear_weight(
     w: Array,
     bits: int = 4,

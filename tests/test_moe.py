@@ -1,0 +1,162 @@
+"""Mixtral-style MoE: routing correctness, quantized experts, expert
+parallelism on the virtual CPU mesh, and transformers cross-validation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from piquant_tpu.models import llama as M
+
+SEED = 0x9032002
+
+
+def _tiny_moe(**kw):
+    return M.LlamaConfig.tiny(n_experts=4, moe_top_k=2, dtype=jnp.float32,
+                              **kw)
+
+
+def _naive_moe(layer, x, top_k, act="silu"):
+    """Per-token numpy reference: route, softmax over selected, weighted
+    sum of chosen expert MLPs."""
+    xf = np.asarray(x, np.float64)
+    router = np.asarray(layer["router"], np.float64)
+    w1 = np.asarray(layer["moe_w1"], np.float64)
+    w3 = np.asarray(layer["moe_w3"], np.float64)
+    w2 = np.asarray(layer["moe_w2"], np.float64)
+    b, t, d = xf.shape
+    out = np.zeros_like(xf)
+    for bi in range(b):
+        for ti in range(t):
+            v = xf[bi, ti]
+            logits = v @ router
+            top = np.argsort(-logits)[:top_k]
+            sel = logits[top]
+            p = np.exp(sel - sel.max())
+            p /= p.sum()
+            acc = np.zeros(d)
+            for w, e in zip(p, top):
+                g = v @ w1[e]
+                u = v @ w3[e]
+                sg = g / (1 + np.exp(-g))  # silu
+                acc += w * ((sg * u) @ w2[e])
+            out[bi, ti] = acc
+    return out
+
+
+def test_moe_mlp_matches_naive():
+    cfg = _tiny_moe()
+    params = M.init_params(cfg, jax.random.key(0))
+    layer = params["layers"][0]
+    x = jax.random.normal(jax.random.key(1), (2, 5, cfg.d_model), jnp.float32)
+    got = np.asarray(M._mlp(cfg, layer, x))
+    want = _naive_moe(layer, x, cfg.moe_top_k)
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_moe_forward_and_decode():
+    cfg = _tiny_moe()
+    params = M.init_params(cfg, jax.random.key(0))
+    toks = jax.random.randint(jax.random.key(2), (2, 8), 0, cfg.vocab_size,
+                              jnp.int32)
+    logits, _ = M.forward(cfg, params, toks)
+    assert logits.shape == (2, 8, cfg.vocab_size)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+    cache = M.init_kv_cache(cfg, 2, max_len=16)
+    last, cache = M.prefill(cfg, params, toks, cache)
+    step, cache = M.decode_step(cfg, params,
+                                last.argmax(-1).astype(jnp.int32),
+                                jnp.full((2,), 8, jnp.int32), cache)
+    assert step.shape == (2, cfg.vocab_size)
+
+
+def test_moe_quantized_params():
+    from piquant_tpu.quant.linear import QuantizedExpertStack
+
+    cfg = _tiny_moe()
+    params = M.init_params(cfg, jax.random.key(0))
+    qp = M.quantize_params(params, bits=8)
+    st = qp["layers"][0]["moe_w1"]
+    assert isinstance(st, QuantizedExpertStack)
+    assert st.n_experts == 4 and st.data.shape == (4, cfg.d_model, cfg.d_ff)
+
+    x = jax.random.normal(jax.random.key(3), (2, 5, cfg.d_model), jnp.float32)
+    y_f = np.asarray(M._mlp(cfg, params["layers"][0], x))
+    y_q = np.asarray(M._mlp(cfg, qp["layers"][0], x))
+    # int8 experts: small quantization error only
+    rel = np.abs(y_q - y_f).max() / (np.abs(y_f).max() + 1e-9)
+    assert rel < 0.05, rel
+
+
+def test_moe_expert_parallel_matches_single():
+    """shard_map over an ep axis (whole experts per shard + psum) must equal
+    the single-device MoE MLP."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.array(devs[:4]), ("ep",))
+
+    cfg = _tiny_moe()
+    cfg_ep = _tiny_moe(ep_axis="ep")
+    params = M.init_params(cfg, jax.random.key(0))
+    layer = params["layers"][0]
+    x = jax.random.normal(jax.random.key(4), (2, 5, cfg.d_model), jnp.float32)
+    want = np.asarray(M._mlp(cfg, layer, x))
+
+    moe_keys = ("moe_w1", "moe_w2", "moe_w3")
+    stacked = {k: layer[k] for k in moe_keys}
+    rest = {k: v for k, v in layer.items() if k not in moe_keys}
+
+    @jax.jit
+    def run(stacked_, rest_, x_):
+        def inner(st, rt, xv):
+            return M._mlp(cfg_ep, {**rt, **st}, xv)
+        return shard_map(
+            inner, mesh=mesh,
+            in_specs=({k: P("ep", None, None) for k in moe_keys},
+                      jax.tree.map(lambda _: P(), rest_), P()),
+            out_specs=P(),
+        )(stacked_, rest_, x_)
+
+    got = np.asarray(run(stacked, rest, x))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_mixtral_loader_matches_transformers(quantized):
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from piquant_tpu.models.loader import load_from_hf
+
+    torch.manual_seed(SEED + 6)
+    conf = transformers.MixtralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=64, rope_theta=10_000.0, rms_norm_eps=1e-5,
+        attn_implementation="eager",
+    )
+    model = transformers.MixtralForCausalLM(conf)
+    model.eval()
+
+    cfg, params = load_from_hf(model, dtype=jnp.float32)
+    assert cfg.n_experts == 4 and cfg.moe_top_k == 2
+    rng = np.random.default_rng(SEED + 7)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 10))
+
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+
+    if quantized:
+        params = M.quantize_params(params, bits=8)
+        got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+        # int8 error bound only
+        denom = np.abs(want).max()
+        assert np.abs(np.asarray(got) - want).max() / denom < 0.05
+    else:
+        got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
