@@ -304,6 +304,59 @@ def _w4_grouped_kernel(m: int, k: int, n: int, g: int, bm: int, bn: int,
 
 
 @lru_cache(maxsize=None)
+def _w2_grouped_kernel(m: int, k: int, n: int, g: int, bm: int, bn: int,
+                       out_dtype: str):
+    """Group-wise INT2 (the quality-viable INT2 config — channelwise INT2
+    is unusable, see benchmarks/ppl_quality.py).
+
+    Relies on the strided-group storage layout
+    (quant/linear.py::strided_group_perm): packed plane row r belongs to
+    group r % (g/4), so the per-group scale expand is a native
+    `pltpu.repeat` tile — the ONLY group-broadcast Mosaic lowers fast.
+    (The broadcast+reshape expand of _w4_grouped_kernel measured
+    103 GB/s with multi-minute compiles here; 3-D reshapes are an
+    'unsupported shape cast'.)  The zero-point folds per group:
+    y = sum_p x_p @ (codes_p * s_p) - xg @ (z * s), with xg the per-group
+    x sums computed by the caller.  204 GB/s measured vs 275 for the
+    channelwise kernel under the same protocol (v5 probe, NOTES.md)."""
+    odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
+    kq = k // 4
+    g4 = g // 4
+    gs = k // g
+
+    def kern(x_ref, xg_ref, b_ref, s_ref, zs_ref, o_ref):
+        b = b_ref[:].astype(jnp.int32)
+        x = x_ref[:]
+        acc = jnp.zeros((x.shape[0], b.shape[-1]), jnp.float32)
+        for p in range(4):
+            pb = ((b >> (2 * p)) & 3).astype(jnp.bfloat16)
+            sE = pltpu.repeat(
+                s_ref[p * g4:(p + 1) * g4].astype(jnp.bfloat16), gs, 0)
+            acc += jnp.dot(x[:, p * kq:(p + 1) * kq], pb * sE,
+                           preferred_element_type=jnp.float32)
+        acc -= jnp.dot(xg_ref[:].astype(jnp.bfloat16),
+                       zs_ref[:].astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        o_ref[:] = acc.astype(odt)
+
+    grid = (pl.cdiv(m, bm), n // bn)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n), odt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, g), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kq, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+    )
+
+
+@lru_cache(maxsize=None)
 def _w2_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
     """INT2 split-quarter (quant/linear.py pack_split_quarter): four 2-bit
     planes per byte, four elementwise unpacks + four dots.  Weight traffic
@@ -449,10 +502,13 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
     """x [..., K] @ packed weight -> [..., N]; None if no fast path."""
     k, n = ql.k, ql.n
     group_size = getattr(ql, "group_size", None)
-    if group_size is not None and (
-        ql.bits != 4 or (k // 2) % group_size or group_size % 8
-    ):
-        return None  # unsupported grouped shape: XLA path
+    if group_size is not None:
+        # group boundaries must not straddle a packed-plane boundary:
+        # int4 split-half needs (K/2) % gs == 0, int2 split-quarter (K/4)
+        plane_rows = {4: k // 2, 2: k // 4}.get(ql.bits)
+        if (plane_rows is None or plane_rows % group_size
+                or group_size % 8):
+            return None  # unsupported grouped shape: XLA path
     if n % 128 or k % 256:
         return None  # dispatch falls back to the XLA path
     # weight rows per byte-block: k/4 (int2), k/2 (int4), or k (int8)
@@ -486,9 +542,34 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
 
     if group_size is not None:
         g = k // group_size
-        kfun = _w4_grouped_kernel(mp, k, n, g, bm, bn, oname)
-        y = kfun(x2, ql.data, ql.scale.astype(jnp.float32),
-                 ql.zero_point.astype(jnp.int32))
+        if ql.bits == 2:
+            if k % 512:
+                return None
+            # grouped unpack holds 4 bf16 planes + repeated scales in
+            # scoped VMEM; keep the packed block <= 1 MB
+            bng = next((c for c in (1024, 512, 256, 128)
+                        if n % c == 0 and (k // 4) * c <= 1024 * 1024), None)
+            if bng is None:
+                return None
+            import numpy as _np
+
+            from piquant_tpu.quant.linear import strided_group_perm
+
+            # x columns permuted to match the strided-group storage layout
+            kq = k // 4
+            perm = strided_group_perm(kq, g // 4)
+            pfull = _np.concatenate([p * kq + perm for p in range(4)])
+            x_perm = x2[:, pfull]
+            xg = jnp.sum(x2.astype(jnp.float32).reshape(mp, g, group_size),
+                         axis=2)  # natural group order, matches scale rows
+            sc = ql.scale.astype(jnp.float32)
+            zs2 = sc * ql.zero_point.astype(jnp.float32)
+            kfun = _w2_grouped_kernel(mp, k, n, g, bm, bng, oname)
+            y = kfun(x_perm, xg, ql.data, sc, zs2)
+        else:
+            kfun = _w4_grouped_kernel(mp, k, n, g, bm, bn, oname)
+            y = kfun(x2, ql.data, ql.scale.astype(jnp.float32),
+                     ql.zero_point.astype(jnp.int32))
         if mp != m:
             y = y[:m]
         return y.reshape(*lead, n).astype(out_dtype)

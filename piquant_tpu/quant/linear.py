@@ -65,6 +65,32 @@ def pack_split_quarter(codes: Array) -> Array:
             | (c[3 * q:] << 6))
 
 
+def strided_group_perm(kq: int, g4: int):
+    """Permutation for the grouped-INT2 storage layout: packed plane row r
+    holds ORIGINAL plane row pi(r) = (r % g4) * gs + (r // g4), so the
+    group of packed row r is r % g4 — which turns the per-group scale
+    expand in the Pallas kernel into a native tile-repeat
+    (`pltpu.repeat`), the only group-broadcast Mosaic lowers fast (the
+    broadcast+reshape form compiles minutes and runs at 1/3 the speed).
+    Scales/zero-points stay in natural group order."""
+    import numpy as np
+    gs = kq // g4
+    r = np.arange(kq)
+    return (r % g4) * gs + (r // g4)
+
+
+def _grouped_int2_perm_codes(codes: Array, k: int, group_size: int,
+                             inverse: bool = False) -> Array:
+    """Apply (or invert) the strided-group row permutation per plane."""
+    import numpy as np
+    kq = k // 4
+    g4 = (k // group_size) // 4
+    perm = strided_group_perm(kq, g4)
+    if inverse:
+        perm = np.argsort(perm)
+    return codes.reshape(4, kq, -1)[:, perm].reshape(k, codes.shape[-1])
+
+
 def unpack_split_quarter(packed: Array) -> Array:
     """bytes [K//4, N] -> int32 codes [K, N]."""
     b = packed.astype(jnp.int32)
@@ -170,6 +196,10 @@ class QuantizedLinear:
         """Materialize the full [K, N] float weight (debug / fallback)."""
         if self.bits == 2:
             codes = unpack_split_quarter(self.data)
+            if self.group_size is not None:  # undo strided-group layout
+                codes = _grouped_int2_perm_codes(codes, self.k,
+                                                 self.group_size,
+                                                 inverse=True)
         elif self.bits == 4:
             codes = unpack_split_half(self.data)
         else:
@@ -292,6 +322,9 @@ def quantize_linear_weight(
     codes = jnp.clip(rounded.astype(jnp.int32) + z_full, qmin, qmax)
 
     if bits == 2:
+        if group_size is not None:
+            # strided-group storage layout (see strided_group_perm)
+            codes = _grouped_int2_perm_codes(codes, k, group_size)
         data = pack_split_quarter(codes)
     elif bits == 4:
         data = pack_split_half(codes)
@@ -317,7 +350,9 @@ def _matmul_dequant_jnp(x: Array, ql: QuantizedLinear, out_dtype) -> Array:
         # f32 operands: CPU XLA lacks bf16 batched dots, and this path is
         # the (non-pallas) fallback anyway.
         if ql.bits == 2:
-            codes = unpack_split_quarter(ql.data).astype(jnp.float32)
+            codes = _grouped_int2_perm_codes(
+                unpack_split_quarter(ql.data), ql.k, ql.group_size,
+                inverse=True).astype(jnp.float32)
         elif ql.bits == 4:
             codes = unpack_split_half(ql.data).astype(jnp.float32)
         else:

@@ -55,10 +55,12 @@ class EngineConfig:
     # Optional ladder of attention-window buckets (e.g. (512, 1024, 2048)):
     # decode blocks attend only to the smallest bucket covering the longest
     # active context, cutting cache traffic for short contexts.  Each bucket
-    # is a separate compiled executable — a cold bucket stalls one block on
-    # XLA compile, so enable it for long-max_len deployments (where the
-    # traffic win is large) and keep the ladder short.  Empty = always
-    # max_seq_len (one executable).
+    # is a separate compiled executable; with warmup_buckets (default) all
+    # buckets are AOT-compiled at Engine construction, so none stalls a
+    # serving block mid-run.  Empty = always max_seq_len (one executable).
+    warmup_buckets: bool = True
+    # Precompile every attn_windows bucket in __init__ (moves the cold-
+    # compile cost from the first long-context block to startup).
     prefill_chunk: Optional[int] = None
     # When set, prompts are prefilled in fixed-size chunks attending against
     # the (INT8) cache — ONE compiled prefill shape regardless of prompt
@@ -291,6 +293,34 @@ class Engine:
         # lazy: only the one-shot prefill path uses it, and the chunked
         # path would otherwise strand ~100+ MB of HBM
         self._fresh_template_cache = None
+
+        if econfig.attn_windows and econfig.warmup_buckets:
+            self._warmup_decode_buckets()
+
+    # ------------------------------------------------------------------
+    def _warmup_decode_buckets(self) -> None:
+        """AOT-compile every attention-window bucket at construction so a
+        cold bucket never stalls a serving block mid-run (the p99 hit that
+        made buckets opt-in).  Compile-only (lower().compile()): nothing
+        executes, no buffers are donated; the persistent compile cache
+        makes restarts cheap."""
+        b = self.ec.batch_slots
+
+        def aval(t):
+            return jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
+
+        f32 = lambda: jax.ShapeDtypeStruct((b,), jnp.float32)  # noqa: E731
+        for w in sorted(set(tuple(self.ec.attn_windows)
+                            + (self.ec.max_seq_len,))):
+            fn = _jit_decode_block(self.cfg, self.ec.decode_block, w)
+            fn.lower(
+                aval(self.params), aval(self._cur_tok), aval(self._positions),
+                aval(self.cache), f32(),
+                jax.ShapeDtypeStruct((b,), jnp.int32), f32(),
+                aval(self._key), jax.ShapeDtypeStruct((), jnp.int32),
+                jax.ShapeDtypeStruct((b,), jnp.bool_),
+            ).compile()
 
     # ------------------------------------------------------------------
     def submit(self, req: Request) -> None:

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from piquant_tpu.quant.linear import QuantizedLinear
+from piquant_tpu.quant.linear import (QuantizedExpertStack,
+                                      QuantizedLinear)
 
 FORMAT_VERSION = 1
 
@@ -27,13 +28,15 @@ def _flatten_with_meta(params) -> Tuple[Dict[str, np.ndarray], list]:
     meta = []
 
     def visit(path, node):
-        if isinstance(node, QuantizedLinear):
+        if isinstance(node, (QuantizedLinear, QuantizedExpertStack)):
             base = f"{path}"
             leaves_out[base + ".data"] = np.asarray(node.data)
             leaves_out[base + ".scale"] = np.asarray(node.scale)
             leaves_out[base + ".zp"] = np.asarray(node.zero_point)
-            meta.append({"path": path, "kind": "qlinear",
-                         "bits": node.bits, "k": node.k})
+            kind = ("qexperts" if isinstance(node, QuantizedExpertStack)
+                    else "qlinear")
+            meta.append({"path": path, "kind": kind, "bits": node.bits,
+                         "k": node.k, "group_size": node.group_size})
         elif isinstance(node, dict):
             meta.append({"path": path, "kind": "dict",
                          "keys": sorted(node.keys())})
@@ -78,12 +81,14 @@ def load_quantized(path: str) -> Any:
 
     def build(path):
         m = nodes[path]
-        if m["kind"] == "qlinear":
-            return QuantizedLinear(
+        if m["kind"] in ("qlinear", "qexperts"):
+            cls = QuantizedExpertStack if m["kind"] == "qexperts" else QuantizedLinear
+            return cls(
                 data=jnp.asarray(data[path + ".data"]),
                 scale=jnp.asarray(data[path + ".scale"]),
                 zero_point=jnp.asarray(data[path + ".zp"]),
                 bits=m["bits"], k=m["k"],
+                group_size=m.get("group_size"),
             )
         if m["kind"] == "dict":
             return {k: build(f"{path}/{k}") for k in m["keys"]}

@@ -169,3 +169,20 @@ def test_act_quant_all_mode_int2():
     # plain True keeps the prefill threshold: small M stays weight-only
     y_thr = quantized_matmul(x, ql, jnp.float32, act_quant=True)
     np.testing.assert_array_equal(np.asarray(y_thr), np.asarray(y_wq))
+
+
+def test_int2_grouped_kernel_matches_fallback():
+    """Group-wise INT2 (the quality-viable config) must take the Pallas
+    path for supported shapes and match the XLA fallback."""
+    from piquant_tpu.quant.linear import quantize_linear_weight
+
+    rng = np.random.default_rng(SEED + 11)
+    k, n = 512, 256
+    w = jnp.asarray(rng.normal(0, 0.05, (k, n)), jnp.float32)
+    ql = quantize_linear_weight(w, 2, group_size=16)
+    x = jnp.asarray(rng.normal(0, 1, (8, k)), jnp.float32)
+    got = Q.quantized_matmul(x, ql, jnp.float32)
+    assert got is not None  # Pallas path engaged
+    want = _matmul_dequant_jnp(x, ql, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2, rtol=2e-2)

@@ -272,3 +272,42 @@ def test_ngram_draft_lookup():
     hist2 = jnp.asarray([[1, 2, 3, 4, 5, 0, 0, 0, 0, 0]], jnp.int32)
     d2 = np.asarray(ngram_draft(hist2, jnp.asarray([4]), 3))
     assert d2.tolist() == [[0, 0, 0]]
+
+
+def test_engine_moe_model():
+    """The engine is model-agnostic: a quantized MoE (Mixtral-style) model
+    must serve greedily identical to single-request generation."""
+    cfg = M.LlamaConfig.tiny(n_experts=4, moe_top_k=2)
+    params = M.quantize_params(M.init_params(cfg, jax.random.key(SEED + 9)),
+                               bits=4)
+    rng = np.random.default_rng(SEED + 10)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (5, 9)]
+    want = [_reference_generate(cfg, params, p, 6) for p in prompts]
+
+    eng = Engine(cfg, params, EngineConfig(batch_slots=2, max_seq_len=64))
+    for i, p in enumerate(prompts):
+        eng.submit(Request(rid=i, prompt=p,
+                           sampling=SamplingParams(max_new_tokens=6)))
+    done = eng.run()
+    got = [r.tokens for r in sorted(done, key=lambda r: r.rid)]
+    assert got == want
+
+
+def test_engine_attn_window_buckets(setup):
+    """Window buckets (AOT-warmed at construction) must not change greedy
+    output: attention over [0, bucket) is exact while contexts fit."""
+    cfg, params = setup
+    rng = np.random.default_rng(SEED + 20)
+    prompts = [list(map(int, rng.integers(1, cfg.vocab_size, 7)))
+               for _ in range(2)]
+    want = [_reference_generate(cfg, params, p, 5) for p in prompts]
+
+    eng = Engine(cfg, params,
+                 EngineConfig(batch_slots=2, max_seq_len=64,
+                              attn_windows=(32, 64), decode_block=4))
+    for i, p in enumerate(prompts):
+        eng.submit(Request(rid=i, prompt=p,
+                           sampling=SamplingParams(max_new_tokens=5)))
+    done = eng.run()
+    got = [r.tokens for r in sorted(done, key=lambda r: r.rid)]
+    assert got == want

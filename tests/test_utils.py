@@ -42,3 +42,31 @@ def test_measure_throughput_smoke():
     rep = measure_throughput(lambda c: c * 1.000001, x,
                              bytes_per_iter=x.size * 8, k1=2, k2=6, reps=2)
     assert rep["s_per_iter"] >= 0 or rep["gb_per_s"] > 0
+
+
+def test_weight_cache_group_size_and_experts(tmp_path):
+    """group_size must survive the cache roundtrip (it parameterizes
+    dequantization); expert stacks persist as first-class nodes."""
+    import jax
+    import jax.numpy as jnp
+
+    from piquant_tpu.models import llama as M
+    from piquant_tpu.quant.linear import (QuantizedExpertStack,
+                                          quantize_linear_weight)
+
+    w = jax.random.normal(jax.random.key(0), (64, 32), jnp.float32) * 0.05
+    ql = quantize_linear_weight(w, 4, group_size=16)
+    cfg = M.LlamaConfig.tiny(n_experts=2, moe_top_k=1, dtype=jnp.float32)
+    qp = M.quantize_params(M.init_params(cfg, jax.random.key(1)), bits=8)
+    tree = {"grouped": ql, "experts": qp["layers"][0]["moe_w1"]}
+
+    save_quantized(str(tmp_path / "w"), tree)
+    loaded = load_quantized(str(tmp_path / "w"))
+
+    assert loaded["grouped"].group_size == 16
+    np.testing.assert_array_equal(np.asarray(loaded["grouped"].dequantize()),
+                                  np.asarray(ql.dequantize()))
+    st = loaded["experts"]
+    assert isinstance(st, QuantizedExpertStack) and st.n_experts == 2
+    np.testing.assert_array_equal(np.asarray(st.data),
+                                  np.asarray(qp["layers"][0]["moe_w1"].data))
