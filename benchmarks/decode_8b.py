@@ -32,8 +32,9 @@ def main(batch=8, ctx=1024, max_len=2048):
         import dataclasses
         cfg = dataclasses.replace(cfg, act_quant_decode=True)
     print(f"building INT{bits} 8B params (batch={batch}, ctx={ctx})...", flush=True)
+    gs = int(os.environ.get("PIQUANT_GS", "0")) or None
     params = M.random_quantized_params(cfg, jax.random.key(0), bits=bits,
-                                       lm_head_bits=8)
+                                       lm_head_bits=8, group_size=gs)
     if os.environ.get("PIQUANT_FUSE", "0") == "1":
         # wqkv/w13 fusion: fewer launches/buffers but measured ~5% SLOWER
         # end-to-end on one chip (11.47 vs 10.89 ms/step) — opt-in only

@@ -200,7 +200,8 @@ _MOE_QUANT_KEYS = ("moe_w1", "moe_w2", "moe_w3")
 
 
 def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
-                            lm_head_bits: Optional[int] = None) -> Dict:
+                            lm_head_bits: Optional[int] = None,
+                            group_size: Optional[int] = None) -> Dict:
     """Build INT-quantized params DIRECTLY (random codes), never
     materializing float weights — lets an 8B model be constructed on a
     single chip for performance benchmarking (weight values don't matter
@@ -211,11 +212,15 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
 
     def qlin(k_, din, dout, b=None):
         b = b if b is not None else bits
+        gs = group_size if (b == bits and group_size
+                            and din % group_size == 0) else None
         rows = {2: din // 4, 4: din // 2}.get(b, din)
+        g = din // gs if gs else 1
         data = jax.random.randint(k_, (rows, dout), 0, 256, jnp.int32).astype(jnp.uint8)
-        scale = jnp.full((1, dout), 2.0 / ((1 << b) - 1) / (din ** 0.5), jnp.float32)
-        zp = jnp.full((1, dout), (1 << (b - 1)), jnp.int32)
-        return QuantizedLinear(data=data, scale=scale, zero_point=zp, bits=b, k=din)
+        scale = jnp.full((g, dout), 2.0 / ((1 << b) - 1) / (din ** 0.5), jnp.float32)
+        zp = jnp.full((g, dout), (1 << (b - 1)), jnp.int32)
+        return QuantizedLinear(data=data, scale=scale, zero_point=zp, bits=b,
+                               k=din, group_size=gs)
 
     def dense(k_, din, dout, std=0.02):
         return (jax.random.normal(k_, (din, dout), jnp.float32) * std).astype(dt)
