@@ -98,6 +98,9 @@ def main(steps: int = 400):
         ("int2 group-wise gs=32", dict(bits=2, group_size=32), False),
         ("int2 channelwise", dict(bits=2), False),
         ("int2 + int8 act (W2A8)", dict(bits=2), "decode"),
+        ("mixed attn4 + mlp2-g32",
+         dict(bits=4, overrides={"w1": (2, 32), "w3": (2, 32),
+                                 "w2": (2, 32)}), False),
     ]:
         qp = M.quantize_params(params, **kw)
         if aq == "decode":  # act quant at every M (the INT2 decode path)

@@ -24,20 +24,25 @@ from piquant_tpu.serving import Engine, EngineConfig, Request, SamplingParams
 
 
 def main(n_requests=16, slots=8):
+    import os
     cfg = M.LlamaConfig.llama3_8b()
+    windows = tuple(int(w) for w in
+                    os.environ.get("PIQUANT_WINDOWS", "").split(",") if w)
     print(f"building INT4 8B params ({n_requests} requests, {slots} slots)...",
           flush=True)
     params = M.random_quantized_params(cfg, jax.random.key(0), bits=4,
                                        lm_head_bits=8)
     eng = Engine(cfg, params, EngineConfig(batch_slots=slots, max_seq_len=2048,
-                                           prefill_pad=256))
+                                           prefill_pad=256,
+                                           attn_windows=windows))
     rng = np.random.default_rng(7)
     lengths = rng.integers(100, 900, n_requests)
 
     # warm the compiled shapes (prefill buckets + decode step) so measured
     # TTFT reflects steady-state serving, not XLA compilation
     warm = Engine(cfg, params, EngineConfig(batch_slots=slots, max_seq_len=2048,
-                                            prefill_pad=256))
+                                            prefill_pad=256,
+                                            attn_windows=windows))
     for L in sorted(set(int(-(-l // 256) * 256) for l in lengths)):
         warm.submit(Request(rid=0, prompt=[5] * (L - 1),
                             sampling=SamplingParams(max_new_tokens=2)))

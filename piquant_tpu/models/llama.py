@@ -270,11 +270,25 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
 
 def quantize_params(params: Dict, bits: int = 4, *, channelwise: bool = True,
                     group_size: Optional[int] = None,
-                    quantize_lm_head: bool = False) -> Dict:
+                    quantize_lm_head: bool = False,
+                    overrides: Optional[Dict] = None) -> Dict:
     """Weight-only quantization of every linear; norms/embeddings/router
     stay float.  MoE expert stacks are quantized per expert (each expert
-    gets its own channelwise scale/zp) and restacked."""
+    gets its own channelwise scale/zp) and restacked.
+
+    `overrides` maps weight names to `(bits, group_size)` (or bare bits)
+    for mixed-precision recipes — e.g. the MLP weights (75% of 8B layer
+    bytes) at INT2-g32 with attention kept INT4:
+        overrides={"w1": (2, 32), "w3": (2, 32), "w2": (2, 32)}"""
     from piquant_tpu.quant.linear import QuantizedExpertStack
+
+    def cfg_for(k):
+        o = (overrides or {}).get(k)
+        if o is None:
+            return bits, group_size
+        if isinstance(o, tuple):
+            return o
+        return o, group_size
 
     out = dict(params)
     out["layers"] = []
@@ -282,15 +296,16 @@ def quantize_params(params: Dict, bits: int = 4, *, channelwise: bool = True,
         ql = dict(layer)
         for k in _QUANT_KEYS:
             if k in layer:
+                b, gs = cfg_for(k)
                 ql[k] = quantize_linear_weight(
-                    layer[k], bits, channelwise=channelwise,
-                    group_size=group_size)
+                    layer[k], b, channelwise=channelwise, group_size=gs)
         for k in _MOE_QUANT_KEYS:
             if k in layer:
+                b, gs = cfg_for(k)
                 ql[k] = QuantizedExpertStack.stack([
-                    quantize_linear_weight(layer[k][e], bits,
+                    quantize_linear_weight(layer[k][e], b,
                                            channelwise=channelwise,
-                                           group_size=group_size)
+                                           group_size=gs)
                     for e in range(layer[k].shape[0])])
         out["layers"].append(ql)
     if quantize_lm_head:

@@ -193,3 +193,23 @@ def test_fused_projections_match_unfused():
     da, _ = M.decode_step(cfg, params, tok, pos, cache_a)
     db, _ = M.decode_step(cfg, fused, tok, pos, cache_b)
     np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
+
+
+def test_quantize_params_mixed_precision_overrides():
+    """overrides give per-weight (bits, group_size) — the mixed-precision
+    serving recipe (e.g. INT2-g32 MLP + INT4 attention)."""
+    import jax
+    import jax.numpy as jnp
+
+    from piquant_tpu.models import llama as M
+
+    cfg = M.LlamaConfig.tiny(dtype=jnp.float32)
+    params = M.init_params(cfg, jax.random.key(0))
+    qp = M.quantize_params(params, bits=4,
+                           overrides={"w1": (2, 16), "w3": (2, 16),
+                                      "w2": (2, 16)})
+    l0 = qp["layers"][0]
+    assert l0["wq"].bits == 4 and l0["wq"].group_size is None
+    assert l0["w1"].bits == 2 and l0["w1"].group_size == 16
+    logits, _ = M.forward(cfg, qp, jnp.zeros((1, 4), jnp.int32))
+    assert bool(jnp.all(jnp.isfinite(logits)))
