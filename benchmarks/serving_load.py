@@ -24,13 +24,17 @@ from piquant_tpu.serving import Engine, EngineConfig, Request, SamplingParams
 
 
 def main(n_requests=16, slots=8):
+    import dataclasses
     import os
     cfg = M.LlamaConfig.llama3_8b()
+    if os.environ.get("PIQUANT_AQ_DECODE", "0") == "1":
+        cfg = dataclasses.replace(cfg, act_quant_decode=True)
     windows = tuple(int(w) for w in
                     os.environ.get("PIQUANT_WINDOWS", "").split(",") if w)
-    print(f"building INT4 8B params ({n_requests} requests, {slots} slots)...",
+    bits = int(os.environ.get("PIQUANT_BITS", "4"))
+    print(f"building INT{bits} 8B params ({n_requests} requests, {slots} slots)...",
           flush=True)
-    params = M.random_quantized_params(cfg, jax.random.key(0), bits=4,
+    params = M.random_quantized_params(cfg, jax.random.key(0), bits=bits,
                                        lm_head_bits=8)
     eng = Engine(cfg, params, EngineConfig(batch_slots=slots, max_seq_len=2048,
                                            prefill_pad=256,
