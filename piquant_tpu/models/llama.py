@@ -61,8 +61,15 @@ class LlamaConfig:
     rotary_dim_override: Optional[int] = None  # Phi-style partial rotary:
                                                # rotate only the first
                                                # `rotary_dim` dims per head
+    qk_norm: bool = False        # Qwen3: per-head RMSNorm on q/k before rope
     n_experts: int = 0           # Mixtral-style MoE MLP when > 1
     moe_top_k: int = 2           # experts per token (softmax over selected)
+    moe_d_ff: Optional[int] = None          # expert hidden dim (default d_ff)
+    shared_expert_d_ff: Optional[int] = None  # Qwen2-MoE always-on shared
+                                              # expert hidden dim (None = off)
+    moe_renormalize: bool = True   # True (Mixtral): renormalize the top-k
+                                   # probs; False (Qwen2-MoE default): raw
+                                   # softmax-over-all probs of the selected
     ep_axis: Optional[str] = None  # expert-parallel mesh axis: experts are
                                    # sharded over it (stacked leading dim),
                                    # outputs psum'd — run under shard_map
@@ -131,6 +138,14 @@ class LlamaConfig:
         )
 
     @staticmethod
+    def qwen3_8b() -> "LlamaConfig":
+        return LlamaConfig(
+            vocab_size=151_936, d_model=4096, n_layers=36, n_heads=32,
+            n_kv_heads=8, d_ff=12_288, rope_theta=1_000_000.0,
+            max_seq_len=32_768, head_dim_override=128, qk_norm=True,
+        )
+
+    @staticmethod
     def mixtral_8x7b() -> "LlamaConfig":
         return LlamaConfig(
             vocab_size=32_000, d_model=4096, n_layers=32, n_heads=32,
@@ -153,7 +168,7 @@ class LlamaConfig:
 
 def init_params(cfg: LlamaConfig, key: Array) -> Dict:
     """Random init (testing / benchmarking); loaders fill the same pytree."""
-    keys = iter(jax.random.split(key, 4 + cfg.n_layers * (8 + 3 * cfg.n_experts)))
+    keys = iter(jax.random.split(key, 8 + cfg.n_layers * (12 + 3 * cfg.n_experts)))
     dt = cfg.dtype
 
     def dense(k, din, dout, std=0.02):
@@ -176,13 +191,20 @@ def init_params(cfg: LlamaConfig, key: Array) -> Dict:
             "wo": dense(next(keys), cfg.n_heads * hd, cfg.d_model),
         }
         if cfg.n_experts > 1:
+            mff = cfg.moe_d_ff or cfg.d_ff
             layer["router"] = dense(next(keys), cfg.d_model, cfg.n_experts)
-            layer["moe_w1"] = jnp.stack([dense(next(keys), cfg.d_model, cfg.d_ff)
+            layer["moe_w1"] = jnp.stack([dense(next(keys), cfg.d_model, mff)
                                          for _ in range(cfg.n_experts)])
-            layer["moe_w3"] = jnp.stack([dense(next(keys), cfg.d_model, cfg.d_ff)
+            layer["moe_w3"] = jnp.stack([dense(next(keys), cfg.d_model, mff)
                                          for _ in range(cfg.n_experts)])
-            layer["moe_w2"] = jnp.stack([dense(next(keys), cfg.d_ff, cfg.d_model)
+            layer["moe_w2"] = jnp.stack([dense(next(keys), mff, cfg.d_model)
                                          for _ in range(cfg.n_experts)])
+            if cfg.shared_expert_d_ff:
+                sff = cfg.shared_expert_d_ff
+                layer["shared_w1"] = dense(next(keys), cfg.d_model, sff)
+                layer["shared_w3"] = dense(next(keys), cfg.d_model, sff)
+                layer["shared_w2"] = dense(next(keys), sff, cfg.d_model)
+                layer["shared_gate"] = dense(next(keys), cfg.d_model, 1)
         else:
             layer["w1"] = dense(next(keys), cfg.d_model, cfg.d_ff)
             layer["w3"] = dense(next(keys), cfg.d_model, cfg.d_ff)
@@ -191,11 +213,15 @@ def init_params(cfg: LlamaConfig, key: Array) -> Dict:
             layer["bq"] = jnp.zeros((cfg.n_heads * hd,), dt)
             layer["bk"] = jnp.zeros((cfg.n_kv_heads * hd,), dt)
             layer["bv"] = jnp.zeros((cfg.n_kv_heads * hd,), dt)
+        if cfg.qk_norm:
+            layer["q_norm"] = jnp.ones((hd,), dt)
+            layer["k_norm"] = jnp.ones((hd,), dt)
         params["layers"].append(layer)
     return params
 
 
-_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3",
+               "shared_w1", "shared_w2", "shared_w3")
 _MOE_QUANT_KEYS = ("moe_w1", "moe_w2", "moe_w3")
 
 
@@ -206,7 +232,7 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
     materializing float weights — lets an 8B model be constructed on a
     single chip for performance benchmarking (weight values don't matter
     for bandwidth/latency measurements)."""
-    keys = iter(jax.random.split(key, 4 + cfg.n_layers * (8 + 3 * cfg.n_experts)))
+    keys = iter(jax.random.split(key, 8 + cfg.n_layers * (12 + 3 * cfg.n_experts)))
     dt = cfg.dtype
     hd = cfg.head_dim
 
@@ -264,6 +290,9 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
             layer["bq"] = jnp.zeros((cfg.n_heads * hd,), dt)
             layer["bk"] = jnp.zeros((cfg.n_kv_heads * hd,), dt)
             layer["bv"] = jnp.zeros((cfg.n_kv_heads * hd,), dt)
+        if cfg.qk_norm:
+            layer["q_norm"] = jnp.ones((hd,), dt)
+            layer["k_norm"] = jnp.ones((hd,), dt)
         params["layers"].append(layer)
     return params
 
@@ -487,6 +516,10 @@ def _attention(
     k = k.reshape(b, t, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
 
+    if cfg.qk_norm:  # Qwen3: per-head RMSNorm before rope
+        q = rms_norm(q, layer["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_eps)
+
     cos, sin = _rope_freqs(cfg, positions)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
@@ -584,8 +617,10 @@ def _mlp_moe(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:
     aq = "all" if cfg.act_quant_decode else cfg.act_quant_prefill
     logits = jnp.einsum("btd,de->bte", x.astype(jnp.float32),
                         layer["router"].astype(jnp.float32))
-    topv, topi = jax.lax.top_k(logits, cfg.moe_top_k)       # [B, T, k]
-    probs = jax.nn.softmax(topv, axis=-1)                    # over selected
+    full = jax.nn.softmax(logits, axis=-1)
+    probs, topi = jax.lax.top_k(full, cfg.moe_top_k)        # [B, T, k]
+    if cfg.moe_renormalize:  # Mixtral: softmax over the SELECTED logits
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
 
     w1s, w3s, w2s = layer["moe_w1"], layer["moe_w3"], layer["moe_w2"]
     e_local = (w1s.n_experts if hasattr(w1s, "n_experts")
@@ -607,6 +642,18 @@ def _mlp_moe(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:
         y += _mm(h, _expert_weight(w2s, el), dt, aq).astype(jnp.float32) * gate
     if cfg.ep_axis is not None:
         y = jax.lax.psum(y, cfg.ep_axis)
+    if "shared_w1" in layer:
+        # Qwen2-MoE shared expert: always-on MLP scaled by a sigmoid gate
+        g = _mm(x, layer["shared_w1"], dt, aq)
+        u = _mm(x, layer["shared_w3"], dt, aq)
+        gf = g.astype(jnp.float32)
+        act = (jax.nn.gelu(gf, approximate=True) if cfg.mlp_act == "gelu"
+               else jax.nn.silu(gf))
+        h = (act * u.astype(jnp.float32)).astype(dt)
+        sh = _mm(h, layer["shared_w2"], dt, aq).astype(jnp.float32)
+        gate = jax.nn.sigmoid(
+            x.astype(jnp.float32) @ layer["shared_gate"].astype(jnp.float32))
+        y = y + gate * sh
     return y.astype(dt)
 
 
@@ -737,8 +784,9 @@ def decode_step(cfg: LlamaConfig, params: Dict, token: Array, position: Array,
 # sharding
 # ---------------------------------------------------------------------------
 
-_COL_PARALLEL = ("wq", "wk", "wv", "w1", "w3", "wqkv", "w13")
-_ROW_PARALLEL = ("wo", "w2")
+_COL_PARALLEL = ("wq", "wk", "wv", "w1", "w3", "wqkv", "w13",
+                 "shared_w1", "shared_w3")
+_ROW_PARALLEL = ("wo", "w2", "shared_w2")
 
 
 def param_shardings(cfg: LlamaConfig, tp_axis: str = "tp",
@@ -768,6 +816,10 @@ def param_shardings(cfg: LlamaConfig, tp_axis: str = "tp",
             s["router"] = P(None, None)
             for k in _MOE_QUANT_KEYS:
                 s[k] = P(ep_axis, None, None)  # whole experts per shard
+        if layer is not None:
+            for k in layer.keys():  # small per-head/gate leaves: replicate
+                if k not in s and k != "fused_tp":
+                    s[k] = P()
         if layer is not None:
             for k in ("bq", "bk", "bv"):
                 if k in layer:
@@ -852,6 +904,9 @@ def shard_params(params: Dict, mesh, tp_axis: str = "tp",
                     nl[k] = put(w, espec)
         if "fused_tp" in layer:
             nl["fused_tp"] = layer["fused_tp"]
+        for k, v in layer.items():  # remaining small leaves: replicate
+            if k not in nl:
+                nl[k] = put(v, P())
         out["layers"].append(nl)
     return out
 

@@ -39,7 +39,7 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         rms_eps=getattr(hf_config, "rms_norm_eps", 1e-5),
         max_seq_len=getattr(hf_config, "max_position_embeddings", 8192),
         qkv_bias=bool(getattr(hf_config, "attention_bias", False)
-                      or mtype == "qwen2"),
+                      or mtype in ("qwen2", "qwen2_moe")),
         head_dim_override=hd if hd != default_hd else None,
         # e.g. Qwen2 configs carry sliding_window=4096 with
         # use_sliding_window=False — honor the gate
@@ -54,9 +54,15 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
             int(hf_config.partial_rotary_factor * hd)
             if getattr(hf_config, "partial_rotary_factor", 1.0) != 1.0
             else None),
-        # Mixtral MoE
-        n_experts=getattr(hf_config, "num_local_experts", 0) or 0,
+        # Mixtral / Qwen2-MoE
+        n_experts=(getattr(hf_config, "num_local_experts", 0)
+                   or getattr(hf_config, "num_experts", 0) or 0),
         moe_top_k=getattr(hf_config, "num_experts_per_tok", 2) or 2,
+        moe_d_ff=getattr(hf_config, "moe_intermediate_size", None),
+        shared_expert_d_ff=getattr(hf_config,
+                                   "shared_expert_intermediate_size", None),
+        moe_renormalize=bool(getattr(hf_config, "norm_topk_prob", True)),
+        qk_norm=mtype == "qwen3",  # per-head RMSNorm on q/k before rope
         dtype=dtype,
     )
 
@@ -138,7 +144,26 @@ def params_from_state_dict(state_dict: Dict[str, Any], cfg: LlamaConfig) -> Dict
             "wv": jnp.asarray(wv, dt),
             "wo": jnp.asarray(lin(pre + "self_attn.o_proj.weight"), dt),
         }
-        if pre + "block_sparse_moe.gate.weight" in state_dict:
+        if pre + "mlp.gate.weight" in state_dict:
+            # Qwen2-MoE: router + experts under mlp., plus a shared expert
+            # with a sigmoid gate.  Layers may also be plain dense
+            # (decoder_sparse_step / mlp_only_layers) — detected per layer.
+            layer["router"] = jnp.asarray(lin(pre + "mlp.gate.weight"), dt)
+            ep = pre + "mlp.experts."
+            ne = cfg.n_experts
+            layer["moe_w1"] = jnp.asarray(np.stack(
+                [lin(f"{ep}{e}.gate_proj.weight") for e in range(ne)]), dt)
+            layer["moe_w3"] = jnp.asarray(np.stack(
+                [lin(f"{ep}{e}.up_proj.weight") for e in range(ne)]), dt)
+            layer["moe_w2"] = jnp.asarray(np.stack(
+                [lin(f"{ep}{e}.down_proj.weight") for e in range(ne)]), dt)
+            sh = pre + "mlp.shared_expert."
+            layer["shared_w1"] = jnp.asarray(lin(sh + "gate_proj.weight"), dt)
+            layer["shared_w3"] = jnp.asarray(lin(sh + "up_proj.weight"), dt)
+            layer["shared_w2"] = jnp.asarray(lin(sh + "down_proj.weight"), dt)
+            layer["shared_gate"] = jnp.asarray(
+                lin(pre + "mlp.shared_expert_gate.weight"), dt)
+        elif pre + "block_sparse_moe.gate.weight" in state_dict:
             # Mixtral MoE: router + per-expert w1 (gate), w3 (up), w2 (down)
             layer["router"] = jnp.asarray(
                 lin(pre + "block_sparse_moe.gate.weight"), dt)
@@ -161,6 +186,16 @@ def params_from_state_dict(state_dict: Dict[str, Any], cfg: LlamaConfig) -> Dict
             layer["w3"] = jnp.asarray(w3, dt)
             layer["w2"] = jnp.asarray(lin(pre + "mlp.down_proj.weight"), dt)
         params["layers"].append(layer)
+        if cfg.qk_norm:
+            # per-head norm weights follow the same head-dim permutation
+            # folded into wq/wk (rms over the head dim is permutation-
+            # invariant, so only the elementwise weight needs reordering)
+            pn = np.arange(hd)
+            pn[:rd] = _half_to_interleaved_perm(rd)
+            layer["q_norm"] = jnp.asarray(
+                npy(pre + "self_attn.q_norm.weight")[pn], dt)
+            layer["k_norm"] = jnp.asarray(
+                npy(pre + "self_attn.k_norm.weight")[pn], dt)
         if cfg.qkv_bias:
             # biases get the same head-dim permutation as their projections
             layer = params["layers"][-1]

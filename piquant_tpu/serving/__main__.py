@@ -25,7 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--model", help="HF checkpoint path (needs transformers)")
     ap.add_argument("--random", metavar="PRESET",
                     choices=["tiny", "llama3_8b", "mistral_7b", "qwen2_7b",
-                             "gemma_2b", "gemma_7b", "phi3_mini", "mixtral_8x7b"],
+                             "gemma_2b", "gemma_7b", "phi3_mini", "mixtral_8x7b",
+                             "qwen3_8b"],
                     help="random-weight model preset instead of --model")
     ap.add_argument("--bits", type=int, default=4, choices=[2, 4, 8],
                     help="weight quantization bits (default 4)")
@@ -91,7 +92,7 @@ def main(argv=None) -> int:
         preset = args.random or "tiny"
         cfg = getattr(M.LlamaConfig, preset)()
         if preset in ("llama3_8b", "mistral_7b", "qwen2_7b", "gemma_7b",
-                      "phi3_mini", "mixtral_8x7b"):
+                      "phi3_mini", "mixtral_8x7b", "qwen3_8b"):
             params = M.random_quantized_params(cfg, jax.random.key(0),
                                                bits=args.bits, lm_head_bits=8)
         else:

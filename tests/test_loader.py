@@ -216,3 +216,27 @@ def test_phi3_matches_transformers(hf_phi3):
 
     got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+
+
+def test_qwen3_matches_transformers():
+    """Qwen3: per-head q/k RMSNorm (weights re-permuted with the rope
+    column permutation) must reproduce transformers logits."""
+    if not hasattr(transformers, "Qwen3ForCausalLM"):
+        pytest.skip("transformers lacks Qwen3")
+    torch.manual_seed(SEED + 8)
+    conf = transformers.Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=64, rope_theta=10_000.0,
+        rms_norm_eps=1e-5, attn_implementation="eager", tie_word_embeddings=False,
+    )
+    model = transformers.Qwen3ForCausalLM(conf)
+    model.eval()
+    cfg, params = load_from_hf(model, dtype=jnp.float32)
+    assert cfg.qk_norm
+    rng = np.random.default_rng(SEED + 9)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 10))
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+    got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)

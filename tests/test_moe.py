@@ -160,3 +160,36 @@ def test_mixtral_loader_matches_transformers(quantized):
     else:
         got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+
+
+def test_qwen2_moe_loader_matches_transformers():
+    """Qwen2-MoE: softmax-all routing (no renorm), shared expert with
+    sigmoid gate, qkv biases — cross-validated against transformers."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from piquant_tpu.models.loader import load_from_hf
+
+    torch.manual_seed(SEED + 12)
+    conf = transformers.Qwen2MoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=96, shared_expert_intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, decoder_sparse_step=1,
+        max_position_embeddings=64, rope_theta=10_000.0, rms_norm_eps=1e-5,
+        pad_token_id=0, attn_implementation="eager",
+        tie_word_embeddings=False,
+    )
+    model = transformers.Qwen2MoeForCausalLM(conf)
+    model.eval()
+
+    cfg, params = load_from_hf(model, dtype=jnp.float32)
+    assert cfg.n_experts == 4 and not cfg.moe_renormalize
+    assert "shared_w1" in params["layers"][0]
+    rng = np.random.default_rng(SEED + 13)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 10))
+
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+
+    got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
