@@ -1,0 +1,462 @@
+"""Multi-head Latent Attention (DeepSeek-V2 style), TPU-native, with an
+INT8-quantized LATENT KV cache.
+
+MLA compresses each position's K/V into one rank-R latent vector
+(`kv_a_proj`) plus a small shared rope key; the per-head K/V never need to
+be cached because the decode path ABSORBS the up-projection `kv_b_proj`
+into the query and output sides:
+
+    q_nope[h] . k_nope[h,s] = (W_k[h] q_nope[h]) . c_s        (score side)
+    sum_s p[s] v[h,s]       = W_v[h]^T (sum_s p[s] c_s)       (output side)
+
+so decode attention reads only the latent cache — R + rope_dim values per
+position instead of 2 * H * head_dim (Llama-8B INT8 KV: 2048 B/pos; here
+R=512 + 64 rope = ~0.6 KB/pos at INT8).  This is the natural companion of
+this framework's quantization primitives: the latent c is per-token
+INT8-affine quantized exactly like the dense KV cache (quant/kv_cache.py),
+and all projections take QuantizedLinear weights.
+
+Rope convention: the installed transformers DeepseekV2 applies rope as a
+COMPLEX multiply over (even, odd) pairs — the same interleaved convention
+as models/llama.py::apply_rope — so the loader needs NO column permutation
+(cf. loader.py's GPT-NeoX trick for the half-rotation families).
+
+Scope: dense-MLP DeepSeek-V2 geometry (the MoE-MLA combination and yarn
+rope scaling are out of scope this round; `first_k_dense_replace`-style
+mixed layers load as dense).  Reference parity anchor: this subsystem
+extends SURVEY.md §5's "INT8 KV-cache" serving component to the MLA cache
+layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from piquant_tpu.models.llama import apply_rope, rms_norm
+from piquant_tpu.quant.linear import (
+    QuantizedLinear,
+    quantize_linear_weight,
+    quantized_matmul,
+)
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class MLAConfig:
+    vocab_size: int = 102_400
+    d_model: int = 5120
+    n_layers: int = 60
+    n_heads: int = 128
+    d_ff: int = 12_288
+    kv_lora_rank: int = 512
+    q_lora_rank: Optional[int] = None   # None: plain q_proj (V2-Lite style)
+    qk_nope_head_dim: int = 128
+    qk_rope_head_dim: int = 64
+    v_head_dim: int = 128
+    rope_theta: float = 10_000.0
+    rms_eps: float = 1e-6
+    max_seq_len: int = 4096
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def qk_head_dim(self) -> int:
+        return self.qk_nope_head_dim + self.qk_rope_head_dim
+
+    @staticmethod
+    def tiny(vocab: int = 256, **kw) -> "MLAConfig":
+        return MLAConfig(
+            vocab_size=vocab, d_model=128, n_layers=2, n_heads=4, d_ff=256,
+            kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
+            v_head_dim=16, max_seq_len=128, **kw)
+
+
+# ---------------------------------------------------------------------------
+# latent cache: INT8 c + bf16 rope key
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class LatentKVCache:
+    """Stacked per-layer latent cache.
+
+    c_codes: [L, B, S, R] int8 — per-token symmetric INT8 of the
+             post-layernorm compressed kv latent;
+    c_scale: [L, B, S, 1] f32;
+    k_pe:    [L, B, S, rope_dim] bf16 (post-rope, shared across heads —
+             small enough that quantizing it isn't worth the error);
+    length:  [B] int32 live positions.
+    """
+
+    c_codes: Array
+    c_scale: Array
+    k_pe: Array
+    length: Array
+
+    def tree_flatten(self):
+        return (self.c_codes, self.c_scale, self.k_pe, self.length), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def max_len(self) -> int:
+        return self.c_codes.shape[2]
+
+
+def init_latent_cache(cfg: MLAConfig, batch: int, max_len: int) -> LatentKVCache:
+    return LatentKVCache(
+        c_codes=jnp.zeros((cfg.n_layers, batch, max_len, cfg.kv_lora_rank),
+                          jnp.int8),
+        c_scale=jnp.ones((cfg.n_layers, batch, max_len, 1), jnp.float32),
+        k_pe=jnp.zeros((cfg.n_layers, batch, max_len, cfg.qk_rope_head_dim),
+                       jnp.bfloat16),
+        length=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _quantize_latent(c: Array) -> Tuple[Array, Array]:
+    """Per-token symmetric INT8 (same scheme as quant/kv_cache.py)."""
+    cf = c.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(cf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    codes = jnp.clip(jnp.round(cf / scale), -127, 127).astype(jnp.int8)
+    return codes, scale
+
+
+# ---------------------------------------------------------------------------
+# params
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: MLAConfig, key: Array) -> Dict:
+    keys = iter(jax.random.split(key, 4 + cfg.n_layers * 10))
+    dt = cfg.dtype
+
+    def dense(k, din, dout, std=0.02):
+        return (jax.random.normal(k, (din, dout), jnp.float32) * std).astype(dt)
+
+    params: Dict[str, Any] = {
+        "embed": dense(next(keys), cfg.vocab_size, cfg.d_model),
+        "final_norm": jnp.ones((cfg.d_model,), dt),
+        "lm_head": dense(next(keys), cfg.d_model, cfg.vocab_size),
+        "layers": [],
+    }
+    h, qk = cfg.n_heads, cfg.qk_head_dim
+    for _ in range(cfg.n_layers):
+        layer = {
+            "attn_norm": jnp.ones((cfg.d_model,), dt),
+            "mlp_norm": jnp.ones((cfg.d_model,), dt),
+            "kv_a": dense(next(keys), cfg.d_model,
+                          cfg.kv_lora_rank + cfg.qk_rope_head_dim),
+            "kv_a_norm": jnp.ones((cfg.kv_lora_rank,), dt),
+            "kv_b": dense(next(keys), cfg.kv_lora_rank,
+                          h * (cfg.qk_nope_head_dim + cfg.v_head_dim)),
+            "wo": dense(next(keys), h * cfg.v_head_dim, cfg.d_model),
+            "w1": dense(next(keys), cfg.d_model, cfg.d_ff),
+            "w3": dense(next(keys), cfg.d_model, cfg.d_ff),
+            "w2": dense(next(keys), cfg.d_ff, cfg.d_model),
+        }
+        if cfg.q_lora_rank is None:
+            layer["wq"] = dense(next(keys), cfg.d_model, h * qk)
+        else:
+            layer["wq_a"] = dense(next(keys), cfg.d_model, cfg.q_lora_rank)
+            layer["q_a_norm"] = jnp.ones((cfg.q_lora_rank,), dt)
+            layer["wq_b"] = dense(next(keys), cfg.q_lora_rank, h * qk)
+        params["layers"].append(layer)
+    return params
+
+
+_MLA_QUANT_KEYS = ("wq", "wq_a", "wq_b", "kv_a", "kv_b", "wo",
+                   "w1", "w2", "w3")
+
+
+def quantize_params(params: Dict, bits: int = 4, *,
+                    group_size: Optional[int] = None) -> Dict:
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        ql = dict(layer)
+        for k in _MLA_QUANT_KEYS:
+            if k in layer:
+                ql[k] = quantize_linear_weight(layer[k], bits,
+                                               group_size=group_size)
+        out["layers"].append(ql)
+    return out
+
+
+def _mm(x, w, out_dtype):
+    if isinstance(w, QuantizedLinear):
+        return quantized_matmul(x, w, out_dtype)
+    return jnp.dot(x.astype(out_dtype), w.astype(out_dtype),
+                   preferred_element_type=jnp.float32).astype(out_dtype)
+
+
+def _w_dense(w) -> Array:
+    """kv_b must be split per head for absorption: materialize if quantized
+    (R x H*(nope+v) is small — e.g. 512 x 32k bf16 = 32 MB for V2)."""
+    return w.dequantize(jnp.bfloat16) if isinstance(w, QuantizedLinear) else w
+
+
+def _rope(cfg: MLAConfig, positions: Array):
+    rd = cfg.qk_rope_head_dim
+    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, rd, 2, jnp.float32) / rd))
+    ang = positions[..., None].astype(jnp.float32) * inv
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _project_q(cfg: MLAConfig, layer: Dict, x: Array, cos, sin):
+    """x [B,T,D] -> q_nope [B,H,T,nope], q_pe [B,H,T,rope] (post-rope)."""
+    b, t, _ = x.shape
+    dt = cfg.dtype
+    if "wq" in layer:
+        q = _mm(x, layer["wq"], dt)
+    else:
+        qa = rms_norm(_mm(x, layer["wq_a"], dt), layer["q_a_norm"], cfg.rms_eps)
+        q = _mm(qa, layer["wq_b"], dt)
+    q = q.reshape(b, t, cfg.n_heads, cfg.qk_head_dim).transpose(0, 2, 1, 3)
+    q_nope = q[..., :cfg.qk_nope_head_dim]
+    q_pe = apply_rope(q[..., cfg.qk_nope_head_dim:], cos, sin)
+    return q_nope, q_pe
+
+
+def _project_latent(cfg: MLAConfig, layer: Dict, x: Array, cos, sin):
+    """x [B,T,D] -> c [B,T,R] (post-norm latent), k_pe [B,T,rope] post-rope."""
+    ckv = _mm(x, layer["kv_a"], cfg.dtype)
+    c = rms_norm(ckv[..., :cfg.kv_lora_rank], layer["kv_a_norm"], cfg.rms_eps)
+    k_pe = ckv[..., cfg.kv_lora_rank:]
+    # shared rope key: one "head" -> [B,1,T,rope] for apply_rope
+    k_pe = apply_rope(k_pe[:, None], cos, sin)[:, 0]
+    return c, k_pe
+
+
+def _split_kv_b(cfg: MLAConfig, layer: Dict):
+    """kv_b [R, H*(nope+v)] -> W_k [R,H,nope], W_v [R,H,v]."""
+    wb = _w_dense(layer["kv_b"]).reshape(
+        cfg.kv_lora_rank, cfg.n_heads, cfg.qk_nope_head_dim + cfg.v_head_dim)
+    return wb[..., :cfg.qk_nope_head_dim], wb[..., cfg.qk_nope_head_dim:]
+
+
+def forward(
+    cfg: MLAConfig,
+    params: Dict,
+    tokens: Array,                       # [B, T] int32
+    positions: Optional[Array] = None,
+    cache: Optional[LatentKVCache] = None,  # filled (not read) when given
+) -> Tuple[Array, Optional[LatentKVCache]]:
+    """Full forward (prefill): materialized per-head K/V attention, exactly
+    the HF DeepseekV2 data flow; optionally writes the latent cache."""
+    b, t = tokens.shape
+    dt = cfg.dtype
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+    x = params["embed"][tokens].astype(dt)
+    cos, sin = _rope(cfg, positions)
+    mask = jnp.where(
+        jnp.arange(t)[None, :] <= jnp.arange(t)[:, None], 0.0, -1e9
+    )[None, None].astype(jnp.float32)
+    scale = cfg.qk_head_dim ** -0.5
+
+    for li, layer in enumerate(params["layers"]):
+        hx = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+        q_nope, q_pe = _project_q(cfg, layer, hx, cos, sin)
+        c, k_pe = _project_latent(cfg, layer, hx, cos, sin)
+        w_k, w_v = _split_kv_b(cfg, layer)
+        # materialized per-head K/V (prefill is MXU-bound; absorption is a
+        # decode-bandwidth optimization)
+        k_nope = jnp.einsum("btr,rhn->bhtn", c.astype(jnp.bfloat16), w_k,
+                            preferred_element_type=jnp.float32).astype(dt)
+        v = jnp.einsum("btr,rhv->bhtv", c.astype(jnp.bfloat16), w_v,
+                       preferred_element_type=jnp.float32).astype(dt)
+        scores = (
+            jnp.einsum("bhtn,bhsn->bhts", q_nope.astype(jnp.bfloat16),
+                       k_nope.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("bhtr,bsr->bhts", q_pe.astype(jnp.bfloat16),
+                         k_pe.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        ) * scale + mask
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhts,bhsv->bhtv", probs.astype(jnp.bfloat16), v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.astype(dt).transpose(0, 2, 1, 3).reshape(
+            b, t, cfg.n_heads * cfg.v_head_dim)
+        x = x + _mm(ctx, layer["wo"], dt)
+
+        hm = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+        g = _mm(hm, layer["w1"], dt)
+        u = _mm(hm, layer["w3"], dt)
+        x = x + _mm((jax.nn.silu(g.astype(jnp.float32))
+                     * u.astype(jnp.float32)).astype(dt), layer["w2"], dt)
+
+        if cache is not None:
+            codes, cscale = _quantize_latent(c)
+            cache = LatentKVCache(
+                c_codes=jax.lax.dynamic_update_slice(
+                    cache.c_codes, codes[None], (li, 0, 0, 0)),
+                c_scale=jax.lax.dynamic_update_slice(
+                    cache.c_scale, cscale[None], (li, 0, 0, 0)),
+                k_pe=jax.lax.dynamic_update_slice(
+                    cache.k_pe, k_pe.astype(jnp.bfloat16)[None], (li, 0, 0, 0)),
+                length=cache.length,
+            )
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = _mm(x, params["lm_head"], jnp.float32)
+    if cache is not None:
+        cache = LatentKVCache(cache.c_codes, cache.c_scale, cache.k_pe,
+                              cache.length + t)
+    return logits, cache
+
+
+def decode_step(
+    cfg: MLAConfig,
+    params: Dict,
+    token: Array,      # [B] int32
+    position: Array,   # [B] int32
+    cache: LatentKVCache,
+) -> Tuple[Array, LatentKVCache]:
+    """One decode step through the ABSORBED path: attention reads only the
+    INT8 latent cache (R + rope_dim per position), never per-head K/V."""
+    b = token.shape[0]
+    dt = cfg.dtype
+    x = params["embed"][token][:, None].astype(dt)      # [B,1,D]
+    cos, sin = _rope(cfg, position[:, None])
+    s_max = cache.max_len
+    kv_pos = jnp.arange(s_max, dtype=jnp.int32)[None]
+    scale = cfg.qk_head_dim ** -0.5
+
+    for li, layer in enumerate(params["layers"]):
+        hx = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+        q_nope, q_pe = _project_q(cfg, layer, hx, cos, sin)   # [B,H,1,*]
+        c_new, kpe_new = _project_latent(cfg, layer, hx, cos, sin)  # [B,1,*]
+
+        # append current position to the latent cache
+        codes, cscale = _quantize_latent(c_new)
+
+        def put(buf, upd):
+            return jax.vmap(
+                lambda bf, up, p: jax.lax.dynamic_update_slice(
+                    bf, up.astype(bf.dtype), (p, jnp.zeros((), p.dtype)))
+            )(buf, upd, position)
+
+        cache = LatentKVCache(
+            c_codes=cache.c_codes.at[li].set(put(cache.c_codes[li], codes)),
+            c_scale=cache.c_scale.at[li].set(put(cache.c_scale[li], cscale)),
+            k_pe=cache.k_pe.at[li].set(put(cache.k_pe[li], kpe_new)),
+            length=cache.length,
+        )
+
+        w_k, w_v = _split_kv_b(cfg, layer)
+        # score side: q into latent space, one dot against the INT8 cache
+        q_lat = jnp.einsum("bhn,rhn->bhr", q_nope[:, :, 0].astype(jnp.bfloat16),
+                           w_k, preferred_element_type=jnp.float32)
+        cc = cache.c_codes[li].astype(jnp.bfloat16)           # [B,S,R]
+        cs = cache.c_scale[li][..., 0]                        # [B,S]
+        scores_lat = jnp.einsum("bhr,bsr->bhs", q_lat.astype(jnp.bfloat16), cc,
+                                preferred_element_type=jnp.float32) * cs[:, None]
+        scores_pe = jnp.einsum("bhr,bsr->bhs",
+                               q_pe[:, :, 0].astype(jnp.bfloat16),
+                               cache.k_pe[li],
+                               preferred_element_type=jnp.float32)
+        mask = jnp.where(kv_pos <= position[:, None], 0.0, -1e9)[:, None]
+        probs = jax.nn.softmax((scores_lat + scores_pe) * scale + mask, -1)
+        # output side: context in latent space, then absorb W_v
+        ctx_lat = jnp.einsum("bhs,bsr->bhr",
+                             (probs * cs[:, None]).astype(jnp.bfloat16), cc,
+                             preferred_element_type=jnp.float32)
+        ctx = jnp.einsum("bhr,rhv->bhv", ctx_lat.astype(jnp.bfloat16), w_v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.astype(dt).reshape(b, 1, cfg.n_heads * cfg.v_head_dim)
+        x = x + _mm(ctx, layer["wo"], dt)
+
+        hm = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+        g = _mm(hm, layer["w1"], dt)
+        u = _mm(hm, layer["w3"], dt)
+        x = x + _mm((jax.nn.silu(g.astype(jnp.float32))
+                     * u.astype(jnp.float32)).astype(dt), layer["w2"], dt)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = _mm(x[:, 0], params["lm_head"], jnp.float32)
+    return logits, LatentKVCache(cache.c_codes, cache.c_scale, cache.k_pe,
+                                 cache.length + 1)
+
+
+# ---------------------------------------------------------------------------
+# HF loader (DeepseekV2ForCausalLM)
+# ---------------------------------------------------------------------------
+
+def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> MLAConfig:
+    return MLAConfig(
+        vocab_size=hf_config.vocab_size,
+        d_model=hf_config.hidden_size,
+        n_layers=hf_config.num_hidden_layers,
+        n_heads=hf_config.num_attention_heads,
+        d_ff=hf_config.intermediate_size,
+        kv_lora_rank=hf_config.kv_lora_rank,
+        q_lora_rank=getattr(hf_config, "q_lora_rank", None),
+        qk_nope_head_dim=hf_config.qk_nope_head_dim,
+        qk_rope_head_dim=hf_config.qk_rope_head_dim,
+        v_head_dim=hf_config.v_head_dim,
+        rope_theta=getattr(hf_config, "rope_theta", 10_000.0),
+        rms_eps=getattr(hf_config, "rms_norm_eps", 1e-6),
+        max_seq_len=getattr(hf_config, "max_position_embeddings", 4096),
+        dtype=dtype,
+    )
+
+
+def params_from_hf(model, dtype=jnp.bfloat16) -> Tuple[MLAConfig, Dict]:
+    """transformers DeepseekV2ForCausalLM (dense-MLP layers) -> pytree.
+    No rope column permutation: this family's rope is natively interleaved
+    (complex multiply), matching apply_rope."""
+    import numpy as np
+
+    cfg = config_from_hf(model.config, dtype)
+    sd = model.state_dict()
+
+    def npy(name):
+        t = sd[name].detach().to("cpu")
+        if t.dtype not in (getattr(__import__("torch"), "float32"),
+                           getattr(__import__("torch"), "float64")):
+            t = t.float()
+        return np.asarray(t.numpy())
+
+    def lin(name):
+        return npy(name).T
+
+    dt = dtype
+    params: Dict[str, Any] = {
+        "embed": jnp.asarray(npy("model.embed_tokens.weight"), dt),
+        "final_norm": jnp.asarray(npy("model.norm.weight"), dt),
+        "lm_head": jnp.asarray(
+            lin("lm_head.weight") if "lm_head.weight" in sd
+            else npy("model.embed_tokens.weight").T, dt),
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        pre = f"model.layers.{i}."
+        layer = {
+            "attn_norm": jnp.asarray(npy(pre + "input_layernorm.weight"), dt),
+            "mlp_norm": jnp.asarray(
+                npy(pre + "post_attention_layernorm.weight"), dt),
+            "kv_a": jnp.asarray(lin(pre + "self_attn.kv_a_proj_with_mqa.weight"), dt),
+            "kv_a_norm": jnp.asarray(npy(pre + "self_attn.kv_a_layernorm.weight"), dt),
+            "kv_b": jnp.asarray(lin(pre + "self_attn.kv_b_proj.weight"), dt),
+            "wo": jnp.asarray(lin(pre + "self_attn.o_proj.weight"), dt),
+            "w1": jnp.asarray(lin(pre + "mlp.gate_proj.weight"), dt),
+            "w3": jnp.asarray(lin(pre + "mlp.up_proj.weight"), dt),
+            "w2": jnp.asarray(lin(pre + "mlp.down_proj.weight"), dt),
+        }
+        if cfg.q_lora_rank is None:
+            layer["wq"] = jnp.asarray(lin(pre + "self_attn.q_proj.weight"), dt)
+        else:
+            layer["wq_a"] = jnp.asarray(lin(pre + "self_attn.q_a_proj.weight"), dt)
+            layer["q_a_norm"] = jnp.asarray(
+                npy(pre + "self_attn.q_a_layernorm.weight"), dt)
+            layer["wq_b"] = jnp.asarray(lin(pre + "self_attn.q_b_proj.weight"), dt)
+        params["layers"].append(layer)
+    return cfg, params

@@ -1,0 +1,112 @@
+"""MLA (DeepSeek-V2-style latent attention): transformers cross-validation,
+absorbed-decode == full-forward consistency, INT8 latent cache, memory."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from piquant_tpu.models import mla as L
+
+SEED = 0x9032002
+
+
+def test_mla_forward_and_absorbed_decode_consistency():
+    """decode_step (absorbed weights + INT8 latent cache) must reproduce
+    the full materialized-KV forward logits at the same position, up to the
+    latent-quantization error."""
+    cfg = L.MLAConfig.tiny(dtype=jnp.float32)
+    params = L.init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(SEED)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 9)), jnp.int32)
+
+    full, _ = L.forward(cfg, params, toks)
+
+    cache = L.init_latent_cache(cfg, 2, max_len=16)
+    _, cache = L.forward(cfg, params, toks[:, :-1], cache=cache)
+    got, cache = L.decode_step(cfg, params, toks[:, -1],
+                               jnp.full((2,), 8, jnp.int32), cache)
+    want = np.asarray(full[:, -1])
+    denom = np.abs(want).max()
+    assert np.abs(np.asarray(got) - want).max() / denom < 0.03
+    assert int(cache.length[0]) == 9
+
+
+def test_mla_quantized_params():
+    cfg = L.MLAConfig.tiny(dtype=jnp.float32)
+    params = L.init_params(cfg, jax.random.key(1))
+    qp = L.quantize_params(params, bits=8)
+    rng = np.random.default_rng(SEED + 1)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 6)), jnp.int32)
+    yf, _ = L.forward(cfg, params, toks)
+    yq, _ = L.forward(cfg, qp, toks)
+    denom = np.abs(np.asarray(yf)).max()
+    assert np.abs(np.asarray(yq) - np.asarray(yf)).max() / denom < 0.05
+
+
+def test_mla_cache_memory_is_latent_sized():
+    """The whole point: cache bytes per position = R (int8) + scale +
+    rope_dim (bf16), independent of n_heads * head_dim."""
+    cfg = L.MLAConfig.tiny()
+    cache = L.init_latent_cache(cfg, batch=1, max_len=8)
+    per_pos = (cache.c_codes.nbytes + cache.c_scale.nbytes
+               + cache.k_pe.nbytes) / (cfg.n_layers * 8)
+    dense_per_pos = 2 * cfg.n_heads * cfg.v_head_dim  # int8 dense K+V
+    assert per_pos < dense_per_pos, (per_pos, dense_per_pos)
+
+
+def test_mla_matches_transformers():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    if not hasattr(transformers, "DeepseekV2ForCausalLM"):
+        pytest.skip("transformers lacks DeepseekV2")
+
+    torch.manual_seed(SEED + 2)
+    conf = transformers.DeepseekV2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=32, q_lora_rank=None, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, max_position_embeddings=64,
+        first_k_dense_replace=99, pad_token_id=0,
+        attn_implementation="eager", tie_word_embeddings=False,
+    )
+    model = transformers.DeepseekV2ForCausalLM(conf)
+    model.eval()
+
+    cfg, params = L.params_from_hf(model, dtype=jnp.float32)
+    rng = np.random.default_rng(SEED + 3)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 10))
+
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+
+    got, _ = L.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+
+
+def test_mla_q_lora_matches_transformers():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    if not hasattr(transformers, "DeepseekV2ForCausalLM"):
+        pytest.skip("transformers lacks DeepseekV2")
+
+    torch.manual_seed(SEED + 4)
+    conf = transformers.DeepseekV2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=32, q_lora_rank=24, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, max_position_embeddings=64,
+        first_k_dense_replace=99, pad_token_id=0,
+        attn_implementation="eager", tie_word_embeddings=False,
+    )
+    model = transformers.DeepseekV2ForCausalLM(conf)
+    model.eval()
+
+    cfg, params = L.params_from_hf(model, dtype=jnp.float32)
+    assert cfg.q_lora_rank == 24
+    rng = np.random.default_rng(SEED + 5)
+    tokens = rng.integers(0, cfg.vocab_size, (1, 8))
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+    got, _ = L.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
