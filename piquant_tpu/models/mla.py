@@ -460,3 +460,70 @@ def params_from_hf(model, dtype=jnp.bfloat16) -> Tuple[MLAConfig, Dict]:
             layer["wq_b"] = jnp.asarray(lin(pre + "self_attn.q_b_proj.weight"), dt)
         params["layers"].append(layer)
     return cfg, params
+
+
+def random_quantized_params(cfg: MLAConfig, key: Array, bits: int = 4,
+                            lm_head_bits: Optional[int] = None) -> Dict:
+    """Random packed codes directly (benchmarking; cf. llama.py)."""
+    keys = iter(jax.random.split(key, 4 + cfg.n_layers * 10))
+    dt = cfg.dtype
+
+    def qlin(k_, din, dout, b=None):
+        b = b if b is not None else bits
+        rows = {2: din // 4, 4: din // 2}.get(b, din)
+        data = jax.random.randint(k_, (rows, dout), 0, 256,
+                                  jnp.int32).astype(jnp.uint8)
+        scale = jnp.full((1, dout), 2.0 / ((1 << b) - 1) / (din ** 0.5),
+                         jnp.float32)
+        zp = jnp.full((1, dout), 1 << (b - 1), jnp.int32)
+        return QuantizedLinear(data=data, scale=scale, zero_point=zp,
+                               bits=b, k=din)
+
+    def dense(k_, din, dout, std=0.02):
+        return (jax.random.normal(k_, (din, dout), jnp.float32) * std
+                ).astype(dt)
+
+    h, qk = cfg.n_heads, cfg.qk_head_dim
+    params: Dict[str, Any] = {
+        "embed": dense(next(keys), cfg.vocab_size, cfg.d_model),
+        "final_norm": jnp.ones((cfg.d_model,), dt),
+        "lm_head": (dense(next(keys), cfg.d_model, cfg.vocab_size)
+                    if lm_head_bits is None
+                    else qlin(next(keys), cfg.d_model, cfg.vocab_size,
+                              lm_head_bits)),
+        "layers": [],
+    }
+    for _ in range(cfg.n_layers):
+        layer = {
+            "attn_norm": jnp.ones((cfg.d_model,), dt),
+            "mlp_norm": jnp.ones((cfg.d_model,), dt),
+            "kv_a": dense(next(keys), cfg.d_model,
+                          cfg.kv_lora_rank + cfg.qk_rope_head_dim),
+            "kv_a_norm": jnp.ones((cfg.kv_lora_rank,), dt),
+            # kv_b stays DENSE bf16: the absorbed path uses its per-head
+            # split directly (it is small: R x H*(nope+v))
+            "kv_b": dense(next(keys), cfg.kv_lora_rank,
+                          h * (cfg.qk_nope_head_dim + cfg.v_head_dim)),
+            "wo": qlin(next(keys), h * cfg.v_head_dim, cfg.d_model),
+            "w1": qlin(next(keys), cfg.d_model, cfg.d_ff),
+            "w3": qlin(next(keys), cfg.d_model, cfg.d_ff),
+            "w2": qlin(next(keys), cfg.d_ff, cfg.d_model),
+        }
+        if cfg.q_lora_rank is None:
+            layer["wq"] = qlin(next(keys), cfg.d_model, h * qk)
+        else:
+            layer["wq_a"] = qlin(next(keys), cfg.d_model, cfg.q_lora_rank)
+            layer["q_a_norm"] = jnp.ones((cfg.q_lora_rank,), dt)
+            layer["wq_b"] = qlin(next(keys), cfg.q_lora_rank, h * qk)
+        params["layers"].append(layer)
+    return params
+
+
+def v2_lite_config(**kw) -> MLAConfig:
+    """DeepSeek-V2-Lite geometry (15.7B, dense-MLP approximation: the real
+    model is MoE; d_ff here gives a comparable per-layer FLOP/byte count)."""
+    return MLAConfig(
+        vocab_size=102_400, d_model=2048, n_layers=27, n_heads=16,
+        d_ff=10_944, kv_lora_rank=512, q_lora_rank=None,
+        qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
+        rope_theta=10_000.0, max_seq_len=4096, **kw)
