@@ -527,3 +527,29 @@ def v2_lite_config(**kw) -> MLAConfig:
         d_ff=10_944, kv_lora_rank=512, q_lora_rank=None,
         qk_nope_head_dim=128, qk_rope_head_dim=64, v_head_dim=128,
         rope_theta=10_000.0, max_seq_len=4096, **kw)
+
+
+def param_shardings(cfg: MLAConfig, params: Dict, tp_axis: str = "tp") -> Dict:
+    """PartitionSpec pytree for tensor parallelism: head-sharded q and
+    kv_b up-projections (column), row-sharded wo; the latent kv_a path and
+    its cache are REPLICATED (the latent is shared across heads — that is
+    what makes MLA's TP cheap: only rank-R activations cross layers)."""
+    from jax.sharding import PartitionSpec as P
+
+    def layer_spec(layer):
+        s = {}
+        for k, v in layer.items():
+            if k in ("wq", "wq_b", "kv_b", "w1", "w3"):
+                s[k] = P(None, tp_axis)
+            elif k in ("wo", "w2"):
+                s[k] = P(tp_axis, None)
+            else:
+                s[k] = P()
+        return s
+
+    return {
+        "embed": P(None, None),
+        "final_norm": P(None),
+        "lm_head": P(None, tp_axis),
+        "layers": [layer_spec(l) for l in params["layers"]],
+    }

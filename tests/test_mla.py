@@ -110,3 +110,33 @@ def test_mla_q_lora_matches_transformers():
         want = model(torch.tensor(tokens)).logits.numpy()
     got, _ = L.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+
+
+def test_mla_tp_sharded_forward_matches_single():
+    """Head-sharded MLA forward on the virtual mesh == single device.
+    kv_b is column-sharded over heads; the latent path replicates."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.array(devs[:4]), ("tp",))
+
+    cfg = L.MLAConfig.tiny(dtype=jnp.float32)
+    params = L.init_params(cfg, jax.random.key(7))
+    rng = np.random.default_rng(SEED + 9)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)), jnp.int32)
+    want, _ = L.forward(cfg, params, toks)
+
+    specs = L.param_shardings(cfg, params)
+    sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+    @jax.jit
+    def run(p, t):
+        return L.forward(cfg, p, t)[0]
+
+    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else mesh:
+        got = run(sharded, jax.device_put(toks, NamedSharding(mesh, P())))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
