@@ -84,12 +84,14 @@ def main(batch=8, ctx=1024, max_len=2048):
         last_tok = jnp.zeros((batch,), jnp.int32)
 
     # ---- decode tokens/s: chained steps, slope over K --------------------
+    window = int(os.environ.get("PIQUANT_WINDOW", "0")) or None
     def chain(k):
         @jax.jit
         def run(p, tok, pos, c):
             def body(i, carry):
                 tok, pos, c = carry
-                logits, c = M.decode_step(cfg, p, tok, pos, c)
+                logits, c = M.decode_step(cfg, p, tok, pos, c,
+                                          attn_window=window)
                 return logits.argmax(-1).astype(jnp.int32), pos + 1, c
             tok, pos, c = jax.lax.fori_loop(0, k, body, (tok, pos, c))
             return tok
