@@ -553,3 +553,44 @@ def param_shardings(cfg: MLAConfig, params: Dict, tp_axis: str = "tp") -> Dict:
         "lm_head": P(None, tp_axis),
         "layers": [layer_spec(l) for l in params["layers"]],
     }
+
+
+def generate(
+    cfg: MLAConfig,
+    params: Dict,
+    prompts: Array,            # [B, T] int32 (right-aligned, no padding)
+    max_new_tokens: int = 32,
+    key: Optional[Array] = None,
+    temperature: float = 0.0,
+) -> Array:
+    """Batch generation through the absorbed-decode path (greedy by
+    default): prefill fills the INT8 latent cache, then one jitted
+    scan of decode steps.  Serving-engine integration (continuous
+    batching over latent caches) is roadmap — this is the direct API."""
+    b, t = prompts.shape
+    max_len = t + max_new_tokens
+    cache = init_latent_cache(cfg, b, max_len=max_len)
+    logits, cache = jax.jit(
+        lambda p, tk, c: forward(cfg, p, tk, cache=c)
+    )(params, prompts, cache)
+    tok0 = logits[:, -1].argmax(-1).astype(jnp.int32)
+
+    if key is None:
+        key = jax.random.key(0)
+
+    @jax.jit
+    def run(p, tok, pos, c, k):
+        def step(carry, kk):
+            tok, pos, c = carry
+            lg, c = decode_step(cfg, p, tok, pos, c)
+            if temperature > 0:
+                nxt = jax.random.categorical(kk, lg / temperature, axis=-1)
+            else:
+                nxt = lg.argmax(-1)
+            return (nxt.astype(jnp.int32), pos + 1, c), tok
+        keys = jax.random.split(k, max_new_tokens)
+        (_, _, c), toks = jax.lax.scan(step, (tok, pos, c), keys)
+        return toks.T  # [B, max_new]
+
+    pos0 = jnp.full((b,), t, jnp.int32)
+    return run(params, tok0, pos0, cache, key)

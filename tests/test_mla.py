@@ -140,3 +140,27 @@ def test_mla_tp_sharded_forward_matches_single():
         got = run(sharded, jax.device_put(toks, NamedSharding(mesh, P())))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_mla_generate_matches_stepwise():
+    """generate() (prefill + scanned absorbed decode) must equal manual
+    step-by-step greedy decoding."""
+    cfg = L.MLAConfig.tiny(dtype=jnp.float32)
+    params = L.init_params(cfg, jax.random.key(3))
+    rng = np.random.default_rng(SEED + 11)
+    prompts = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 5)), jnp.int32)
+    n_new = 4
+
+    got = np.asarray(L.generate(cfg, params, prompts, n_new))
+
+    cache = L.init_latent_cache(cfg, 2, max_len=5 + n_new)
+    lg, cache = L.forward(cfg, params, prompts, cache=cache)
+    tok = lg[:, -1].argmax(-1).astype(jnp.int32)
+    pos = jnp.full((2,), 5, jnp.int32)
+    want = []
+    for _ in range(n_new):
+        want.append(np.asarray(tok))
+        lg, cache = L.decode_step(cfg, params, tok, pos, cache)
+        tok = lg.argmax(-1).astype(jnp.int32)
+        pos = pos + 1
+    np.testing.assert_array_equal(got, np.stack(want, axis=1))
