@@ -26,12 +26,11 @@ needs to stay within the 0.1-ppl target; per-tensor remains available
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-from piquant_tpu.dtypes import dtype_of
 from piquant_tpu.ops.reference import round_half_away
 
 Array = jax.Array

@@ -21,14 +21,13 @@ from __future__ import annotations
 import dataclasses
 import time
 from collections import deque
-from typing import Any, Dict, List, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from piquant_tpu.models import llama as M
-from piquant_tpu.quant.kv_cache import KVCache
 from piquant_tpu.serving.sampler import SamplingParams, sample_batch
 
 Array = jax.Array
