@@ -7,8 +7,11 @@ this but our collectives do).
 
 import os
 
-# Only force CPU if the caller hasn't explicitly chosen a platform
-# (PIQUANT_TPU_TEST_TPU=1 runs the suite against the real chip).
+# Only force CPU if the caller hasn't explicitly chosen a platform.
+# PIQUANT_TPU_TEST_TPU=1 targets the real chip — EXPERIMENTAL: the suite
+# assumes x64 + 8 virtual devices; on the chip many cases fail in the
+# harness (x64 tracing recursion), not in the product.  TPU validation
+# runs through bench.py / benchmarks/* and the hardware oracle scripts.
 if os.environ.get("PIQUANT_TPU_TEST_TPU", "0") != "1":
     # Force-override: the ambient environment pins JAX_PLATFORMS to the TPU
     # tunnel, which would route every eager op through a remote chip.
