@@ -191,6 +191,41 @@ class QuantizedLinear:
             z = jnp.repeat(z, self.group_size, axis=0)
         return s, z
 
+    def to_wire(self) -> Array:
+        """Packed codes in the REFERENCE wire ABI (quantize.inl:37-50:
+        adjacent-element bytes of the flattened [K, N] array, low
+        nibble/crumb first) — for handing a quantized weight to a
+        pi-quant consumer.  Grouped INT2 undoes the strided-group storage
+        permutation first."""
+        if self.bits == 2:
+            codes = unpack_split_quarter(self.data)
+            if self.group_size is not None:
+                codes = _grouped_int2_perm_codes(codes, self.k,
+                                                 self.group_size,
+                                                 inverse=True)
+            return split_quarter_to_wire(pack_split_quarter(codes))
+        if self.bits == 4:
+            return split_half_to_wire(self.data)
+        return self.data.reshape(-1)
+
+    @classmethod
+    def from_wire(cls, wire: Array, scale, zero_point, bits: int, k: int,
+                  n: int, group_size: Optional[int] = None) -> "QuantizedLinear":
+        """Build from reference-wire packed codes (inverse of to_wire)."""
+        if bits == 2:
+            data = wire_to_split_quarter(wire, k, n)
+            if group_size is not None:
+                codes = _grouped_int2_perm_codes(
+                    unpack_split_quarter(data), k, group_size)
+                data = pack_split_quarter(codes)
+        elif bits == 4:
+            data = wire_to_split_half(wire, k, n)
+        else:
+            data = wire.reshape(k, n)
+        return cls(data=data, scale=jnp.asarray(scale),
+                   zero_point=jnp.asarray(zero_point), bits=bits, k=k,
+                   group_size=group_size)
+
     def dequantize(self, dtype=jnp.bfloat16) -> Array:
         """Materialize the full [K, N] float weight (debug / fallback)."""
         if self.bits == 2:
