@@ -116,7 +116,9 @@ def init_latent_cache(cfg: MLAConfig, batch: int, max_len: int) -> LatentKVCache
         c_scale=jnp.ones((cfg.n_layers, batch, max_len, 1), jnp.float32),
         k_pe=jnp.zeros((cfg.n_layers, batch, max_len, cfg.qk_rope_head_dim),
                        jnp.bfloat16),
-        length=jnp.zeros((batch,), jnp.int32),
+        # [L, B] (stacked copies): batch at axis 1 on every leaf is the
+        # serving engine's slot-surgery convention
+        length=jnp.zeros((cfg.n_layers, batch), jnp.int32),
     )
 
 
@@ -247,6 +249,7 @@ def forward(
     tokens: Array,                       # [B, T] int32
     positions: Optional[Array] = None,
     cache: Optional[LatentKVCache] = None,  # filled (not read) when given
+    logit_positions: Optional[Array] = None,  # [B]: lm_head only there
 ) -> Tuple[Array, Optional[LatentKVCache]]:
     """Full forward (prefill): materialized per-head K/V attention, exactly
     the HF DeepseekV2 data flow; optionally writes the latent cache."""
@@ -306,11 +309,34 @@ def forward(
             )
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    if logit_positions is not None:
+        # project lm_head only at the requested positions ([B, T, V] full
+        # logits would dominate prefill memory at LLM vocab sizes)
+        x = jnp.take_along_axis(
+            x, logit_positions[:, None, None].astype(jnp.int32), axis=1)[:, 0]
     logits = _mm(x, params["lm_head"], jnp.float32)
     if cache is not None:
         cache = LatentKVCache(cache.c_codes, cache.c_scale, cache.k_pe,
                               cache.length + t)
     return logits, cache
+
+
+def prefill(cfg: MLAConfig, params: Dict, tokens: Array,
+            cache: LatentKVCache,
+            last_positions: Optional[Array] = None
+            ) -> Tuple[Array, LatentKVCache]:
+    """Engine-compatible prefill: fills the latent cache, returns logits
+    [B, V] at `last_positions` (default: final position)."""
+    b, t = tokens.shape
+    if last_positions is None:
+        last_positions = jnp.full((b,), t - 1, jnp.int32)
+    return forward(cfg, params, tokens, cache=cache,
+                   logit_positions=last_positions)
+
+
+def init_kv_cache(cfg: MLAConfig, batch: int,
+                  max_len: Optional[int] = None) -> LatentKVCache:
+    return init_latent_cache(cfg, batch, max_len or cfg.max_seq_len)
 
 
 def decode_step(

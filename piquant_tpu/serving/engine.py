@@ -130,16 +130,32 @@ class EngineMetrics:
 import functools
 
 
+def _model_for(cfg):
+    """Model module by config type: the engine is model-agnostic over any
+    module exposing init_kv_cache / prefill / decode_step with batch at
+    axis 1 on every cache leaf (llama.py KVCache, mla.py LatentKVCache)."""
+    from piquant_tpu.models import mla as _mla
+    if isinstance(cfg, _mla.MLAConfig):
+        return _mla
+    return M
+
+
 @functools.lru_cache(maxsize=None)
-def _jit_decode_block(cfg: M.LlamaConfig, kblk: int, window: int):
+def _jit_decode_block(cfg, kblk: int, window: int):
     """One compiled block per (config, block size, attention-window bucket):
     attention reads only the live cache prefix [0, window) instead of
     max_seq_len — decode cache traffic tracks actual context length."""
+    mod = _model_for(cfg)
+
     def _decode_block(params, tok, pos, cache, temps, topks, topps,
                       base_key, blk_idx, active):
         def step(carry, k):
             t, p, c = carry
-            logits, c = M.decode_step(cfg, params, t, p, c, attn_window=window)
+            if mod is M:
+                logits, c = mod.decode_step(cfg, params, t, p, c,
+                                            attn_window=window)
+            else:  # MLA: no window buckets (latent cache is small)
+                logits, c = mod.decode_step(cfg, params, t, p, c)
             toks = sample_batch(logits, temps, topks, topps, k)
             t2 = jnp.where(active, toks, t)
             return (t2, p + active.astype(jnp.int32), c), t2
@@ -187,14 +203,16 @@ def _jit_hist_init():
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_prefill(cfg: M.LlamaConfig):
+def _jit_prefill(cfg):
+    mod = _model_for(cfg)
+
     def _prefill(params, tokens, true_len, slot, cache, pool_cache,
                  temp, topk, topp, base_key, idx):
         # lm_head projected only at the prompt's true last position (tokens
         # are right-padded) — the full [B,T,V] logits tensor would dominate
         # prefill memory
-        last, cache1 = M.prefill(cfg, params, tokens, cache,
-                                 last_positions=true_len - 1)
+        last, cache1 = mod.prefill(cfg, params, tokens, cache,
+                                   last_positions=true_len - 1)
 
         def insert(big, small):
             return jax.lax.dynamic_update_slice_in_dim(big, small, slot, axis=1)
@@ -263,7 +281,14 @@ class Engine:
                                                       # admission state
 
         b = econfig.batch_slots
-        self.cache = M.init_kv_cache(cfg, b, max_len=econfig.max_seq_len)
+        self._model = _model_for(cfg)
+        if self._model is not M and (econfig.speculate or econfig.prefill_chunk
+                                     or econfig.attn_windows):
+            raise ValueError(
+                "speculate / prefill_chunk / attn_windows are dense-KV "
+                "(Llama-family) features; not supported for MLA configs yet")
+        self.cache = self._model.init_kv_cache(cfg, b,
+                                               max_len=econfig.max_seq_len)
         self._cur_tok = jnp.zeros((b,), jnp.int32)
         self._positions = jnp.zeros((b,), jnp.int32)
         self._active = np.zeros((b,), bool)  # host-side mask
@@ -311,7 +336,7 @@ class Engine:
         for w in sorted(set(tuple(self.ec.attn_windows)
                             + (self.ec.max_seq_len,))):
             fn = _jit_decode_block(self.cfg, self.ec.decode_block, w)
-            scratch_cache = M.init_kv_cache(self.cfg, b,
+            scratch_cache = self._model.init_kv_cache(self.cfg, b,
                                             max_len=self.ec.max_seq_len)
             out = fn(self.params, self._cur_tok, self._positions,
                      scratch_cache, jnp.zeros((b,), jnp.float32),
@@ -369,7 +394,7 @@ class Engine:
                     # chunked path donates the cache through the chunk chain,
                     # so it needs a per-admission buffer (the shared template
                     # would be consumed by the first chunk)
-                    "fresh": M.init_kv_cache(self.cfg, 1,
+                    "fresh": self._model.init_kv_cache(self.cfg, 1,
                                              max_len=self.ec.max_seq_len),
                 }
 
@@ -399,7 +424,7 @@ class Engine:
     def _admit_one_shot(self, req: Request, slot: int, plen: int,
                         t0: float) -> None:
         if self._fresh_template_cache is None:
-            self._fresh_template_cache = M.init_kv_cache(
+            self._fresh_template_cache = self._model.init_kv_cache(
                 self.cfg, 1, max_len=self.ec.max_seq_len)
         fresh = self._fresh_template_cache  # never donated by _prefill
         pad = -plen % self.ec.prefill_pad or 0

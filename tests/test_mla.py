@@ -29,7 +29,7 @@ def test_mla_forward_and_absorbed_decode_consistency():
     want = np.asarray(full[:, -1])
     denom = np.abs(want).max()
     assert np.abs(np.asarray(got) - want).max() / denom < 0.03
-    assert int(cache.length[0]) == 9
+    assert int(cache.length[0, 0]) == 9
 
 
 def test_mla_quantized_params():

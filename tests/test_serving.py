@@ -311,3 +311,45 @@ def test_engine_attn_window_buckets(setup):
     done = eng.run()
     got = [r.tokens for r in sorted(done, key=lambda r: r.rid)]
     assert got == want
+
+
+def test_engine_mla_model():
+    """The engine serves MLA models (latent INT8 cache): slot surgery and
+    decode blocks are cache-pytree-generic.  Greedy output must equal
+    single-request stepwise generation."""
+    from piquant_tpu.models import mla as L
+
+    cfg = L.MLAConfig.tiny(dtype=jnp.float32)
+    params = L.quantize_params(L.init_params(cfg, jax.random.key(SEED % 997)),
+                               bits=8)
+    rng = np.random.default_rng(SEED + 30)
+    prompts = [list(map(int, rng.integers(1, cfg.vocab_size, n)))
+               for n in (5, 9)]
+    n_new = 5
+
+    def ref_gen(prompt):
+        cache = L.init_kv_cache(cfg, 1, max_len=64)
+        lg, cache = L.prefill(cfg, params, jnp.asarray([prompt], jnp.int32),
+                              cache)
+        toks = []
+        tok = int(lg.argmax(-1)[0])
+        pos = len(prompt)
+        for _ in range(n_new):
+            toks.append(tok)
+            lg, cache = L.decode_step(cfg, params,
+                                      jnp.asarray([tok], jnp.int32),
+                                      jnp.asarray([pos], jnp.int32), cache)
+            tok = int(lg.argmax(-1)[0])
+            pos += 1
+        return toks
+
+    want = [ref_gen(p) for p in prompts]
+
+    eng = Engine(cfg, params, EngineConfig(batch_slots=2, max_seq_len=64,
+                                           prefill_pad=4))
+    for i, p in enumerate(prompts):
+        eng.submit(Request(rid=i, prompt=p,
+                           sampling=SamplingParams(max_new_tokens=n_new)))
+    done = eng.run()
+    got = [r.tokens for r in sorted(done, key=lambda r: r.rid)]
+    assert got == want
