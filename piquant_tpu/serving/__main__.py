@@ -26,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--random", metavar="PRESET",
                     choices=["tiny", "llama3_8b", "mistral_7b", "qwen2_7b",
                              "gemma_2b", "gemma_7b", "phi3_mini", "mixtral_8x7b",
-                             "qwen3_8b"],
+                             "qwen3_8b", "mla_v2_lite", "mla_tiny"],
                     help="random-weight model preset instead of --model")
     ap.add_argument("--bits", type=int, default=4, choices=[2, 4, 8],
                     help="weight quantization bits (default 4)")
@@ -90,20 +90,31 @@ def main(argv=None) -> int:
                                    overrides=_mlp_overrides(args))
     else:
         preset = args.random or "tiny"
-        cfg = getattr(M.LlamaConfig, preset)()
-        if preset in ("llama3_8b", "mistral_7b", "qwen2_7b", "gemma_7b",
-                      "phi3_mini", "mixtral_8x7b", "qwen3_8b"):
+        if preset.startswith("mla_"):
+            # MLA (DeepSeek-V2-style latent attention) through the same
+            # engine: latent INT8 cache, absorbed-weight decode
+            from piquant_tpu.models import mla as ML
+
+            cfg = (ML.v2_lite_config() if preset == "mla_v2_lite"
+                   else ML.MLAConfig.tiny(vocab=2048))
+            params = ML.random_quantized_params(cfg, jax.random.key(0),
+                                                bits=args.bits,
+                                                lm_head_bits=8)
+        elif preset in ("llama3_8b", "mistral_7b", "qwen2_7b", "gemma_7b",
+                        "phi3_mini", "mixtral_8x7b", "qwen3_8b"):
+            cfg = getattr(M.LlamaConfig, preset)()
             params = M.random_quantized_params(cfg, jax.random.key(0),
                                                bits=args.bits, lm_head_bits=8)
         else:
+            cfg = getattr(M.LlamaConfig, preset)()
             params = M.quantize_params(M.init_params(cfg, jax.random.key(0)),
                                        bits=args.bits,
                                        group_size=args.group_size,
                                        overrides=_mlp_overrides(args))
 
-    if args.act_quant_prefill:
+    if args.act_quant_prefill and hasattr(cfg, "act_quant_prefill"):
         cfg = dataclasses.replace(cfg, act_quant_prefill=True)
-    if args.act_quant_decode:
+    if args.act_quant_decode and hasattr(cfg, "act_quant_decode"):
         cfg = dataclasses.replace(cfg, act_quant_decode=True)
     windows = (tuple(int(w) for w in args.attn_windows.split(","))
                if args.attn_windows else ())

@@ -270,6 +270,11 @@ class Engine:
                  *, rng_seed: int = 0):
         self.cfg = cfg
         self.params = params
+        if econfig.prefill_pad > econfig.max_seq_len:
+            # prompts are padded to a prefill_pad multiple; a pad larger
+            # than the cache cannot fit any prompt
+            econfig = dataclasses.replace(
+                econfig, prefill_pad=econfig.max_seq_len)
         self.ec = econfig
         self.metrics = EngineMetrics()
         self._queue: deque[Request] = deque()
