@@ -193,3 +193,47 @@ def test_qwen2_moe_loader_matches_transformers():
 
     got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+
+
+def test_moe_expert_parallel_quantized_matches_single():
+    """EP with QuantizedExpertStack leaves: whole quantized experts per
+    shard (data/scale/zp all sharded on the expert axis) == single device."""
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.array(devs[:4]), ("ep",))
+
+    cfg = _tiny_moe()
+    cfg_ep = _tiny_moe(ep_axis="ep")
+    params = M.quantize_params(M.init_params(cfg, jax.random.key(5)), bits=8)
+    layer = params["layers"][0]
+    x = jax.random.normal(jax.random.key(6), (2, 5, cfg.d_model), jnp.float32)
+    want = np.asarray(M._mlp(cfg, layer, x))
+
+    moe_keys = ("moe_w1", "moe_w2", "moe_w3")
+    stacked = {k: layer[k] for k in moe_keys}
+    rest = {k: v for k, v in layer.items() if k not in moe_keys}
+
+    from piquant_tpu.quant.linear import QuantizedExpertStack
+
+    def stack_spec(st):
+        return QuantizedExpertStack(
+            data=P("ep", None, None), scale=P("ep", None, None),
+            zero_point=P("ep", None, None), bits=st.bits, k=st.k,
+            group_size=st.group_size)
+
+    @jax.jit
+    def run(stacked_, rest_, x_):
+        return shard_map(
+            lambda st, rt, xv: M._mlp(cfg_ep, {**rt, **st}, xv),
+            mesh=mesh,
+            in_specs=({k: stack_spec(stacked_[k]) for k in moe_keys},
+                      jax.tree.map(lambda _: P(), rest_), P()),
+            out_specs=P(),
+        )(stacked_, rest_, x_)
+
+    got = np.asarray(run(stacked, rest, x))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
