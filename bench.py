@@ -56,6 +56,20 @@ def bench_tpu():
     f1, f2 = mk(K1), mk(K2)
     np.asarray(f1(x)); np.asarray(f2(x))  # compile + warm
 
+    # In-run correctness gate (reference python/benchmark/benchmark.py:61-71
+    # asserts dequant equivalence every run): quantize a 1M slice on the
+    # chip being timed and require every dequantized element within one LSB
+    # of the clipped input.  A silent numerics regression then fails the
+    # benchmark instead of printing a great GB/s.
+    xs = np.asarray(x[:1_000_000])
+    q = np.asarray(pq.quantize(jnp.asarray(xs), scale, zp, "uint8"))
+    dq = (q.astype(np.float32) - zp) * scale
+    ref = np.clip(np.round(xs / scale) + zp, 0, 255)
+    err = np.abs(dq - (ref - zp) * scale)
+    assert err.max() <= scale + 1e-6, f"quantize numerics off: {err.max()}"
+    exact = float((q == ref.astype(np.uint8)).mean())
+    assert exact > 0.999, f"only {exact:.4f} exact vs round-nearest oracle"
+
     def t_of(f, salt):
         best = 1e9
         for i in range(REPS):
@@ -99,6 +113,22 @@ def bench_torch_baseline():
     return N * 5 / best / 1e9
 
 
+def _host_specs():
+    """Baseline-host info so vs_baseline is interpretable (the reference's
+    >2x claim was against a 360-vCPU EPYC; this host is much smaller)."""
+    import os
+    model = "unknown"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    return {"cpus": os.cpu_count(), "cpu_model": model}
+
+
 def main():
     gbs = bench_tpu()
     base = bench_torch_baseline()
@@ -108,6 +138,8 @@ def main():
         "value": round(gbs, 1),
         "unit": "GB/s",
         "vs_baseline": round(vs, 2) if vs else None,
+        "verified": True,  # in-run dequant-equivalence gate passed (bench_tpu)
+        "baseline_host": _host_specs(),
     }))
 
 

@@ -128,7 +128,11 @@ def quantize(
         )
     out = torch.empty(tensor.shape, dtype=dtype)
     nbytes = packed.nbytes
-    assert out.element_size() * out.numel() >= 0
+    cap = out.element_size() * out.numel()
+    if nbytes > cap:
+        raise ValueError(
+            f"packed payload ({nbytes} B) exceeds the torch {dtype} buffer "
+            f"({cap} B) — packed-layout mismatch for shape {tuple(tensor.shape)}")
     ctypes.memmove(out.data_ptr(), packed.ctypes.data, nbytes)
     return out
 

@@ -429,7 +429,10 @@ def fuse_layer_projections(params: Dict, cfg: LlamaConfig, tp: int = 1) -> Dict:
         nl = {k: v for k, v in layer.items()
               if k not in ("wq", "wk", "wv", "w1", "w3")}
         nl["wqkv"] = _interleave_cols([layer["wq"], layer["wk"], layer["wv"]], tp)
-        nl["w13"] = _interleave_cols([layer["w1"], layer["w3"]], tp)
+        # MoE layers carry moe_w1/moe_w3 + router instead of w1/w3: fuse only
+        # the attention projections there
+        if "w1" in layer:
+            nl["w13"] = _interleave_cols([layer["w1"], layer["w3"]], tp)
         nl["fused_tp"] = StaticInt(tp)
         out["layers"].append(nl)
     return out

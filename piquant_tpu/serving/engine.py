@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from piquant_tpu.models import llama as M
-from piquant_tpu.serving.sampler import SamplingParams, sample_batch
+from piquant_tpu.serving.sampler import (TOPK_CAND, SamplingParams,
+                                         sample_batch)
 
 Array = jax.Array
 
@@ -292,6 +293,10 @@ class Engine:
             raise ValueError(
                 "speculate / prefill_chunk / attn_windows are dense-KV "
                 "(Llama-family) features; not supported for MLA configs yet")
+        if econfig.prefill_chunk and econfig.prefill_chunk > econfig.max_seq_len:
+            raise ValueError(
+                f"prefill_chunk={econfig.prefill_chunk} exceeds "
+                f"max_seq_len={econfig.max_seq_len}")
         self.cache = self._model.init_kv_cache(cfg, b,
                                                max_len=econfig.max_seq_len)
         self._cur_tok = jnp.zeros((b,), jnp.int32)
@@ -354,6 +359,11 @@ class Engine:
     def submit(self, req: Request) -> None:
         if not req.prompt:
             raise ValueError(f"request {req.rid}: prompt must be non-empty")
+        if req.sampling.top_k > TOPK_CAND:
+            raise ValueError(
+                f"request {req.rid}: top_k={req.sampling.top_k} exceeds the "
+                f"sampler candidate window ({TOPK_CAND}); sampling would "
+                f"silently use a narrower candidate set (sampler.TOPK_CAND)")
         req.submitted_at = time.perf_counter()
         self._queue.append(req)
         self._all.append(req)
@@ -392,10 +402,21 @@ class Engine:
                     self._admit_one_shot(req, slot, plen, t0)
                     continue
                 c = self.ec.prefill_chunk
-                pad = -plen % c
+                # Fixed-size chunk starts covering [0, plen).  The final
+                # start is shifted BACK so its window never writes past
+                # max_seq_len (padding a 97-token prompt to a 128-multiple
+                # in a 100-slot cache used to make the cache append's
+                # dynamic_update_slice clamp the start index, silently
+                # shifting the real KV entries).  The shifted window
+                # re-processes a few already-prefilled tokens: forward is
+                # deterministic and positions are absolute, so it rewrites
+                # identical KV values — correctness is unchanged.
+                starts = list(range(0, plen, c))
+                if starts[-1] + c > self.ec.max_seq_len:
+                    starts[-1] = self.ec.max_seq_len - c
                 self._pending_prefill = {
                     "req": req, "slot": slot, "plen": plen, "t0": t0,
-                    "padded": req.prompt + [0] * pad, "i": 0, "last": None,
+                    "starts": starts, "j": 0, "last": None,
                     # chunked path donates the cache through the chunk chain,
                     # so it needs a per-admission buffer (the shared template
                     # would be consumed by the first chunk)
@@ -405,18 +426,20 @@ class Engine:
 
             p = self._pending_prefill
             c = self.ec.prefill_chunk
-            while p["i"] < len(p["padded"]):
+            while p["j"] < len(p["starts"]):
                 if budget is not None and budget <= 0:
                     return
-                i = p["i"]
-                is_final = i + c >= len(p["padded"])
-                lp = jnp.asarray([p["plen"] - 1 - i if is_final else 0],
+                s = p["starts"][p["j"]]
+                is_final = p["j"] == len(p["starts"]) - 1
+                chunk = p["req"].prompt[s:s + c]
+                chunk = chunk + [0] * (c - len(chunk))
+                lp = jnp.asarray([p["plen"] - 1 - s if is_final else 0],
                                  jnp.int32)
                 p["last"], p["fresh"] = self._prefill_chunk(
                     self.params,
-                    jnp.asarray([p["padded"][i:i + c]], jnp.int32),
-                    jnp.asarray([i], jnp.int32), lp, p["fresh"])
-                p["i"] = i + c
+                    jnp.asarray([chunk], jnp.int32),
+                    jnp.asarray([s], jnp.int32), lp, p["fresh"])
+                p["j"] += 1
                 if budget is not None:
                     budget -= 1
             # all chunks done: install the slot cache + first token
@@ -432,7 +455,10 @@ class Engine:
             self._fresh_template_cache = self._model.init_kv_cache(
                 self.cfg, 1, max_len=self.ec.max_seq_len)
         fresh = self._fresh_template_cache  # never donated by _prefill
-        pad = -plen % self.ec.prefill_pad or 0
+        # cap the bucket pad at max_seq_len: an over-long padded prompt would
+        # fail the prefill shape check (and the DUS append would clamp)
+        pad = min(-plen % self.ec.prefill_pad or 0,
+                  self.ec.max_seq_len - plen)
         padded = req.prompt + [0] * pad
         toks = jnp.asarray([padded], jnp.int32)
         sp = req.sampling

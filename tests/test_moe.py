@@ -71,6 +71,24 @@ def test_moe_forward_and_decode():
     assert step.shape == (2, cfg.vocab_size)
 
 
+def test_moe_fuse_layer_projections():
+    """fuse_layer_projections on a MoE model fuses only the attention
+    projections (MoE layers have no w1/w3) and keeps outputs identical.
+    Regression: used to raise KeyError on layer["w1"] (ADVICE r1)."""
+    import numpy as np
+
+    cfg = _tiny_moe()
+    params = M.init_params(cfg, jax.random.key(0))
+    toks = jax.random.randint(jax.random.key(1), (2, 8), 0, cfg.vocab_size,
+                              jnp.int32)
+    want, _ = M.forward(cfg, params, toks)
+    fused = M.fuse_layer_projections(params, cfg)
+    assert "wqkv" in fused["layers"][0] and "w13" not in fused["layers"][0]
+    got, _ = M.forward(cfg, fused, toks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_moe_quantized_params():
     from piquant_tpu.quant.linear import QuantizedExpertStack
 

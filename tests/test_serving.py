@@ -142,6 +142,48 @@ def test_chunked_prefill_engine(setup):
     assert rel < 0.05, rel
 
 
+def test_chunked_prefill_near_capacity(setup):
+    """Chunked admission whose padded length would exceed max_seq_len: the
+    final chunk window is shifted back (never written past the cache end) and
+    the greedy output must match an unconstrained run.  Regression: the
+    padded final chunk used to hit the KV append's DUS index clamp, silently
+    shifting the real entries (ADVICE r1, medium)."""
+    cfg, params = setup
+    prompt = list(range(1, 28))  # plen=27, chunk 8 -> old padded len 32 > 30
+    n_new = 3
+    want = _reference_generate(cfg, params, prompt, n_new)
+
+    eng = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=30,
+                                           prefill_chunk=8))
+    eng.submit(Request(rid=0, prompt=prompt,
+                       sampling=SamplingParams(max_new_tokens=n_new)))
+    done = eng.run()
+    assert done[0].tokens == want, (done[0].tokens, want)
+
+
+def test_one_shot_prefill_pad_clamped(setup):
+    """One-shot admission caps the prefill_pad bucket at max_seq_len (used
+    to fail with a shape error when plen rounded past the cache)."""
+    cfg, params = setup
+    prompt = list(range(1, 28))  # plen=27, pad 8 -> 32 > 30
+    n_new = 3
+    want = _reference_generate(cfg, params, prompt, n_new)
+    eng = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=30,
+                                           prefill_pad=8))
+    eng.submit(Request(rid=0, prompt=prompt,
+                       sampling=SamplingParams(max_new_tokens=n_new)))
+    done = eng.run()
+    assert done[0].tokens == want, (done[0].tokens, want)
+
+
+def test_submit_rejects_oversized_top_k(setup):
+    cfg, params = setup
+    eng = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=16))
+    with pytest.raises(ValueError, match="top_k"):
+        eng.submit(Request(rid=0, prompt=[1, 2],
+                           sampling=SamplingParams(temperature=1.0, top_k=500)))
+
+
 def test_sample_batch_matches_per_row():
     """sample_batch with traced per-row params == sample() per row (same key
     handling for greedy; masked-support equivalence for stochastic rows)."""

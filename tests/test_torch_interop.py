@@ -95,3 +95,16 @@ def test_validation():
     with pytest.raises(ValueError):
         pq_torch.dequantize(torch.zeros(4), scale=1.0, zero_point=0,
                             dtype=torch.float32)
+
+
+def test_quantize_rejects_oversized_payload(monkeypatch):
+    """An oversized packed payload must raise, not memmove past the torch
+    buffer (regression: the nbytes-fit check was a dead assert, ADVICE r1)."""
+    class _FakeCtx:
+        def quantize(self, x, scale, zp, qname, round_mode, seed=0):
+            return np.zeros(x.size * 2, dtype=np.uint8)  # 2x too big
+
+    monkeypatch.setattr(pq_torch, "_host_ctx", lambda: _FakeCtx())
+    with pytest.raises(ValueError, match="exceeds"):
+        pq_torch.quantize(torch.zeros(8), scale=1.0, zero_point=0,
+                          dtype=torch.quint8)
