@@ -117,3 +117,57 @@ def test_host_validation(ctx):
         ctx.dequantize(np.zeros(10, np.uint8), 100, 1.0, 0, "uint4")
     with pytest.raises(ValueError):
         ctx.dequantize(np.zeros(10, np.uint8), 20, 1.0, 0, "uint4", reduce_op="add")
+
+
+def test_reference_c_abi_compat(tmp_path):
+    """A C program written against the reference header's symbols
+    (include/piquant.h:42-85) must link against libpiquant_host.so and pass
+    a quantize/dequantize/params roundtrip (csrc/piquant_compat.cpp)."""
+    import shutil
+    import subprocess
+
+    from piquant_tpu.runtime.host import _CSRC, _SO
+
+    cc = shutil.which("cc") or shutil.which("gcc")
+    if cc is None:
+        pytest.skip("no C compiler")
+    exe = tmp_path / "compat_check"
+    subprocess.run(
+        [cc, "-O2", "-o", str(exe), f"{_CSRC}/compat_check.c",
+         f"-L{_CSRC}", "-lpiquant_host", "-lm", f"-Wl,-rpath,{_CSRC}"],
+        check=True, capture_output=True)
+    out = subprocess.run([str(exe)], capture_output=True, text=True)
+    assert out.returncode == 0, (out.returncode, out.stdout, out.stderr)
+    assert "compat ok" in out.stdout
+
+
+def test_reference_c_abi_ctypes_stochastic():
+    """Stochastic mode through the reference ABI is unbiased-ish and
+    decorrelated across calls (context-held seed counter)."""
+    import ctypes
+
+    from piquant_tpu.runtime.host import _SO
+
+    lib = ctypes.CDLL(_SO)
+    lib.piquant_context_create.restype = ctypes.c_void_p
+    lib.piquant_context_create.argtypes = [ctypes.c_size_t]
+    lib.piquant_quantize.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_int32, ctypes.c_size_t, ctypes.c_float, ctypes.c_int64,
+        ctypes.c_int32]
+    lib.piquant_context_destroy.argtypes = [ctypes.c_void_p]
+    ctx = lib.piquant_context_create(2)
+    n = 65536
+    x = np.full(n, 0.5, np.float32)  # exactly between codes at scale 1.0
+    outs = []
+    for _ in range(2):
+        q = np.zeros(n, np.uint8)
+        lib.piquant_quantize(ctx, x.ctypes.data_as(ctypes.c_void_p), 0,
+                             q.ctypes.data_as(ctypes.c_void_p), 4, n,
+                             1.0, 0, 1)  # REF_UINT8=4, stochastic=1
+        outs.append(q.copy())
+    lib.piquant_context_destroy(ctx)
+    for q in outs:
+        frac = q.mean()
+        assert 0.45 < frac < 0.55, frac  # ~half round up
+    assert not np.array_equal(outs[0], outs[1])  # per-call seeds differ
