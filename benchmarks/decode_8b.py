@@ -117,7 +117,7 @@ def main(batch=8, ctx=1024, max_len=2048):
           f"batch={batch}", flush=True)
     # weight-stream bound: 3.49 GB of packed weights per step
     print(f"weight-stream during decode: {3.49/per_step:.0f} GB/s "
-          f"(HBM SOL would be {3.49/0.819*1000:.1f} ms/step + cache/embed traffic)",
+          f"(HBM SOL would be {3.49/0.819:.2f} ms/step + cache/embed traffic)",
           flush=True)
 
 

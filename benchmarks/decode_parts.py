@@ -103,12 +103,16 @@ def main():
         os.environ["PIQUANT_SKIP_ATTN"] = "0"
 
     saved_app = M.kv_cache_append_stacked
+    saved_batch = M.kv_cache_append_stacked_batch
     M.kv_cache_append_stacked = (
         lambda cache_, layer, k, v, positions, contiguous_start=None: cache_)
+    M.kv_cache_append_stacked_batch = (
+        lambda cache_, kc, ks, vc, vs, positions: cache_)
     try:
         no_app = time_step(cfg, params, cache, "minus kv append")
     finally:
         M.kv_cache_append_stacked = saved_app
+        M.kv_cache_append_stacked_batch = saved_batch
 
     saved_qmm = M.quantized_matmul
 

@@ -28,7 +28,9 @@ from jax.sharding import PartitionSpec as P
 
 from piquant_tpu.quant.kv_cache import (
     KVCache,
+    _quantize_sym,
     kv_cache_append_stacked,
+    kv_cache_append_stacked_batch,
     kv_cache_init,
 )
 from piquant_tpu.quant.linear import (
@@ -496,6 +498,14 @@ def _attention(
                                         # guarantees all positions fit) —
                                         # cuts decode cache traffic to the
                                         # live prefix instead of max_len
+    pending: Optional[list] = None,     # deferred-append mode (decode t==1):
+                                        # quantized k/v are stashed here and
+                                        # written by ONE batched scatter after
+                                        # the layer loop; the current token's
+                                        # own contribution joins the softmax
+                                        # from registers (the mask must then
+                                        # EXCLUDE kv_pos == qp — forward()
+                                        # builds it strict)
 ) -> Tuple[Array, Optional[KVCache]]:
     b, t, _ = x.shape
     hd = cfg.head_dim
@@ -530,13 +540,17 @@ def _attention(
     rep = cfg.n_heads // cfg.n_kv_heads
     qg = q.reshape(b, cfg.n_kv_heads, rep, t, hd)  # grouped heads: no repeat
 
-    if cache is not None:
+    if cache is not None and pending is None:
         cache = kv_cache_append_stacked(cache, layer_idx, k, v, positions,
                                         contiguous_start=kv_write_start)
+    elif pending is not None:
+        kc_s, ks_s = _quantize_sym(k)   # [B, Hkv, 1, D] / [B, Hkv, 1, 1]
+        vc_s, vs_s = _quantize_sym(v)
+        pending.append((kc_s, ks_s, vc_s, vs_s))
     if cache is not None and not attend_in_layer:
         import os as _os
 
-        if (t == 1 and jax.default_backend() == "tpu"
+        if (t == 1 and pending is None and jax.default_backend() == "tpu"
                 and _os.environ.get("PIQUANT_TPU_PALLAS_ATTN", "0") == "1"):
             # flash-decoding Pallas kernel (ops/pallas/attention.py).
             # OFF by default: the XLA int8-cache path below measured
@@ -576,10 +590,41 @@ def _attention(
             "bhrtd,bhsd->bhrts", qg.astype(jnp.bfloat16), kc.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32) * ks
         scores = scores * (1.0 / jnp.sqrt(hd)) + mask[:, None]
-        probs = jax.nn.softmax(scores, axis=-1)
-        pscaled = (probs * vs[:, :, None, None, :]).astype(jnp.bfloat16)
-        ctx = jnp.einsum("bhrts,bhsd->bhrtd", pscaled, vc.astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
+        if pending is not None:
+            # deferred append: the cache does NOT hold the current token
+            # (mask is strict), so its contribution joins the softmax from
+            # registers via a split logsumexp.  Uses the DEQUANTIZED self
+            # k/v — identical math to appending the int8 codes and reading
+            # them back, without the per-layer scatter.
+            # same precision recipe as the cache stream: bf16 dot on the raw
+            # int8 codes (exact in bf16), f32 rank-1 scale fold — keeps the
+            # deferred logits within float-association noise of the
+            # append-then-read path
+            kq, ksq, vq, vsq = pending[-1]
+            s_self = jnp.einsum(
+                "bhrtd,bhsd->bhrts", qg.astype(jnp.bfloat16),
+                kq.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) * ksq[:, :, None]
+            s_self = s_self * (1.0 / jnp.sqrt(hd))
+            m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_self)
+            ec = jnp.exp(scores - m)                       # [B, Hkv, r, 1, W]
+            es = jnp.exp(s_self - m)                       # [B, Hkv, r, 1, 1]
+            denom = jnp.sum(ec, axis=-1, keepdims=True) + es
+            # normalize BEFORE the bf16 cast: the cast then rounds the same
+            # probability values the append-then-read softmax rounds, so the
+            # two paths agree to float-association noise
+            pscaled = (ec / denom * vs[:, :, None, None, :]).astype(jnp.bfloat16)
+            ctx = jnp.einsum("bhrts,bhsd->bhrtd", pscaled,
+                             vc.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+            ps_self = (es / denom * vsq[:, :, None]).astype(jnp.bfloat16)
+            ctx = ctx + (ps_self.astype(jnp.float32)
+                         * vq.astype(jnp.float32)[:, :, None])
+        else:
+            probs = jax.nn.softmax(scores, axis=-1)
+            pscaled = (probs * vs[:, :, None, None, :]).astype(jnp.bfloat16)
+            ctx = jnp.einsum("bhrts,bhsd->bhrtd", pscaled, vc.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
     else:
         # in-layer attention (no cache, or fresh prefill): float k/v
         scores = jnp.einsum(
@@ -717,6 +762,18 @@ def forward(
     s_len = cache.k_codes.shape[3] if cache is not None else t
     if attn_window is not None:
         s_len = min(s_len, attn_window)
+
+    # Deferred-append decode (t == 1): the per-layer cache scatters (4 x
+    # n_layers tiny kernels, ~1.6 ms/step on 8B by knockout) collapse into
+    # ONE batched scatter per buffer after the layer loop; each layer's
+    # attention adds the current token's contribution from registers.
+    # Requires a caller-default mask (the strict variant is built here).
+    import os as _os
+    defer = (t == 1 and cache is not None and not attend_in_layer
+             and mask is None
+             and _os.environ.get("PIQUANT_DEFER_APPEND", "1") == "1")
+    pending: Optional[list] = [] if defer else None
+
     if mask is None:
         if attend_in_layer or cache is None:
             qp = positions[:, None, :, None]          # [B,1,T,1] absolute
@@ -727,9 +784,11 @@ def forward(
             mask = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)
         elif cache is not None:
             # decode/prefill against cache: allow attention to pos <= position
+            # (STRICT < in deferred mode — the current token is not in the
+            # cache yet; its slot holds stale data that must stay masked)
             kv_pos = jnp.arange(s_len, dtype=jnp.int32)[None, None, None, :]
             qp = positions[:, None, :, None]
-            ok = kv_pos <= qp
+            ok = kv_pos < qp if defer else kv_pos <= qp
             if cfg.sliding_window is not None:
                 ok = ok & (kv_pos > qp - cfg.sliding_window)
             mask = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)
@@ -739,10 +798,19 @@ def forward(
                               rms_norm(x, layer["attn_norm"], cfg.rms_eps,
                                        cfg.norm_plus_one),
                               positions, cache, i, mask, attend_in_layer,
-                              kv_write_start, attn_window)
+                              kv_write_start, attn_window, pending)
         x = x + h
         x = x + _mlp(cfg, layer, rms_norm(x, layer["mlp_norm"], cfg.rms_eps,
                                           cfg.norm_plus_one))
+
+    if pending:
+        cache = kv_cache_append_stacked_batch(
+            cache,
+            jnp.stack([p[0] for p in pending]),   # [L, B, Hkv, 1, D] int8
+            jnp.stack([p[1] for p in pending]),   # [L, B, Hkv, 1, 1] f32
+            jnp.stack([p[2] for p in pending]),
+            jnp.stack([p[3] for p in pending]),
+            positions)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps, cfg.norm_plus_one)
     if logit_positions is not None:
