@@ -676,6 +676,68 @@ def _mlp_moe(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:
     off = (jax.lax.axis_index(cfg.ep_axis) * e_local
            if cfg.ep_axis is not None else 0)
 
+    y = _moe_ragged_try(cfg, layer, x, probs, topi)
+    if y is None:
+        y = _moe_dense(cfg, layer, x, probs, topi, e_local, off, aq)
+    if "shared_w1" in layer:
+        # Qwen2-MoE shared expert: always-on MLP scaled by a sigmoid gate
+        g = _mm(x, layer["shared_w1"], dt, aq)
+        u = _mm(x, layer["shared_w3"], dt, aq)
+        gf = g.astype(jnp.float32)
+        act = (jax.nn.gelu(gf, approximate=True) if cfg.mlp_act == "gelu"
+               else jax.nn.silu(gf))
+        h = (act * u.astype(jnp.float32)).astype(dt)
+        sh = _mm(h, layer["shared_w2"], dt, aq).astype(jnp.float32)
+        gate = jax.nn.sigmoid(
+            x.astype(jnp.float32) @ layer["shared_gate"].astype(jnp.float32))
+        y = y + gate * sh
+    return y.astype(dt)
+
+
+def _moe_ragged_try(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
+                    topi: Array) -> Optional[Array]:
+    """Grouped (megablocks-style) MoE compute: FLOPs scale with top_k/E
+    instead of evaluating every expert densely (quant/moe.py routing +
+    ops/pallas/qmatmul.w4_ragged_matmul).  Returns None when the geometry
+    or backend can't take the ragged kernel (caller falls back to dense)."""
+    import os as _os
+
+    env = _os.environ.get("PIQUANT_MOE_RAGGED", "1")
+    w1s = layer["moe_w1"]
+    b, t, d = x.shape
+    ntok = b * t
+    if (env == "0" or cfg.ep_axis is not None
+            or not hasattr(w1s, "bits") or w1s.bits != 4
+            or w1s.group_size is not None
+            or ntok < 32      # decode: weight traffic dominates, dense is fine
+            or cfg.act_quant_decode or cfg.act_quant_prefill
+            or (jax.default_backend() != "tpu" and env != "force")):
+        return None
+    from piquant_tpu.ops.pallas import qmatmul as _qmm
+    from piquant_tpu.quant import moe as _moe
+
+    e = w1s.n_experts
+    bmr = 128 if ntok * cfg.moe_top_k >= 2048 else 32
+    r = _moe.build_ragged_routing(topi, probs, e, bmr)
+    xs = _moe.scatter_tokens(x.reshape(ntok, d).astype(cfg.dtype), r)
+    g = _qmm.w4_ragged_matmul(xs, w1s, r.block_expert, cfg.dtype)
+    u = _qmm.w4_ragged_matmul(xs, layer["moe_w3"], r.block_expert, cfg.dtype)
+    if g is None or u is None:
+        return None
+    gf = g.astype(jnp.float32)
+    act = (jax.nn.gelu(gf, approximate=True) if cfg.mlp_act == "gelu"
+           else jax.nn.silu(gf))
+    h = (act * u.astype(jnp.float32)).astype(cfg.dtype)
+    o = _qmm.w4_ragged_matmul(h, layer["moe_w2"], r.block_expert, cfg.dtype)
+    if o is None:
+        return None
+    return _moe.combine_tokens(o, r, ntok).reshape(b, t, d)
+
+
+def _moe_dense(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
+               topi: Array, e_local: int, off, aq) -> Array:
+    dt = cfg.dtype
+    w1s, w3s, w2s = layer["moe_w1"], layer["moe_w3"], layer["moe_w2"]
     y = jnp.zeros(x.shape, jnp.float32)
     for el in range(e_local):
         e_glob = off + el
@@ -690,19 +752,7 @@ def _mlp_moe(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:
         y += _mm(h, _expert_weight(w2s, el), dt, aq).astype(jnp.float32) * gate
     if cfg.ep_axis is not None:
         y = jax.lax.psum(y, cfg.ep_axis)
-    if "shared_w1" in layer:
-        # Qwen2-MoE shared expert: always-on MLP scaled by a sigmoid gate
-        g = _mm(x, layer["shared_w1"], dt, aq)
-        u = _mm(x, layer["shared_w3"], dt, aq)
-        gf = g.astype(jnp.float32)
-        act = (jax.nn.gelu(gf, approximate=True) if cfg.mlp_act == "gelu"
-               else jax.nn.silu(gf))
-        h = (act * u.astype(jnp.float32)).astype(dt)
-        sh = _mm(h, layer["shared_w2"], dt, aq).astype(jnp.float32)
-        gate = jax.nn.sigmoid(
-            x.astype(jnp.float32) @ layer["shared_gate"].astype(jnp.float32))
-        y = y + gate * sh
-    return y.astype(dt)
+    return y
 
 
 def _mlp(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:

@@ -99,3 +99,23 @@ def pack_matrix(bits: int) -> Array:
 
 def unpack_matrices(bits: int) -> Array:
     return jnp.asarray(unpack_matrices_np(bits), jnp.bfloat16)
+
+
+def grid_rows(n_rows: int, *, aliased: bool, bf16: bool) -> Tuple[int, int]:
+    """(padded_rows, block_rows) for an elementwise kernel grid.
+
+    SET-store kernels tolerate a ragged last grid block (stores are masked),
+    so rows stay as given and the block adapts.  ALIASED kernels
+    (input_output_aliases accumulators) must match the donated buffer to the
+    out_shape exactly — rows round up to a whole number of blocks."""
+    q = 16 if bf16 else 8
+    if aliased:
+        rows = n_rows + (-n_rows) % q
+        if rows <= BLOCK_ROWS:
+            return rows, rows
+        rows += (-rows) % BLOCK_ROWS
+        return rows, BLOCK_ROWS
+    br = min(BLOCK_ROWS, max(8, n_rows - n_rows % 8 or 8))
+    if bf16:
+        br = max(16, br - br % 16)
+    return n_rows, br

@@ -127,48 +127,48 @@ def dequantize(q: Array, numel: int, scale, zero_point, dt: QDType, odt: QDType,
                reduce_op: str, out: Optional[Array]) -> Optional[Array]:
     if odt.name not in _FLOAT_OUT:
         return None
+    if dt.name not in _DIRECT_LOAD and dt.name not in ("uint4", "int4", "uint2"):
+        return None
     add = reduce_op == "add"
     pack = dt.pack_factor
     unit = C.LANES * pack
-    body, tail = C.split_tail(numel, pack)
-    if body == 0:
+    if numel == 0:
         return None
+
+    # Pad the packed input (and accumulator) to a whole kernel unit and
+    # slice the result — one Pallas program for every size; the stitched
+    # pallas-body + jnp-tail program stalled the remote TPU backend (see
+    # quantize.py).  Padding bytes dequantize to garbage that is sliced off.
+    # ADD (aliased accumulator) cannot use a ragged last grid block — the
+    # donated buffer must match the out_shape exactly — so rows round up to
+    # a whole block there.
+    rows = -(-numel // unit)
+    rows, br = C.grid_rows(rows, aliased=add, bf16=odt.name == "bf16")
+    padded = rows * unit
 
     scale_a = jnp.asarray(scale, jnp.float32).reshape(1)
     zp_a = jnp.asarray(zero_point, jnp.int32).reshape(1)
     qf = q.reshape(-1)
-    rows = body // unit
-    br = min(C.BLOCK_ROWS, max(8, rows - rows % 8 or 8))
-    if odt.name == "bf16":
-        br = max(16, br - br % 16)
-
-    body_bytes = packed_numel(body, dt)
-    acc_body = None
+    in_elems = rows * C.LANES if dt.is_packed else padded
+    if qf.size != in_elems:
+        qf = jnp.concatenate([qf, jnp.zeros((in_elems - qf.size,), qf.dtype)])
+    acc = None
     if add:
-        acc_body = out.reshape(-1)[:body]
+        acc = out.reshape(-1)
+        if acc.size != padded:
+            acc = jnp.concatenate([acc, jnp.zeros((padded - acc.size,), acc.dtype)])
 
     if dt.name in _DIRECT_LOAD:
         k = _direct_kernel(rows, dt.name, odt.name, add, br)
-        args = (scale_a, zp_a, qf[:body_bytes].reshape(rows, C.LANES))
+        args = (scale_a, zp_a, qf.reshape(rows, C.LANES))
         if add:
-            args = args + (acc_body.reshape(rows, C.LANES),)
-        out_body = k(*args).reshape(-1)
-    elif dt.name in ("uint4", "int4", "uint2"):
+            args = args + (acc.reshape(rows, C.LANES),)
+        res = k(*args).reshape(-1)
+    else:
         k = _mxu_unpack_kernel(rows, dt.bits, dt.kind == "int", odt.name, add, br)
-        args = (scale_a, zp_a, qf[:body_bytes].reshape(rows, C.LANES),
+        args = (scale_a, zp_a, qf.reshape(rows, C.LANES),
                 C.unpack_matrices(dt.bits))
         if add:
-            args = args + (acc_body.reshape(rows, unit),)
-        out_body = k(*args).reshape(-1)
-    else:
-        return None
-
-    if tail == 0:
-        return out_body
-
-    from piquant_tpu.ops import reference as _ref
-
-    tail_acc = None if not add else out.reshape(-1)[body:]
-    tail_out = _ref.dequantize(qf[body_bytes:], tail, scale, zero_point, dt, odt,
-                               reduce_op, tail_acc)
-    return jnp.concatenate([out_body, tail_out])
+            args = args + (acc.reshape(rows, unit),)
+        res = k(*args).reshape(-1)
+    return res[:numel] if padded != numel else res

@@ -59,25 +59,37 @@ def min_max(x: Array) -> Optional[Tuple[Array, Array]]:
     src = dtype_of(x.dtype)
     if not C.supports_dtype(src.name):
         return None
+    n = x.size
+    if n == 0:
+        return None
     # A ragged LAST BLOCK would read padded garbage rows into the reduction,
     # so (unlike the elementwise kernels, whose edge stores are just masked)
-    # the kernel body must be an exact multiple of the block: remainder rows
-    # and the sub-lane tail are reduced on the XLA side and combined.
-    br = C.BLOCK_ROWS if src.name != "bf16" else C.BLOCK_ROWS
+    # the main kernel body is an exact multiple of the big block; the
+    # remainder goes to a SECOND single-block kernel call padded with its own
+    # first element (neutral for both min and max) — every size runs on the
+    # kernel, no XLA-side tail reduce.
+    br = C.BLOCK_ROWS
     unit = br * C.LANES
-    body = (x.size // unit) * unit
-    tail = x.size - body
-    if body == 0:
-        return None
+    body = (n // unit) * unit
     xf = x.reshape(-1)
-    rows = body // C.LANES
-    k = _minmax_kernel(rows, src.name, br)
-    mm = k(xf[:body].reshape(rows, C.LANES))
-    lo, hi = mm[0, 0], mm[0, 1]
+    lo = hi = None
+    if body:
+        rows = body // C.LANES
+        mm = _minmax_kernel(rows, src.name, br)(xf[:body].reshape(rows, C.LANES))
+        lo, hi = mm[0, 0], mm[0, 1]
+    tail = n - body
     if tail:
-        tf = xf[body:].astype(jnp.float32)
-        lo = jnp.minimum(lo, jnp.min(tf))
-        hi = jnp.maximum(hi, jnp.max(tf))
+        quantum = 16 if src.name == "bf16" else 8
+        trows = -(-tail // C.LANES)
+        trows += (-trows) % quantum
+        pad = trows * C.LANES - tail
+        tf = xf[body:]
+        if pad:
+            tf = jnp.concatenate(
+                [tf, jnp.broadcast_to(tf[:1], (pad,))])
+        mm2 = _minmax_kernel(trows, src.name, trows)(tf.reshape(trows, C.LANES))
+        lo = mm2[0, 0] if lo is None else jnp.minimum(lo, mm2[0, 0])
+        hi = mm2[0, 1] if hi is None else jnp.maximum(hi, mm2[0, 1])
     return lo, hi
 
 

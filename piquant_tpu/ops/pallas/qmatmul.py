@@ -75,6 +75,76 @@ def _w4_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
 
 
 @lru_cache(maxsize=None)
+def _w4_ragged_kernel(m: int, k: int, n: int, e: int, bm: int, bn: int,
+                      out_dtype: str):
+    """Megablocks-style grouped GEMM over an INT4 expert stack.
+
+    x rows are pre-sorted by expert and padded so every bm-row block belongs
+    to exactly ONE expert; the prefetched `block_expert` array drives the
+    weight/scale index_maps, so each grid step DMAs only its expert's packed
+    tile (quant/moe.py builds the routing).  Same split-half unpack and
+    analytic zero-point fold as `_w4_kernel`."""
+    odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
+    kh = k // 2
+
+    def kern(be_ref, x_ref, b_ref, s_ref, zs_ref, xsum_ref, o_ref):
+        del be_ref  # consumed by the index_maps
+        b = b_ref[0].astype(jnp.int32)            # (kh, bn)
+        lo = (b & 15).astype(jnp.bfloat16)
+        hi = (b >> 4).astype(jnp.bfloat16)        # b < 256: no mask needed
+        x = x_ref[:]
+        acc = jnp.dot(x[:, :kh], lo, preferred_element_type=jnp.float32)
+        acc += jnp.dot(x[:, kh:], hi, preferred_element_type=jnp.float32)
+        o_ref[:] = (acc * s_ref[0] - xsum_ref[:] * zs_ref[0]).astype(odt)
+
+    grid = (m // bm, n // bn)
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, j, be: (i, 0)),
+                pl.BlockSpec((1, kh, bn), lambda i, j, be: (be[i], 0, j)),
+                pl.BlockSpec((1, 1, bn), lambda i, j, be: (be[i], 0, j)),
+                pl.BlockSpec((1, 1, bn), lambda i, j, be: (be[i], 0, j)),
+                pl.BlockSpec((bm, 1), lambda i, j, be: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, be: (i, j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), odt),
+    )
+
+
+def w4_ragged_matmul(x_sorted: Array, stack, block_expert: Array,
+                     out_dtype=jnp.bfloat16) -> Optional[Array]:
+    """x_sorted [M, K] @ per-block expert of `stack` -> [M, N].
+
+    M must be a multiple of the routing block (block_expert.shape[0] * bm
+    == M).  INT4 channelwise split-half expert stacks only."""
+    if stack.bits != 4 or stack.group_size is not None:
+        return None
+    m, k = x_sorted.shape
+    e, kh, n = stack.data.shape
+    if m % block_expert.shape[0]:
+        return None
+    bm = m // block_expert.shape[0]
+    bn = next((c for c in BN_CANDIDATES
+               if n % c == 0 and kh * c <= W_BLOCK_VMEM_LIMIT), None)
+    if bn is None or k != 2 * kh:
+        return None
+    scale = stack.scale.astype(jnp.float32).reshape(e, 1, n)
+    zs = (stack.zero_point.astype(jnp.float32)
+          * stack.scale.astype(jnp.float32)).reshape(e, 1, n)
+    xb = x_sorted.astype(jnp.bfloat16)
+    xsum = jnp.sum(x_sorted.astype(jnp.float32), axis=-1, keepdims=True)
+    kern = _w4_ragged_kernel(m, k, n, e, bm, bn,
+                             "bf16" if out_dtype == jnp.bfloat16 else "f32")
+    return kern(block_expert.astype(jnp.int32),
+                xb, stack.data.reshape(e, kh, n), scale, zs, xsum)
+
+
+@lru_cache(maxsize=None)
 def _w4_kernel_ksplit(m: int, k: int, n: int, bm: int, bn: int, bkh: int,
                       out_dtype: str):
     """K-split variant for large-K weights (w2: K=14336): a third grid axis

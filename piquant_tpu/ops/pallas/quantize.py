@@ -107,43 +107,45 @@ def quantize(x: Array, scale, zero_point, dt: QDType, round_mode: str,
     src = dtype_of(x.dtype)
     if not C.supports_dtype(src.name):
         return None
+    if dt.name not in _DIRECT_STORE and dt.name not in ("uint4", "int4", "uint2"):
+        return None
     stochastic = round_mode == "stochastic"
     pack = dt.pack_factor
     unit = C.LANES * pack
-    body, tail = C.split_tail(x.size, pack)
-    if body == 0:
+    n = x.size
+    if n == 0:
         return None
+
+    # Pad to a whole kernel unit instead of stitching a jnp tail: padding
+    # elements land in discarded bytes (or the masked bits of the final
+    # byte), so ONE Pallas program covers every size.  The fused
+    # pallas-body + jnp-tail program stalled the remote TPU backend, and
+    # a single code path is simpler anyway.
+    rows = -(-n // unit)
+    padded = rows * unit
+    xin = x.reshape(-1)
+    if padded != n:
+        xin = jnp.concatenate([xin, jnp.zeros((padded - n,), xin.dtype)])
 
     scale_a = jnp.asarray(scale, jnp.float32).reshape(1)
     zp_a = jnp.asarray(zero_point, jnp.int32).reshape(1)
     seed_a = C.seed_from_key(key)
 
-    xin = x.reshape(-1)
-    xb = xin[:body]
-    rows = body // unit
-    br = min(C.BLOCK_ROWS, max(8, rows - rows % 8 or 8))
-    if src.name == "bf16":
-        br = max(16, br - br % 16)
+    _, br = C.grid_rows(rows, aliased=False, bf16=src.name == "bf16")
 
     if dt.name in _DIRECT_STORE:
         k = _direct_kernel(rows * pack, src.name, dt.name, dt.qmin, dt.qmax,
                            stochastic, br)
-        out_body = k(scale_a, zp_a, seed_a, xb.reshape(rows, C.LANES)).reshape(-1)
-    elif dt.name in ("uint4", "int4", "uint2"):
-        k = _mxu_pack_kernel(rows, src.name, dt.bits, dt.kind == "int",
-                             dt.qmin, dt.qmax, stochastic, br)
-        out_body = k(scale_a, zp_a, seed_a, xb.reshape(rows, unit),
-                     C.pack_matrix(dt.bits)).reshape(-1)
-    else:
-        return None
-
-    if tail == 0:
-        return out_body
-
-    from piquant_tpu.ops import reference as _ref
-
-    tkey = None
-    if stochastic:
-        tkey = jax.random.fold_in(key, 0x7A11)
-    tail_out = _ref.quantize(xin[body:], scale, zero_point, dt, round_mode, key=tkey)
-    return jnp.concatenate([out_body, tail_out.astype(out_body.dtype)])
+        out = k(scale_a, zp_a, seed_a, xin.reshape(rows, C.LANES)).reshape(-1)
+        return out[:n] if padded != n else out
+    k = _mxu_pack_kernel(rows, src.name, dt.bits, dt.kind == "int",
+                         dt.qmin, dt.qmax, stochastic, br)
+    out = k(scale_a, zp_a, seed_a, xin.reshape(rows, unit),
+            C.pack_matrix(dt.bits)).reshape(-1)
+    pb = packed_numel(n, dt)
+    if pb != out.size:
+        out = out[:pb]
+    tm = tail_mask(n, dt)
+    if tm is not None:  # zero the unused bits of the partial final byte
+        out = out.at[pb - 1].set(out[pb - 1] & jnp.uint8(tm))
+    return out

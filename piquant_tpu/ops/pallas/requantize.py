@@ -79,32 +79,30 @@ def requantize(x: Array, scale, zero_point, dt: QDType, round_mode: str,
         return None
     stochastic = round_mode == "stochastic"
     add = reduce_op == "add"
-    body, tail = C.split_tail(x.size, 1)
-    if body == 0:
+    n = x.size
+    if n == 0:
         return None
+
+    # Pad to whole kernel rows and slice (see quantize.py: the stitched
+    # pallas-body + jnp-tail program stalled the remote TPU backend).
+    # ADD aliasing needs block-exact rows (common.grid_rows).
+    rows = -(-n // C.LANES)
+    rows, br = C.grid_rows(rows, aliased=add, bf16=src.name == "bf16")
+    padded = rows * C.LANES
+    xf = x.reshape(-1)
+    if padded != n:
+        xf = jnp.concatenate([xf, jnp.zeros((padded - n,), xf.dtype)])
 
     scale_a = jnp.asarray(scale, jnp.float32).reshape(1)
     zp_a = jnp.asarray(zero_point, jnp.int32).reshape(1)
     seed_a = C.seed_from_key(key)
-    xf = x.reshape(-1)
-    rows = body // C.LANES
-    br = min(C.BLOCK_ROWS, max(8, rows - rows % 8 or 8))
-    if src.name == "bf16":
-        br = max(16, br - br % 16)
 
     k = _requant_kernel(rows, src.name, dt.qmin, dt.qmax, stochastic, add, br)
-    args = (scale_a, zp_a, seed_a, xf[:body].reshape(rows, C.LANES))
+    args = (scale_a, zp_a, seed_a, xf.reshape(rows, C.LANES))
     if add:
-        args = args + (out.reshape(-1)[:body].reshape(rows, C.LANES),)
-    out_body = k(*args).reshape(-1)
-
-    if tail == 0:
-        return out_body
-
-    from piquant_tpu.ops import reference as _ref
-
-    tkey = jax.random.fold_in(key, 0x7A11) if stochastic else None
-    tail_acc = None if not add else out.reshape(-1)[body:]
-    tail_out = _ref.requantize(xf[body:], scale, zero_point, dt, round_mode,
-                               reduce_op, tail_acc, key=tkey)
-    return jnp.concatenate([out_body, tail_out])
+        acc = out.reshape(-1)
+        if acc.size != padded:
+            acc = jnp.concatenate([acc, jnp.zeros((padded - acc.size,), acc.dtype)])
+        args = args + (acc.reshape(rows, C.LANES),)
+    res = k(*args).reshape(-1)
+    return res[:n] if padded != n else res

@@ -129,3 +129,28 @@ def test_quantized_psum_wrapper(mesh):
     got = np.asarray(quantized_psum(xs, mesh, "x", "uint8", "nearest"))
     want = np.asarray(xs).sum(axis=0)
     assert np.abs(got.reshape(-1)[:512] - want).max() < 0.6
+
+
+def test_one_ppermute_per_hop(mesh):
+    """Wire fusion: codes+scale+zp travel as ONE buffer, so each ring hop is
+    exactly one ppermute (reduce-scatter: P-1 hops; all-gather: P-1 hops).
+    Regression: the scalars used to ride two extra ppermutes per hop."""
+    p = mesh.shape["x"]
+    n = 64 * p
+
+    def count_ppermutes(fn, *args):
+        jaxpr = jax.make_jaxpr(fn)(*args)
+        return str(jaxpr).count("ppermute")
+
+    import jax.numpy as jnp
+
+    rs = jax.shard_map(
+        lambda a: quantized_reduce_scatter(a[0], "x", "uint8", "nearest")[None],
+        mesh=mesh, in_specs=(P("x"),), out_specs=P("x"), check_vma=False)
+    ag = jax.shard_map(
+        lambda a: quantized_all_gather(a[0], "x", "uint8", "nearest")[None],
+        mesh=mesh, in_specs=(P("x"),), out_specs=P("x"), check_vma=False)
+    xs = jnp.zeros((p, n), jnp.float32)
+    sh = jnp.zeros((p, 64), jnp.float32)
+    assert count_ppermutes(rs, xs) == p - 1
+    assert count_ppermutes(ag, sh) == p - 1

@@ -255,3 +255,71 @@ def test_moe_expert_parallel_quantized_matches_single():
 
     got = np.asarray(run(stacked, rest, x))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_moe_ragged_matches_dense():
+    """The grouped (megablocks-style) ragged path must match the
+    dense-all-experts path on identical inputs (same routing, same
+    quantized weights) — interpret mode exercises the Pallas kernel on CPU."""
+    import os
+
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    # tiny() geometry (d_model 256, d_ff 512) is divisible by the kernel's
+    # 128-lane N tiles
+    cfg = M.LlamaConfig.tiny(n_experts=4, moe_top_k=2)
+    params = M.quantize_params(M.init_params(cfg, jax.random.key(3)), bits=4)
+    layer = params["layers"][0]
+    x = jax.random.normal(jax.random.key(4), (2, 32, cfg.d_model),
+                          cfg.dtype) * 0.5
+
+    want = np.asarray(M._mlp_moe(cfg, layer, x))  # dense (CPU backend)
+
+    os.environ["PIQUANT_MOE_RAGGED"] = "force"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = M._moe_ragged_try(cfg, layer, x,
+                                    *_routing_of(cfg, layer, x))
+    finally:
+        os.environ["PIQUANT_MOE_RAGGED"] = "1"
+    assert got is not None, "ragged path refused a supported geometry"
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-2, atol=2e-2)
+
+
+def _routing_of(cfg, layer, x):
+    logits = jnp.einsum("btd,de->bte", x.astype(jnp.float32),
+                        layer["router"].astype(jnp.float32))
+    full = jax.nn.softmax(logits, axis=-1)
+    probs, topi = jax.lax.top_k(full, cfg.moe_top_k)
+    if cfg.moe_renormalize:
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    return probs, topi
+
+
+def test_ragged_routing_properties():
+    """build_ragged_routing invariants: every assignment lands in its
+    expert's padded region, blocks are single-expert, gates/token map round-trip."""
+    import numpy as np
+
+    from piquant_tpu.quant.moe import build_ragged_routing
+
+    rng = np.random.default_rng(7)
+    e, k, ntok, bm = 5, 2, 37, 8
+    topi = jnp.asarray(rng.integers(0, e, (1, ntok, k)), jnp.int32)
+    probs = jnp.asarray(rng.uniform(0, 1, (1, ntok, k)), jnp.float32)
+    r = build_ragged_routing(topi, probs, e, bm)
+
+    dest = np.asarray(r.dest); be = np.asarray(r.block_expert)
+    tok = np.asarray(r.token_idx); gate = np.asarray(r.gate)
+    flat_e = np.asarray(topi).reshape(-1)
+    assert r.m_pad % bm == 0 and len(be) == r.m_pad // bm
+    assert len(set(dest.tolist())) == dest.size  # no collisions
+    # each assignment's block maps to its expert
+    order_e = flat_e[np.asarray(np.argsort(flat_e, kind="stable"))]
+    for d_, e_ in zip(dest, order_e):
+        assert be[d_ // bm] == e_, (d_, e_, be[d_ // bm])
+    # gates round-trip: sum of gates per token == sum of probs per token
+    g_sum = np.zeros(ntok); np.add.at(g_sum, tok, gate)
+    np.testing.assert_allclose(g_sum, np.asarray(probs).reshape(ntok, k).sum(-1),
+                               rtol=1e-6)
