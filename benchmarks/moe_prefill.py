@@ -30,12 +30,19 @@ D_MODEL, D_FF, E, TOPK = 4096, 14336, 8, 2
 
 
 def build(key):
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(1, 2))
+    def one(k_, kin, nout):
+        return quantize_linear_weight(
+            jax.random.normal(k_, (kin, nout), jnp.float32) * 0.02, bits=4)
+
     def stack(k_, kin, nout):
-        return QuantizedExpertStack.stack([
-            quantize_linear_weight(
-                jax.random.normal(jax.random.fold_in(k_, i), (kin, nout),
-                                  jnp.float32) * 0.02, bits=4)
-            for i in range(E)])
+        s = QuantizedExpertStack.stack(
+            [one(jax.random.fold_in(k_, i), kin, nout) for i in range(E)])
+        jax.block_until_ready(s.data)
+        print(f"  built stack {kin}x{nout}", flush=True)
+        return s
 
     layer = {
         "router": jax.random.normal(key, (D_MODEL, E), jnp.float32) * 0.02,
@@ -47,27 +54,26 @@ def build(key):
 
 
 def bench(cfg, layer, x, label):
-    def chain(k):
-        @jax.jit
-        def run(x_):
-            def body(i, xv):
-                y = M._mlp_moe(cfg, layer, xv)
-                return xv + y * jnp.bfloat16(1e-3)  # serial dependence
-            return jax.lax.fori_loop(0, k, body, x_)[:1, :1]
-        return run
+    # Single-layer jit (chained fori bodies took >10 min to compile through
+    # the remote tunnel); timing = slope over K queued async dispatches with
+    # DISTINCT inputs (the relay caches identical dispatches, NOTES.md),
+    # one sync at the end.  Each dispatch is tens of ms of device time, well
+    # above relay jitter.
+    run = jax.jit(lambda x_: M._mlp_moe(cfg, layer, x_)[:1, :1])
+    xs = [x + jnp.bfloat16(i * 1e-6) for i in range(12)]
+    for xi in xs[:2]:
+        np.asarray(run(xi))  # compile + warm
 
-    f1, f2 = chain(2), chain(8)
-    np.asarray(f1(x)); np.asarray(f2(x))
-
-    def t_of(f):
+    def t_of(k, off):
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(f(x))
+            outs = [run(xs[off + i]) for i in range(k)]
+            np.asarray(outs[-1]); [o.block_until_ready() for o in outs]
             best = min(best, time.perf_counter() - t0)
         return best
 
-    per = (t_of(f2) - t_of(f1)) / 6
+    per = (t_of(10, 2) - t_of(2, 0)) / 8
     ntok = x.shape[0] * x.shape[1]
     print(f"{label:8s}: {per*1e3:7.1f} ms/layer  ({ntok/per:.0f} tok/s-layer)",
           flush=True)

@@ -736,20 +736,43 @@ def _moe_ragged_try(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
 
 def _moe_dense(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
                topi: Array, e_local: int, off, aq) -> Array:
+    """Dense-all-experts compute as ONE lax.scan over the stacked expert
+    weights: a single compiled body instead of e_local unrolled matmul
+    graphs (the unrolled form took ~10x longer to compile at Mixtral
+    scale through the remote compiler; runtime is identical — the scan
+    is sequential just like the unrolled loop)."""
     dt = cfg.dtype
     w1s, w3s, w2s = layer["moe_w1"], layer["moe_w3"], layer["moe_w2"]
-    y = jnp.zeros(x.shape, jnp.float32)
-    for el in range(e_local):
-        e_glob = off + el
-        gate = jnp.sum(jnp.where(topi == e_glob, probs, 0.0),
+
+    def as_linear(st):
+        # scan slices every pytree leaf's leading (expert) axis; rebuild a
+        # 2-D QuantizedLinear view from the sliced QuantizedExpertStack
+        if hasattr(st, "bits"):
+            return QuantizedLinear(data=st.data, scale=st.scale,
+                                   zero_point=st.zero_point, bits=st.bits,
+                                   k=st.k, group_size=st.group_size)
+        return st  # float [K, N] slice
+
+    def body(y, per):
+        el, e1, e3, e2 = per
+        gate = jnp.sum(jnp.where(topi == off + el, probs, 0.0),
                        axis=-1, keepdims=True)               # [B, T, 1]
-        g = _mm(x, _expert_weight(w1s, el), dt, aq)
-        u = _mm(x, _expert_weight(w3s, el), dt, aq)
+        g = _mm(x, as_linear(e1), dt, aq)
+        u = _mm(x, as_linear(e3), dt, aq)
         gf = g.astype(jnp.float32)
         act = (jax.nn.gelu(gf, approximate=True) if cfg.mlp_act == "gelu"
                else jax.nn.silu(gf))
         h = (act * u.astype(jnp.float32)).astype(dt)
-        y += _mm(h, _expert_weight(w2s, el), dt, aq).astype(jnp.float32) * gate
+        y = y + _mm(h, as_linear(e2), dt, aq).astype(jnp.float32) * gate
+        return y, None
+
+    y0 = jnp.zeros(x.shape, jnp.float32)
+    if cfg.ep_axis is not None:
+        # under shard_map the body's output varies over the ep axis (the
+        # gate uses axis_index); the initial carry must match that vma type
+        y0 = jax.lax.pvary(y0, (cfg.ep_axis,))
+    y, _ = jax.lax.scan(
+        body, y0, (jnp.arange(e_local, dtype=jnp.int32), w1s, w3s, w2s))
     if cfg.ep_axis is not None:
         y = jax.lax.psum(y, cfg.ep_axis)
     return y

@@ -339,12 +339,98 @@ def init_kv_cache(cfg: MLAConfig, batch: int,
     return init_latent_cache(cfg, batch, max_len or cfg.max_seq_len)
 
 
+def forward_chunk(
+    cfg: MLAConfig,
+    params: Dict,
+    tokens: Array,            # [B, T] int32
+    positions: Array,         # [B, T] absolute
+    cache: LatentKVCache,
+    last_positions: Array,    # [B] in-chunk index for the returned logits
+    kv_write_start,           # scalar: chunk writes [start, start+T)
+    attn_window: Optional[int] = None,
+) -> Tuple[Array, LatentKVCache]:
+    """Chunked prefill through the ABSORBED path (engine
+    prefill/decode interleaving, same contract as llama.forward with
+    kv_write_start): the chunk's latents are written at
+    [start, start+T) and attention reads the INT8 latent cache —
+    in-chunk self-attention therefore sees its own QUANTIZED latents,
+    the same int8-readback tolerance class as the dense-KV chunked path.
+    Returns (logits [B, V] at last_positions, cache)."""
+    b, t = tokens.shape
+    dt = cfg.dtype
+    x = params["embed"][tokens].astype(dt)
+    cos, sin = _rope(cfg, positions)
+    w = attn_window or cache.max_len
+    kv_pos = jnp.arange(w, dtype=jnp.int32)
+    mask = jnp.where(
+        kv_pos[None, None, None, :] <= positions[:, None, :, None], 0.0, -1e9
+    ).astype(jnp.float32)                               # [B,1,T,w]
+    scale = cfg.qk_head_dim ** -0.5
+    st = jnp.asarray(kv_write_start, jnp.int32).reshape(())
+
+    for li, layer in enumerate(params["layers"]):
+        hx = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+        q_nope, q_pe = _project_q(cfg, layer, hx, cos, sin)      # [B,H,T,*]
+        c_new, kpe_new = _project_latent(cfg, layer, hx, cos, sin)  # [B,T,*]
+        codes, cscale = _quantize_latent(c_new)
+
+        def dus(buf, upd):
+            return jax.lax.dynamic_update_slice(
+                buf, upd[None].astype(buf.dtype),
+                (jnp.int32(li), jnp.int32(0), st, jnp.int32(0)))
+
+        cache = LatentKVCache(
+            c_codes=dus(cache.c_codes, codes),
+            c_scale=dus(cache.c_scale, cscale),
+            k_pe=dus(cache.k_pe, kpe_new),
+            length=cache.length,
+        )
+
+        w_k, w_v = _split_kv_b(cfg, layer)
+        q_lat = jnp.einsum("bhtn,rhn->bhtr", q_nope.astype(jnp.bfloat16),
+                           w_k, preferred_element_type=jnp.float32)
+        cc = cache.c_codes[li, :, :w].astype(jnp.bfloat16)       # [B,w,R]
+        cs = cache.c_scale[li, :, :w, 0]                         # [B,w]
+        scores = (
+            jnp.einsum("bhtr,bsr->bhts", q_lat.astype(jnp.bfloat16), cc,
+                       preferred_element_type=jnp.float32)
+            * cs[:, None, None]
+            + jnp.einsum("bhtr,bsr->bhts", q_pe.astype(jnp.bfloat16),
+                         cache.k_pe[li, :, :w],
+                         preferred_element_type=jnp.float32)
+        ) * scale + mask
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx_lat = jnp.einsum("bhts,bsr->bhtr",
+                             (probs * cs[:, None, None]).astype(jnp.bfloat16),
+                             cc, preferred_element_type=jnp.float32)
+        ctx = jnp.einsum("bhtr,rhv->bhtv", ctx_lat.astype(jnp.bfloat16), w_v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.astype(dt).transpose(0, 2, 1, 3).reshape(
+            b, t, cfg.n_heads * cfg.v_head_dim)
+        x = x + _mm(ctx, layer["wo"], dt)
+
+        hm = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
+        g = _mm(hm, layer["w1"], dt)
+        u = _mm(hm, layer["w3"], dt)
+        x = x + _mm((jax.nn.silu(g.astype(jnp.float32))
+                     * u.astype(jnp.float32)).astype(dt), layer["w2"], dt)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    x = jnp.take_along_axis(
+        x, last_positions[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    logits = _mm(x, params["lm_head"], jnp.float32)
+    cache = LatentKVCache(cache.c_codes, cache.c_scale, cache.k_pe,
+                          jnp.maximum(cache.length, st + t))
+    return logits, cache
+
+
 def decode_step(
     cfg: MLAConfig,
     params: Dict,
     token: Array,      # [B] int32
     position: Array,   # [B] int32
     cache: LatentKVCache,
+    attn_window: Optional[int] = None,  # static: read only cache[:window]
 ) -> Tuple[Array, LatentKVCache]:
     """One decode step through the ABSORBED path: attention reads only the
     INT8 latent cache (R + rope_dim per position), never per-head K/V."""
@@ -352,7 +438,7 @@ def decode_step(
     dt = cfg.dtype
     x = params["embed"][token][:, None].astype(dt)      # [B,1,D]
     cos, sin = _rope(cfg, position[:, None])
-    s_max = cache.max_len
+    s_max = min(cache.max_len, attn_window) if attn_window else cache.max_len
     kv_pos = jnp.arange(s_max, dtype=jnp.int32)[None]
     scale = cfg.qk_head_dim ** -0.5
 
@@ -381,13 +467,13 @@ def decode_step(
         # score side: q into latent space, one dot against the INT8 cache
         q_lat = jnp.einsum("bhn,rhn->bhr", q_nope[:, :, 0].astype(jnp.bfloat16),
                            w_k, preferred_element_type=jnp.float32)
-        cc = cache.c_codes[li].astype(jnp.bfloat16)           # [B,S,R]
-        cs = cache.c_scale[li][..., 0]                        # [B,S]
+        cc = cache.c_codes[li, :, :s_max].astype(jnp.bfloat16)  # [B,S,R]
+        cs = cache.c_scale[li, :, :s_max, 0]                    # [B,S]
         scores_lat = jnp.einsum("bhr,bsr->bhs", q_lat.astype(jnp.bfloat16), cc,
                                 preferred_element_type=jnp.float32) * cs[:, None]
         scores_pe = jnp.einsum("bhr,bsr->bhs",
                                q_pe[:, :, 0].astype(jnp.bfloat16),
-                               cache.k_pe[li],
+                               cache.k_pe[li, :, :s_max],
                                preferred_element_type=jnp.float32)
         mask = jnp.where(kv_pos <= position[:, None], 0.0, -1e9)[:, None]
         probs = jax.nn.softmax((scores_lat + scores_pe) * scale + mask, -1)

@@ -632,8 +632,12 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
             x_perm = x2[:, pfull]
             xg = jnp.sum(x2.astype(jnp.float32).reshape(mp, g, group_size),
                          axis=2)  # natural group order, matches scale rows
-            sc = ql.scale.astype(jnp.float32)
-            zs2 = sc * ql.zero_point.astype(jnp.float32)
+            # scales/zp*scale stream in BF16: the (G, N) f32 side buffers
+            # cost 1024 B/col next to the 1024 B/col of packed codes —
+            # halving them lifts the code-stream ceiling by ~33%
+            sc = ql.scale.astype(jnp.bfloat16)
+            zs2 = (ql.scale.astype(jnp.float32)
+                   * ql.zero_point.astype(jnp.float32)).astype(jnp.bfloat16)
             kfun = _w2_grouped_kernel(mp, k, n, g, bm, bng, oname)
             y = kfun(x_perm, xg, ql.data, sc, zs2)
         else:

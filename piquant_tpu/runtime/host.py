@@ -53,10 +53,15 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO) and not _build():
+        # wheel installs ship the prebuilt library next to this module
+        # (setup.py BuildWithNative); source checkouts build csrc/ in-tree
+        packaged = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "libpiquant_host.so")
+        so = packaged if os.path.exists(packaged) else _SO
+        if not os.path.exists(so) and not _build():
             return None
         try:
-            lib = ctypes.CDLL(_SO)
+            lib = ctypes.CDLL(so)
         except OSError:
             return None
         c = ctypes

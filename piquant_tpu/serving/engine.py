@@ -152,11 +152,8 @@ def _jit_decode_block(cfg, kblk: int, window: int):
                       base_key, blk_idx, active):
         def step(carry, k):
             t, p, c = carry
-            if mod is M:
-                logits, c = mod.decode_step(cfg, params, t, p, c,
-                                            attn_window=window)
-            else:  # MLA: no window buckets (latent cache is small)
-                logits, c = mod.decode_step(cfg, params, t, p, c)
+            logits, c = mod.decode_step(cfg, params, t, p, c,
+                                        attn_window=window)
             toks = sample_batch(logits, temps, topks, topps, k)
             t2 = jnp.where(active, toks, t)
             return (t2, p + active.astype(jnp.int32), c), t2
@@ -227,14 +224,21 @@ def _jit_prefill(cfg):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_prefill_chunk(cfg: M.LlamaConfig):
+def _jit_prefill_chunk(cfg):
+    mod = _model_for(cfg)
+
     def _prefill_chunk(params, tokens, offset, last_pos, cache):
         b, c = tokens.shape
         positions = offset[:, None] + jnp.arange(c, dtype=jnp.int32)[None, :]
-        logits, cache = M.forward(cfg, params, tokens, positions=positions,
-                                  cache=cache, logit_positions=last_pos,
-                                  kv_write_start=offset[0])
-        return logits[:, 0], cache
+        if mod is M:
+            logits, cache = M.forward(cfg, params, tokens, positions=positions,
+                                      cache=cache, logit_positions=last_pos,
+                                      kv_write_start=offset[0])
+            return logits[:, 0], cache
+        # MLA: chunked prefill through the absorbed latent path
+        return mod.forward_chunk(cfg, params, tokens, positions, cache,
+                                 last_positions=last_pos,
+                                 kv_write_start=offset[0])
 
     return jax.jit(_prefill_chunk, donate_argnums=(4,))
 
@@ -288,11 +292,10 @@ class Engine:
 
         b = econfig.batch_slots
         self._model = _model_for(cfg)
-        if self._model is not M and (econfig.speculate or econfig.prefill_chunk
-                                     or econfig.attn_windows):
+        if self._model is not M and econfig.speculate:
             raise ValueError(
-                "speculate / prefill_chunk / attn_windows are dense-KV "
-                "(Llama-family) features; not supported for MLA configs yet")
+                "speculate is a dense-KV (Llama-family) feature; not "
+                "supported for MLA configs yet")
         if econfig.prefill_chunk and econfig.prefill_chunk > econfig.max_seq_len:
             raise ValueError(
                 f"prefill_chunk={econfig.prefill_chunk} exceeds "
