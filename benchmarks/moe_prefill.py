@@ -59,16 +59,20 @@ def bench(cfg, layer, x, label):
     # DISTINCT inputs (the relay caches identical dispatches, NOTES.md),
     # one sync at the end.  Each dispatch is tens of ms of device time, well
     # above relay jitter.
-    run = jax.jit(lambda x_: M._mlp_moe(cfg, layer, x_)[:1, :1])
+    # params as ARGUMENTS, never closure captures: jit inlines closed-over
+    # device arrays as MLIR constants, which round-trips the full weights
+    # device->host through the relay at lowering time (observed as an
+    # indefinite hang on multi-100MB stacks)
+    run = jax.jit(lambda p, x_: M._mlp_moe(cfg, p, x_)[:1, :1])
     xs = [x + jnp.bfloat16(i * 1e-6) for i in range(12)]
     for xi in xs[:2]:
-        np.asarray(run(xi))  # compile + warm
+        np.asarray(run(layer, xi))  # compile + warm
 
     def t_of(k, off):
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            outs = [run(xs[off + i]) for i in range(k)]
+            outs = [run(layer, xs[off + i]) for i in range(k)]
             np.asarray(outs[-1]); [o.block_until_ready() for o in outs]
             best = min(best, time.perf_counter() - t0)
         return best

@@ -30,8 +30,12 @@ def perplexity(cfg: M.LlamaConfig, params: Dict, tokens: Sequence[int], *,
     window = min(window, toks.size)
 
     @jax.jit
-    def nll_of(chunk, score_from):
-        logits, _ = M.forward(cfg, params, chunk[None, :])
+    def nll_of(p, chunk, score_from):
+        # params are an ARGUMENT, not a closure capture: jit inlines
+        # closed-over device arrays as MLIR constants, which round-trips
+        # the full weights device->host at lowering time (NOTES.md — an
+        # effective hang at 8B scale through the TPU relay)
+        logits, _ = M.forward(cfg, p, chunk[None, :])
         lp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), axis=-1)
         tgt = chunk[1:]
         nll = -jnp.take_along_axis(lp, tgt[:, None], axis=-1)[:, 0]
@@ -45,7 +49,7 @@ def perplexity(cfg: M.LlamaConfig, params: Dict, tokens: Sequence[int], *,
         begin = max(0, end - window)          # fixed chunk length = window
         chunk = toks[begin:end]
         score_from = start - begin            # only new positions are scored
-        s, c = nll_of(jnp.asarray(chunk), jnp.int32(score_from))
+        s, c = nll_of(params, jnp.asarray(chunk), jnp.int32(score_from))
         total += float(s)
         count += int(c)
         if end == toks.size:

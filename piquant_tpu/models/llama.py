@@ -717,7 +717,11 @@ def _moe_ragged_try(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
     from piquant_tpu.quant import moe as _moe
 
     e = w1s.n_experts
-    bmr = 128 if ntok * cfg.moe_top_k >= 2048 else 32
+    # bm=128 regardless of token count: weight traffic scales with the
+    # number of row BLOCKS (each block streams its expert's tiles), so
+    # fewer, larger blocks beat less padding — the padded rows are
+    # DMA-for-free next to the weight stream
+    bmr = 128
     r = _moe.build_ragged_routing(topi, probs, e, bmr)
     xs = _moe.scatter_tokens(x.reshape(ntok, d).astype(cfg.dtype), r)
     g = _qmm.w4_ragged_matmul(xs, w1s, r.block_expert, cfg.dtype)

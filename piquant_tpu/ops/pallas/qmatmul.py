@@ -97,20 +97,26 @@ def _w4_ragged_kernel(m: int, k: int, n: int, e: int, bm: int, bn: int,
         acc += jnp.dot(x[:, kh:], hi, preferred_element_type=jnp.float32)
         o_ref[:] = (acc * s_ref[0] - xsum_ref[:] * zs_ref[0]).astype(odt)
 
-    grid = (m // bm, n // bn)
+    # Grid order (j, i): row blocks iterate FASTEST.  Rows are sorted by
+    # expert, so be[i] is non-decreasing and Pallas elides the weight-tile
+    # DMA across consecutive same-expert blocks — each expert's (kh, bn)
+    # tile streams ONCE per n-tile, total weight traffic = the stack once.
+    # ((i, j) order re-fetched the tile every step: measured 32 ms/layer vs
+    # 34 dense at Mixtral geometry, i.e. no win at all.)
+    grid = (n // bn, m // bm)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((bm, k), lambda i, j, be: (i, 0)),
-                pl.BlockSpec((1, kh, bn), lambda i, j, be: (be[i], 0, j)),
-                pl.BlockSpec((1, 1, bn), lambda i, j, be: (be[i], 0, j)),
-                pl.BlockSpec((1, 1, bn), lambda i, j, be: (be[i], 0, j)),
-                pl.BlockSpec((bm, 1), lambda i, j, be: (i, 0)),
+                pl.BlockSpec((bm, k), lambda j, i, be: (i, 0)),
+                pl.BlockSpec((1, kh, bn), lambda j, i, be: (be[i], 0, j)),
+                pl.BlockSpec((1, 1, bn), lambda j, i, be: (be[i], 0, j)),
+                pl.BlockSpec((1, 1, bn), lambda j, i, be: (be[i], 0, j)),
+                pl.BlockSpec((bm, 1), lambda j, i, be: (i, 0)),
             ],
-            out_specs=pl.BlockSpec((bm, bn), lambda i, j, be: (i, j)),
+            out_specs=pl.BlockSpec((bm, bn), lambda j, i, be: (i, j)),
         ),
         out_shape=jax.ShapeDtypeStruct((m, n), odt),
     )
@@ -129,8 +135,10 @@ def w4_ragged_matmul(x_sorted: Array, stack, block_expert: Array,
     if m % block_expert.shape[0]:
         return None
     bm = m // block_expert.shape[0]
+    # packed tile capped at 1 MB: the unpack temporaries (~6x) must leave
+    # room for double-buffered x blocks, or the weight stream serializes
     bn = next((c for c in BN_CANDIDATES
-               if n % c == 0 and kh * c <= W_BLOCK_VMEM_LIMIT), None)
+               if n % c == 0 and kh * c <= W_BLOCK_VMEM_LIMIT // 2), None)
     if bn is None or k != 2 * kh:
         return None
     scale = stack.scale.astype(jnp.float32).reshape(e, 1, n)

@@ -240,3 +240,33 @@ def test_qwen3_matches_transformers():
         want = model(torch.tensor(tokens)).logits.numpy()
     got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+
+
+def test_real_checkpoint_pipeline_dry_run(hf_model, tmp_path):
+    """BASELINE-readiness drill (VERDICT r1 #7): the full real-weights
+    pipeline — HF checkpoint on DISK -> from_pretrained -> load_from_hf ->
+    quantize_params -> packed-weight disk cache roundtrip -> perplexity —
+    must run end to end, so the 0.1-ppl INT4 check is one command away the
+    moment actual Llama weights exist.  (quality numbers quoted in
+    README/PARITY remain trained-tiny-proxy until then.)"""
+    from piquant_tpu.eval import perplexity
+    from piquant_tpu.utils.weight_cache import load_quantized, save_quantized
+
+    # a real on-disk checkpoint, as downloaded weights would be
+    ckdir = tmp_path / "hf_ckpt"
+    hf_model.save_pretrained(ckdir)
+    reloaded = transformers.LlamaForCausalLM.from_pretrained(ckdir)
+    reloaded.eval()
+
+    cfg, params = load_from_hf(reloaded, dtype=jnp.float32)
+    qp = M.quantize_params(params, bits=4)
+    save_quantized(str(tmp_path / "packed"), qp)
+    qp = load_quantized(str(tmp_path / "packed"))
+
+    rng = np.random.default_rng(SEED + 40)
+    text = list(map(int, rng.integers(0, cfg.vocab_size, 96)))
+    ppl_f = perplexity(cfg, params, text, window=48, stride=24)
+    ppl_q = perplexity(cfg, qp, text, window=48, stride=24)
+    assert np.isfinite(ppl_f) and np.isfinite(ppl_q)
+    # random-init tiny model: ppl ~ vocab_size; int4 stays in the same range
+    assert abs(np.log(ppl_q) - np.log(ppl_f)) < 0.5, (ppl_f, ppl_q)

@@ -65,3 +65,50 @@ def test_quantized_train_tracks_baseline(mesh):
     for a, b in zip(jax.tree.leaves(q_params), jax.tree.leaves(base_params)):
         denom = float(jnp.abs(b).max()) + 1e-6
         assert float(jnp.abs(a - b).max()) / denom < 0.3
+
+
+def test_checkpoint_restart_recovers_training(mesh, tmp_path):
+    """Elastic-recovery contract (SURVEY §5): save (params, opt_state, step)
+    mid-run, throw the live state away ("crash"), restore from disk into
+    fresh templates, continue — final params must be BIT-IDENTICAL to an
+    uninterrupted run."""
+    from piquant_tpu.utils.checkpoint import (restore_checkpoint,
+                                              save_checkpoint)
+
+    cfg, params0, loss_fn, batches = _setup(mesh)
+    opt = optax.adam(1e-3)
+    step = jax.jit(make_train_step(loss_fn, opt, mesh, "dp", grad_wire=None))
+
+    # uninterrupted run
+    p, s = params0, opt.init(params0)
+    for b in batches[:6]:
+        p, s, _ = step(p, s, b)
+    want = jax.tree.leaves(p)
+
+    # interrupted run: checkpoint after 3 steps, "crash", restore, continue
+    p, s = params0, opt.init(params0)
+    for b in batches[:3]:
+        p, s, _ = step(p, s, b)
+    ck = str(tmp_path / "ck")
+    save_checkpoint(ck, {"params": p, "opt": s}, step=3)
+    del p, s  # crash: live state gone
+
+    restored, at = restore_checkpoint(
+        ck, {"params": params0, "opt": opt.init(params0)})
+    assert at == 3
+    p, s = restored["params"], restored["opt"]
+    for b in batches[3:6]:
+        p, s, _ = step(p, s, b)
+
+    for a, w in zip(jax.tree.leaves(p), want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(w))
+
+
+def test_checkpoint_rejects_mismatched_template(tmp_path):
+    from piquant_tpu.utils.checkpoint import (restore_checkpoint,
+                                              save_checkpoint)
+
+    save_checkpoint(str(tmp_path / "c"), {"a": jnp.zeros(3)})
+    with pytest.raises(ValueError, match="mismatch"):
+        restore_checkpoint(str(tmp_path / "c"),
+                           {"a": jnp.zeros(3), "b": jnp.zeros(2)})
