@@ -7,3 +7,7 @@ from piquant_tpu.parallel.collectives import (  # noqa: F401
     quantized_reduce_scatter,
 )
 from piquant_tpu.parallel.mesh import make_mesh  # noqa: F401
+from piquant_tpu.parallel.ring_attention import (  # noqa: F401
+    ring_attention,
+    sp_prefill_attention,
+)
