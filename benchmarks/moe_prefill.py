@@ -54,30 +54,30 @@ def build(key):
 
 
 def bench(cfg, layer, x, label):
-    # Single-layer jit (chained fori bodies took >10 min to compile through
-    # the remote tunnel); timing = slope over K queued async dispatches with
-    # DISTINCT inputs (the relay caches identical dispatches, NOTES.md),
-    # one sync at the end.  Each dispatch is tens of ms of device time, well
-    # above relay jitter.
-    # params as ARGUMENTS, never closure captures: jit inlines closed-over
-    # device arrays as MLIR constants, which round-trips the full weights
-    # device->host through the relay at lowering time (observed as an
-    # indefinite hang on multi-100MB stacks)
-    run = jax.jit(lambda p, x_: M._mlp_moe(cfg, p, x_)[:1, :1])
-    xs = [x + jnp.bfloat16(i * 1e-6) for i in range(12)]
-    for xi in xs[:2]:
-        np.asarray(run(layer, xi))  # compile + warm
+    # In-jit fori chain with a data dependence and a DYNAMIC trip count
+    # (ONE compile per variant), params as ARGUMENTS (a closed-over layer
+    # dict lowers its weights as MLIR constants = full device->host
+    # round-trip at lowering, the "compile hang"; NOTES.md).  Per-dispatch
+    # slope timing is useless here — the relay costs ~28 ms per dispatch
+    # round-trip, swamping the device time.
+    @jax.jit
+    def run(p, x_, k):
+        def body(i, xv):
+            y = M._mlp_moe(cfg, p, xv)
+            return xv + y * jnp.bfloat16(1e-3)
+        return jax.lax.fori_loop(0, k, body, x_)[:1, :1]
 
-    def t_of(k, off):
+    np.asarray(run(layer, x, 1))  # compile + warm
+
+    def t_of(k):
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            outs = [run(layer, xs[off + i]) for i in range(k)]
-            np.asarray(outs[-1]); [o.block_until_ready() for o in outs]
+            np.asarray(run(layer, x, k))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    per = (t_of(10, 2) - t_of(2, 0)) / 8
+    per = (t_of(8) - t_of(2)) / 6
     ntok = x.shape[0] * x.shape[1]
     print(f"{label:8s}: {per*1e3:7.1f} ms/layer  ({ntok/per:.0f} tok/s-layer)",
           flush=True)
@@ -92,6 +92,18 @@ def main(ntok=4096):
     layer = build(jax.random.key(0))
     x = (jax.random.normal(jax.random.key(9), (1, ntok, D_MODEL), jnp.bfloat16)
          * 0.5)
+
+    os.environ["PIQUANT_MOE_RAGGED"] = "1"
+    import jax.numpy as _jnp
+
+    from piquant_tpu.models.llama import _moe_ragged_try
+    probs = jax.nn.softmax(jnp.einsum(
+        "btd,de->bte", x.astype(jnp.float32),
+        layer["router"].astype(jnp.float32)), -1)
+    pp, ti = jax.lax.top_k(probs, TOPK)
+    chk = _moe_ragged_try(cfg, layer, x, pp / pp.sum(-1, keepdims=True), ti)
+    assert chk is not None, "ragged path refused — fix the gate conditions"
+    print("ragged path engaged:", chk.shape, flush=True)
 
     os.environ["PIQUANT_MOE_RAGGED"] = "0"
     dense = bench(cfg, layer, x, "dense")
