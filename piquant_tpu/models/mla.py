@@ -21,11 +21,11 @@ COMPLEX multiply over (even, odd) pairs — the same interleaved convention
 as models/llama.py::apply_rope — so the loader needs NO column permutation
 (cf. loader.py's GPT-NeoX trick for the half-rotation families).
 
-Scope: dense-MLP DeepSeek-V2 geometry (the MoE-MLA combination and yarn
-rope scaling are out of scope this round; `first_k_dense_replace`-style
-mixed layers load as dense).  Reference parity anchor: this subsystem
-extends SURVEY.md §5's "INT8 KV-cache" serving component to the MLA cache
-layout.
+Scope: full DeepSeek-V2 geometry — dense-MLP (V2-Lite style) AND the
+MoE-MLA combination (DeepSeek-MoE routed + shared experts,
+`first_k_dense_replace` mixed layers) with YaRN rope scaling.  Reference
+parity anchor: this subsystem extends SURVEY.md §5's "INT8 KV-cache"
+serving component to the MLA cache layout.
 """
 
 from __future__ import annotations
@@ -38,12 +38,30 @@ import jax.numpy as jnp
 
 from piquant_tpu.models.llama import apply_rope, rms_norm
 from piquant_tpu.quant.linear import (
+    QuantizedExpertStack,
     QuantizedLinear,
     quantize_linear_weight,
     quantized_matmul,
 )
 
 Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class YarnParams:
+    """YaRN rope scaling (DeepSeek-V2's long-context recipe).
+
+    Matches transformers' _compute_yarn_parameters
+    (modeling_rope_utils.py): interpolated/extrapolated inverse-frequency
+    mix with a linear ramp over the rotary dims, and an attention factor
+    (from mscale/mscale_all_dim) multiplying cos AND sin."""
+
+    factor: float = 1.0
+    original_max_position_embeddings: int = 4096
+    beta_fast: float = 32.0
+    beta_slow: float = 1.0
+    mscale: float = 1.0
+    mscale_all_dim: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,10 +80,23 @@ class MLAConfig:
     rms_eps: float = 1e-6
     max_seq_len: int = 4096
     dtype: Any = jnp.bfloat16
+    # DeepSeek-MoE (V2): softmax-scored routed experts + always-on shared
+    # experts; layers < first_k_dense keep the dense MLP
+    n_experts: int = 0                  # 0 = dense MLP everywhere
+    moe_top_k: int = 6
+    moe_d_ff: int = 0                   # routed-expert hidden size
+    n_shared_experts: int = 0           # shared MLP hidden = n * moe_d_ff
+    first_k_dense: int = 1
+    routed_scaling: float = 1.0
+    norm_topk_prob: bool = False
+    yarn: Optional[YarnParams] = None
 
     @property
     def qk_head_dim(self) -> int:
         return self.qk_nope_head_dim + self.qk_rope_head_dim
+
+    def moe_layer(self, li: int) -> bool:
+        return self.n_experts > 0 and li >= self.first_k_dense
 
     @staticmethod
     def tiny(vocab: int = 256, **kw) -> "MLAConfig":
@@ -73,6 +104,17 @@ class MLAConfig:
             vocab_size=vocab, d_model=128, n_layers=2, n_heads=4, d_ff=256,
             kv_lora_rank=32, qk_nope_head_dim=16, qk_rope_head_dim=8,
             v_head_dim=16, max_seq_len=128, **kw)
+
+    @staticmethod
+    def tiny_moe(vocab: int = 256, **kw) -> "MLAConfig":
+        """Tiny DeepSeek-V2 geometry: MoE-MLA + yarn (full V2 feature set)."""
+        kw.setdefault("yarn", YarnParams(
+            factor=4.0, original_max_position_embeddings=32,
+            mscale=0.707, mscale_all_dim=0.707))
+        return MLAConfig.tiny(
+            vocab=vocab, n_experts=4, moe_top_k=2, moe_d_ff=96,
+            n_shared_experts=2, first_k_dense=1, routed_scaling=1.0,
+            norm_topk_prob=False, **kw)
 
 
 # ---------------------------------------------------------------------------
@@ -136,7 +178,8 @@ def _quantize_latent(c: Array) -> Tuple[Array, Array]:
 # ---------------------------------------------------------------------------
 
 def init_params(cfg: MLAConfig, key: Array) -> Dict:
-    keys = iter(jax.random.split(key, 4 + cfg.n_layers * 10))
+    keys = iter(jax.random.split(
+        key, 4 + cfg.n_layers * (10 + 3 * max(cfg.n_experts, 1) + 4)))
     dt = cfg.dtype
 
     def dense(k, din, dout, std=0.02):
@@ -149,7 +192,7 @@ def init_params(cfg: MLAConfig, key: Array) -> Dict:
         "layers": [],
     }
     h, qk = cfg.n_heads, cfg.qk_head_dim
-    for _ in range(cfg.n_layers):
+    for li in range(cfg.n_layers):
         layer = {
             "attn_norm": jnp.ones((cfg.d_model,), dt),
             "mlp_norm": jnp.ones((cfg.d_model,), dt),
@@ -159,10 +202,25 @@ def init_params(cfg: MLAConfig, key: Array) -> Dict:
             "kv_b": dense(next(keys), cfg.kv_lora_rank,
                           h * (cfg.qk_nope_head_dim + cfg.v_head_dim)),
             "wo": dense(next(keys), h * cfg.v_head_dim, cfg.d_model),
-            "w1": dense(next(keys), cfg.d_model, cfg.d_ff),
-            "w3": dense(next(keys), cfg.d_model, cfg.d_ff),
-            "w2": dense(next(keys), cfg.d_ff, cfg.d_model),
         }
+        if cfg.moe_layer(li):
+            e, dff = cfg.n_experts, cfg.moe_d_ff
+            layer["router"] = dense(next(keys), cfg.d_model, e)
+            layer["moe_w1"] = jnp.stack(
+                [dense(next(keys), cfg.d_model, dff) for _ in range(e)])
+            layer["moe_w3"] = jnp.stack(
+                [dense(next(keys), cfg.d_model, dff) for _ in range(e)])
+            layer["moe_w2"] = jnp.stack(
+                [dense(next(keys), dff, cfg.d_model) for _ in range(e)])
+            if cfg.n_shared_experts:
+                sh = cfg.n_shared_experts * dff
+                layer["shared_w1"] = dense(next(keys), cfg.d_model, sh)
+                layer["shared_w3"] = dense(next(keys), cfg.d_model, sh)
+                layer["shared_w2"] = dense(next(keys), sh, cfg.d_model)
+        else:
+            layer["w1"] = dense(next(keys), cfg.d_model, cfg.d_ff)
+            layer["w3"] = dense(next(keys), cfg.d_model, cfg.d_ff)
+            layer["w2"] = dense(next(keys), cfg.d_ff, cfg.d_model)
         if cfg.q_lora_rank is None:
             layer["wq"] = dense(next(keys), cfg.d_model, h * qk)
         else:
@@ -174,7 +232,8 @@ def init_params(cfg: MLAConfig, key: Array) -> Dict:
 
 
 _MLA_QUANT_KEYS = ("wq", "wq_a", "wq_b", "kv_a", "kv_b", "wo",
-                   "w1", "w2", "w3")
+                   "w1", "w2", "w3", "shared_w1", "shared_w2", "shared_w3")
+_MLA_QUANT_STACKS = ("moe_w1", "moe_w2", "moe_w3")
 
 
 def quantize_params(params: Dict, bits: int = 4, *,
@@ -187,6 +246,11 @@ def quantize_params(params: Dict, bits: int = 4, *,
             if k in layer:
                 ql[k] = quantize_linear_weight(layer[k], bits,
                                                group_size=group_size)
+        for k in _MLA_QUANT_STACKS:
+            if k in layer:
+                ql[k] = QuantizedExpertStack.stack(
+                    [quantize_linear_weight(w, bits, group_size=group_size)
+                     for w in layer[k]])
         out["layers"].append(ql)
     return out
 
@@ -204,11 +268,51 @@ def _w_dense(w) -> Array:
     return w.dequantize(jnp.bfloat16) if isinstance(w, QuantizedLinear) else w
 
 
+def _yarn_inv_freq(cfg: MLAConfig):
+    """YaRN inverse frequencies + attention factor (transformers
+    modeling_rope_utils._compute_yarn_parameters, re-derived)."""
+    import math
+
+    y = cfg.yarn
+    rd = cfg.qk_rope_head_dim
+    base = cfg.rope_theta
+    pos_freqs = base ** (jnp.arange(0, rd, 2, jnp.float32) / rd)
+    inv_extra = 1.0 / pos_freqs
+    inv_inter = 1.0 / (y.factor * pos_freqs)
+
+    def corr_dim(n_rot):
+        return (rd * math.log(y.original_max_position_embeddings
+                              / (n_rot * 2 * math.pi))) / (2 * math.log(base))
+
+    low = max(math.floor(corr_dim(y.beta_fast)), 0)
+    high = min(math.ceil(corr_dim(y.beta_slow)), rd - 1)
+    ramp = jnp.clip(
+        (jnp.arange(rd // 2, dtype=jnp.float32) - low) / max(high - low, 1e-3),
+        0.0, 1.0)
+    extra_factor = 1.0 - ramp
+    inv = inv_inter * (1.0 - extra_factor) + inv_extra * extra_factor
+
+    def get_mscale(scale, m=1.0):
+        return 1.0 if scale <= 1 else 0.1 * m * math.log(scale) + 1.0
+
+    if y.mscale and y.mscale_all_dim:
+        att = get_mscale(y.factor, y.mscale) / get_mscale(y.factor,
+                                                          y.mscale_all_dim)
+    else:
+        att = get_mscale(y.factor)
+    return inv, float(att)
+
+
 def _rope(cfg: MLAConfig, positions: Array):
     rd = cfg.qk_rope_head_dim
-    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, rd, 2, jnp.float32) / rd))
+    if cfg.yarn is not None:
+        inv, att = _yarn_inv_freq(cfg)
+    else:
+        inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, rd, 2, jnp.float32) / rd))
+        att = 1.0
     ang = positions[..., None].astype(jnp.float32) * inv
-    return jnp.cos(ang), jnp.sin(ang)
+    # yarn attention factor scales cos AND sin (HF multiplies freqs_cis)
+    return jnp.cos(ang) * att, jnp.sin(ang) * att
 
 
 def _project_q(cfg: MLAConfig, layer: Dict, x: Array, cos, sin):
@@ -241,6 +345,55 @@ def _split_kv_b(cfg: MLAConfig, layer: Dict):
     wb = _w_dense(layer["kv_b"]).reshape(
         cfg.kv_lora_rank, cfg.n_heads, cfg.qk_nope_head_dim + cfg.v_head_dim)
     return wb[..., :cfg.qk_nope_head_dim], wb[..., cfg.qk_nope_head_dim:]
+
+
+def _silu_mlp(cfg: MLAConfig, w1, w3, w2, x: Array) -> Array:
+    dt = cfg.dtype
+    g = _mm(x, w1, dt)
+    u = _mm(x, w3, dt)
+    return _mm((jax.nn.silu(g.astype(jnp.float32))
+                * u.astype(jnp.float32)).astype(dt), w2, dt)
+
+
+def _mlp(cfg: MLAConfig, layer: Dict, x: Array) -> Array:
+    """Dense MLP or DeepSeek-MoE (HF DeepseekV2MoE semantics: softmax
+    scores -> greedy top-k -> optional renorm -> routed_scaling; shared
+    experts are an always-on ungated MLP added to the routed sum)."""
+    if "router" not in layer:
+        return _silu_mlp(cfg, layer["w1"], layer["w3"], layer["w2"], x)
+    dt = cfg.dtype
+    scores = jax.nn.softmax(
+        jnp.einsum("btd,de->bte", x.astype(jnp.float32),
+                   layer["router"].astype(jnp.float32)), axis=-1)
+    probs, topi = jax.lax.top_k(scores, cfg.moe_top_k)
+    if cfg.norm_topk_prob:
+        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    probs = probs * cfg.routed_scaling
+
+    def as_linear(st):
+        # scan slices the stack pytree's leading (expert) axis; rebuild a
+        # 2-D view (cf. llama._moe_dense)
+        if hasattr(st, "bits"):
+            return QuantizedLinear(data=st.data, scale=st.scale,
+                                   zero_point=st.zero_point, bits=st.bits,
+                                   k=st.k, group_size=st.group_size)
+        return st
+
+    def body(y, per):
+        el, e1, e3, e2 = per
+        gate = jnp.sum(jnp.where(topi == el, probs, 0.0),
+                       axis=-1, keepdims=True)
+        h = _silu_mlp(cfg, as_linear(e1), as_linear(e3), as_linear(e2), x)
+        return y + h.astype(jnp.float32) * gate, None
+
+    y, _ = jax.lax.scan(
+        body, jnp.zeros(x.shape, jnp.float32),
+        (jnp.arange(cfg.n_experts, dtype=jnp.int32),
+         layer["moe_w1"], layer["moe_w3"], layer["moe_w2"]))
+    if "shared_w1" in layer:
+        y = y + _silu_mlp(cfg, layer["shared_w1"], layer["shared_w3"],
+                          layer["shared_w2"], x).astype(jnp.float32)
+    return y.astype(dt)
 
 
 def forward(
@@ -290,11 +443,7 @@ def forward(
             b, t, cfg.n_heads * cfg.v_head_dim)
         x = x + _mm(ctx, layer["wo"], dt)
 
-        hm = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-        g = _mm(hm, layer["w1"], dt)
-        u = _mm(hm, layer["w3"], dt)
-        x = x + _mm((jax.nn.silu(g.astype(jnp.float32))
-                     * u.astype(jnp.float32)).astype(dt), layer["w2"], dt)
+        x = x + _mlp(cfg, layer, rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
 
         if cache is not None:
             codes, cscale = _quantize_latent(c)
@@ -409,11 +558,7 @@ def forward_chunk(
             b, t, cfg.n_heads * cfg.v_head_dim)
         x = x + _mm(ctx, layer["wo"], dt)
 
-        hm = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-        g = _mm(hm, layer["w1"], dt)
-        u = _mm(hm, layer["w3"], dt)
-        x = x + _mm((jax.nn.silu(g.astype(jnp.float32))
-                     * u.astype(jnp.float32)).astype(dt), layer["w2"], dt)
+        x = x + _mlp(cfg, layer, rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     x = jnp.take_along_axis(
@@ -486,11 +631,7 @@ def decode_step(
         ctx = ctx.astype(dt).reshape(b, 1, cfg.n_heads * cfg.v_head_dim)
         x = x + _mm(ctx, layer["wo"], dt)
 
-        hm = rms_norm(x, layer["mlp_norm"], cfg.rms_eps)
-        g = _mm(hm, layer["w1"], dt)
-        u = _mm(hm, layer["w3"], dt)
-        x = x + _mm((jax.nn.silu(g.astype(jnp.float32))
-                     * u.astype(jnp.float32)).astype(dt), layer["w2"], dt)
+        x = x + _mlp(cfg, layer, rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
 
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = _mm(x[:, 0], params["lm_head"], jnp.float32)
@@ -503,6 +644,26 @@ def decode_step(
 # ---------------------------------------------------------------------------
 
 def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> MLAConfig:
+    n_experts = getattr(hf_config, "n_routed_experts", None) or 0
+    yarn = None
+    rs = getattr(hf_config, "rope_scaling", None)
+    if rs:
+        rtype = rs.get("rope_type", rs.get("type"))
+        if rtype != "yarn":
+            raise ValueError(f"unsupported rope scaling {rtype!r} (yarn only)")
+        yarn = YarnParams(
+            factor=rs["factor"],
+            original_max_position_embeddings=rs.get(
+                "original_max_position_embeddings",
+                hf_config.max_position_embeddings),
+            beta_fast=rs.get("beta_fast") or 32.0,
+            beta_slow=rs.get("beta_slow") or 1.0,
+            mscale=rs.get("mscale") or 1.0,
+            mscale_all_dim=rs.get("mscale_all_dim") or 0.0,
+        )
+    if n_experts and getattr(hf_config, "topk_method", "greedy") != "greedy":
+        raise ValueError("only greedy top-k routing is supported "
+                         "(group_limited_greedy: not yet)")
     return MLAConfig(
         vocab_size=hf_config.vocab_size,
         d_model=hf_config.hidden_size,
@@ -518,6 +679,14 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> MLAConfig:
         rms_eps=getattr(hf_config, "rms_norm_eps", 1e-6),
         max_seq_len=getattr(hf_config, "max_position_embeddings", 4096),
         dtype=dtype,
+        n_experts=n_experts,
+        moe_top_k=getattr(hf_config, "num_experts_per_tok", None) or 6,
+        moe_d_ff=getattr(hf_config, "moe_intermediate_size", 0) or 0,
+        n_shared_experts=getattr(hf_config, "n_shared_experts", None) or 0,
+        first_k_dense=getattr(hf_config, "first_k_dense_replace", 0) or 0,
+        routed_scaling=getattr(hf_config, "routed_scaling_factor", 1.0),
+        norm_topk_prob=bool(getattr(hf_config, "norm_topk_prob", False)),
+        yarn=yarn,
     )
 
 
@@ -559,10 +728,25 @@ def params_from_hf(model, dtype=jnp.bfloat16) -> Tuple[MLAConfig, Dict]:
             "kv_a_norm": jnp.asarray(npy(pre + "self_attn.kv_a_layernorm.weight"), dt),
             "kv_b": jnp.asarray(lin(pre + "self_attn.kv_b_proj.weight"), dt),
             "wo": jnp.asarray(lin(pre + "self_attn.o_proj.weight"), dt),
-            "w1": jnp.asarray(lin(pre + "mlp.gate_proj.weight"), dt),
-            "w3": jnp.asarray(lin(pre + "mlp.up_proj.weight"), dt),
-            "w2": jnp.asarray(lin(pre + "mlp.down_proj.weight"), dt),
         }
+        if cfg.moe_layer(i):
+            layer["router"] = jnp.asarray(lin(pre + "mlp.gate.weight"), dt)
+            for ours, theirs in (("moe_w1", "gate_proj"), ("moe_w3", "up_proj"),
+                                 ("moe_w2", "down_proj")):
+                layer[ours] = jnp.asarray(np.stack(
+                    [lin(pre + f"mlp.experts.{e}.{theirs}.weight")
+                     for e in range(cfg.n_experts)]), dt)
+            if cfg.n_shared_experts:
+                layer["shared_w1"] = jnp.asarray(
+                    lin(pre + "mlp.shared_experts.gate_proj.weight"), dt)
+                layer["shared_w3"] = jnp.asarray(
+                    lin(pre + "mlp.shared_experts.up_proj.weight"), dt)
+                layer["shared_w2"] = jnp.asarray(
+                    lin(pre + "mlp.shared_experts.down_proj.weight"), dt)
+        else:
+            layer["w1"] = jnp.asarray(lin(pre + "mlp.gate_proj.weight"), dt)
+            layer["w3"] = jnp.asarray(lin(pre + "mlp.up_proj.weight"), dt)
+            layer["w2"] = jnp.asarray(lin(pre + "mlp.down_proj.weight"), dt)
         if cfg.q_lora_rank is None:
             layer["wq"] = jnp.asarray(lin(pre + "self_attn.q_proj.weight"), dt)
         else:

@@ -164,3 +164,84 @@ def test_mla_generate_matches_stepwise():
         tok = lg.argmax(-1).astype(jnp.int32)
         pos = pos + 1
     np.testing.assert_array_equal(got, np.stack(want, axis=1))
+
+
+def test_mla_moe_yarn_matches_transformers():
+    """Full DeepSeek-V2 geometry: MoE-MLA (routed + shared experts,
+    first_k_dense mixed layers) with YaRN rope scaling — logits
+    cross-validated against transformers DeepseekV2ForCausalLM."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    if not hasattr(transformers, "DeepseekV2ForCausalLM"):
+        pytest.skip("transformers lacks DeepseekV2")
+
+    torch.manual_seed(SEED + 8)
+    conf = transformers.DeepseekV2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        n_routed_experts=4, num_experts_per_tok=2, n_shared_experts=2,
+        first_k_dense_replace=1, norm_topk_prob=False,
+        routed_scaling_factor=1.5, topk_method="greedy",
+        kv_lora_rank=32, q_lora_rank=None, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, max_position_embeddings=64,
+        rope_theta=10_000.0, rms_norm_eps=1e-5, pad_token_id=0,
+        attn_implementation="eager", tie_word_embeddings=False,
+        rope_scaling={"rope_type": "yarn", "factor": 2.0,
+                      "original_max_position_embeddings": 32,
+                      "beta_fast": 32.0, "beta_slow": 1.0,
+                      "mscale": 0.707, "mscale_all_dim": 0.707},
+    )
+    model = transformers.DeepseekV2ForCausalLM(conf)
+    model.eval()
+
+    cfg, params = L.params_from_hf(model, dtype=jnp.float32)
+    assert cfg.n_experts == 4 and cfg.n_shared_experts == 2
+    assert cfg.yarn is not None and cfg.yarn.factor == 2.0
+    rng = np.random.default_rng(SEED + 9)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 12))
+
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+
+    got, _ = L.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-3, rtol=3e-3)
+
+    # absorbed decode path consistency on the same model
+    cache = L.init_kv_cache(cfg, 2, max_len=32)
+    last, cache = L.prefill(cfg, params,
+                            jnp.asarray(tokens[:, :-1], jnp.int32), cache)
+    step, _ = L.decode_step(cfg, params,
+                            jnp.asarray(tokens[:, -1], jnp.int32),
+                            jnp.full((2,), 11, jnp.int32), cache)
+    # decode logits at the last position ~ forward logits there (int8 latent)
+    rel = np.abs(np.asarray(step) - want[:, -1]).max() / np.abs(want[:, -1]).max()
+    assert rel < 0.08, rel
+
+
+def test_mla_moe_tiny_quantized_and_engine():
+    """tiny_moe (MoE-MLA + yarn) with INT8 expert stacks serves through the
+    continuous-batching engine identically to stepwise generation."""
+    from piquant_tpu.serving import Engine, EngineConfig, Request, SamplingParams
+
+    cfg = L.MLAConfig.tiny_moe(dtype=jnp.float32)
+    params = L.quantize_params(L.init_params(cfg, jax.random.key(SEED % 83)),
+                               bits=8)
+    rng = np.random.default_rng(SEED + 11)
+    prompt = list(map(int, rng.integers(1, cfg.vocab_size, 7)))
+    n_new = 4
+
+    cache = L.init_kv_cache(cfg, 1, max_len=48)
+    lg, cache = L.prefill(cfg, params, jnp.asarray([prompt], jnp.int32), cache)
+    want, tok, pos = [], int(lg.argmax(-1)[0]), len(prompt)
+    for _ in range(n_new):
+        want.append(tok)
+        lg, cache = L.decode_step(cfg, params, jnp.asarray([tok], jnp.int32),
+                                  jnp.asarray([pos], jnp.int32), cache)
+        tok = int(lg.argmax(-1)[0]); pos += 1
+
+    eng = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=48,
+                                           prefill_chunk=4))
+    eng.submit(Request(rid=0, prompt=prompt,
+                       sampling=SamplingParams(max_new_tokens=n_new)))
+    assert eng.run()[0].tokens == want
