@@ -26,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--random", metavar="PRESET",
                     choices=["tiny", "llama3_8b", "mistral_7b", "qwen2_7b",
                              "gemma_2b", "gemma_7b", "phi3_mini", "mixtral_8x7b",
-                             "qwen3_8b", "mla_v2_lite", "mla_tiny"],
+                             "qwen3_8b", "mla_v2_lite", "mla_tiny", "mla_v2_moe"],
                     help="random-weight model preset instead of --model")
     ap.add_argument("--bits", type=int, default=4, choices=[2, 4, 8],
                     help="weight quantization bits (default 4)")
@@ -95,11 +95,21 @@ def main(argv=None) -> int:
             # engine: latent INT8 cache, absorbed-weight decode
             from piquant_tpu.models import mla as ML
 
-            cfg = (ML.v2_lite_config() if preset == "mla_v2_lite"
-                   else ML.MLAConfig.tiny(vocab=2048))
-            params = ML.random_quantized_params(cfg, jax.random.key(0),
-                                                bits=args.bits,
-                                                lm_head_bits=8)
+            if preset == "mla_v2_lite":
+                cfg = ML.v2_lite_config()
+                params = ML.random_quantized_params(cfg, jax.random.key(0),
+                                                    bits=args.bits,
+                                                    lm_head_bits=8)
+            elif preset == "mla_v2_moe":
+                # full DeepSeek-V2 geometry: MoE-MLA + yarn (tiny scale)
+                cfg = ML.MLAConfig.tiny_moe(vocab=2048)
+                params = ML.quantize_params(
+                    ML.init_params(cfg, jax.random.key(0)), bits=args.bits)
+            else:
+                cfg = ML.MLAConfig.tiny(vocab=2048)
+                params = ML.random_quantized_params(cfg, jax.random.key(0),
+                                                    bits=args.bits,
+                                                    lm_head_bits=8)
         elif preset in ("llama3_8b", "mistral_7b", "qwen2_7b", "gemma_7b",
                         "phi3_mini", "mixtral_8x7b", "qwen3_8b"):
             cfg = getattr(M.LlamaConfig, preset)()
