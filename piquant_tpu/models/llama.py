@@ -247,8 +247,10 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
         data = jax.random.randint(k_, (rows, dout), 0, 256, jnp.int32).astype(jnp.uint8)
         scale = jnp.full((g, dout), 2.0 / ((1 << b) - 1) / (din ** 0.5), jnp.float32)
         zp = jnp.full((g, dout), (1 << (b - 1)), jnp.int32)
-        return QuantizedLinear(data=data, scale=scale, zero_point=zp, bits=b,
-                               k=din, group_size=gs)
+        from piquant_tpu.quant.linear import with_grouped_cache
+        return with_grouped_cache(
+            QuantizedLinear(data=data, scale=scale, zero_point=zp, bits=b,
+                            k=din, group_size=gs))
 
     def dense(k_, din, dout, std=0.02):
         return (jax.random.normal(k_, (din, dout), jnp.float32) * std).astype(dt)
@@ -360,11 +362,12 @@ def _concat_qlinear(qls):
     for q in qls[1:]:
         if (q.bits, q.k, q.group_size) != (first.bits, first.k, first.group_size):
             raise ValueError("cannot fuse mismatched quantized linears")
-    return QuantizedLinear(
+    from piquant_tpu.quant.linear import with_grouped_cache
+    return with_grouped_cache(QuantizedLinear(
         data=jnp.concatenate([q.data for q in qls], axis=1),
         scale=jnp.concatenate([q.scale for q in qls], axis=1),
         zero_point=jnp.concatenate([q.zero_point for q in qls], axis=1),
-        bits=first.bits, k=first.k, group_size=first.group_size)
+        bits=first.bits, k=first.k, group_size=first.group_size))
 
 
 def _interleave_cols(ws, tp: int):
@@ -754,7 +757,9 @@ def _moe_dense(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
         if hasattr(st, "bits"):
             return QuantizedLinear(data=st.data, scale=st.scale,
                                    zero_point=st.zero_point, bits=st.bits,
-                                   k=st.k, group_size=st.group_size)
+                                   k=st.k, group_size=st.group_size,
+                                   s_chunk=getattr(st, "s_chunk", None),
+                                   zs16=getattr(st, "zs16", None))
         return st  # float [K, N] slice
 
     def body(y, per):
@@ -1003,17 +1008,23 @@ def shard_params(params: Dict, mesh, tp_axis: str = "tp",
 
     def put_linear(w, kind):
         if isinstance(w, QuantizedLinear):
+            def putq(x, spec):
+                return None if x is None else put(x, spec)
             if kind == "col":
                 return QuantizedLinear(
                     data=put(w.data, P(None, tp_axis)),
                     scale=put(w.scale, P(None, tp_axis)),
                     zero_point=put(w.zero_point, P(None, tp_axis)),
-                    bits=w.bits, k=w.k, group_size=w.group_size)
+                    bits=w.bits, k=w.k, group_size=w.group_size,
+                    s_chunk=putq(w.s_chunk, P(None, tp_axis)),
+                    zs16=putq(w.zs16, P(None, tp_axis)))
             return QuantizedLinear(
                 data=put(w.data, P(tp_axis, None)),
                 scale=put(w.scale, P(None, None)),
                 zero_point=put(w.zero_point, P(None, None)),
-                bits=w.bits, k=w.k, group_size=w.group_size)
+                bits=w.bits, k=w.k, group_size=w.group_size,
+                s_chunk=putq(w.s_chunk, P(None, None)),
+                zs16=putq(w.zs16, P(None, None)))
         return put(w, P(None, tp_axis) if kind == "col" else P(tp_axis, None))
 
     out = {

@@ -376,7 +376,9 @@ def _mlp(cfg: MLAConfig, layer: Dict, x: Array) -> Array:
         if hasattr(st, "bits"):
             return QuantizedLinear(data=st.data, scale=st.scale,
                                    zero_point=st.zero_point, bits=st.bits,
-                                   k=st.k, group_size=st.group_size)
+                                   k=st.k, group_size=st.group_size,
+                                   s_chunk=getattr(st, "s_chunk", None),
+                                   zs16=getattr(st, "zs16", None))
         return st
 
     def body(y, per):

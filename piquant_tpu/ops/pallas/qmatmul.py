@@ -382,56 +382,126 @@ def _w4_grouped_kernel(m: int, k: int, n: int, g: int, bm: int, bn: int,
 
 
 @lru_cache(maxsize=None)
-def _w2_grouped_kernel(m: int, k: int, n: int, g: int, bm: int, bn: int,
-                       out_dtype: str):
-    """Group-wise INT2 (the quality-viable INT2 config — channelwise INT2
-    is unusable, see benchmarks/ppl_quality.py).
+def _w2g_chunk_kernel(mp: int, k: int, n: int, gs: int, ch: int, bn: int,
+                      xdt: str, out_dtype: str):
+    """Grouped-INT2 chunk-grid kernel (the quality-viable INT2 config —
+    channelwise INT2 is unusable, see benchmarks/ppl_quality.py).
 
-    Relies on the strided-group storage layout
-    (quant/linear.py::strided_group_perm): packed plane row r belongs to
-    group r % (g/4), so the per-group scale expand is a native
-    `pltpu.repeat` tile — the ONLY group-broadcast Mosaic lowers fast.
-    (The broadcast+reshape expand of _w4_grouped_kernel measured
-    103 GB/s with multi-minute compiles here; 3-D reshapes are an
-    'unsupported shape cast'.)  The zero-point folds per group:
-    y = sum_p x_p @ (codes_p * s_p) - xg @ (z * s), with xg the per-group
-    x sums computed by the caller.  204 GB/s measured vs 275 for the
-    channelwise kernel under the same protocol (v5 probe, NOTES.md)."""
+    Per-group MXU dots with POST-DOT rescale, instead of pre-scaling whole
+    bf16 planes: grid axis c streams chunks of ch*gs packed rows (= 4*ch
+    complete groups, ch per bit-plane; storage is the NATURAL split-quarter
+    layout), every group contributes one (mp, gs)@(gs, bn) dot, and its
+    f32 partial is scaled by that group's scale row.  f32 VMEM scratch
+    accumulates across chunks (the _w4_kernel_ksplit pattern).  This kills
+    the two limiters of the previous strided-layout kernel (187 GB/s):
+    the full-plane `pb * sE` bf16 multiply, and the f32 (G, N) side
+    streams (scales/zp*scale now ride bf16 chunk-major — 2 B per group
+    entry, 25% of code traffic each at gs=32).
+
+    xdt='i8' is the W2A8-g fast path: int8 x chunks against int8-unpacked
+    planes with exact i32 accumulation (per-group int accumulation, f32
+    rescale).  The zero-point fold y -= xg @ (z*s) runs once per n-block
+    in the epilogue as an f32 dot over the G axis.  Zero-point/scale math
+    cites reference quantize.inl:27-35 / dequantize.inl:22-28."""
     odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
-    kq = k // 4
+    g = k // gs
     g4 = g // 4
-    gs = k // g
+    nc = g4 // ch
+    rows = ch * gs
 
-    def kern(x_ref, xg_ref, b_ref, s_ref, zs_ref, o_ref):
-        b = b_ref[:].astype(jnp.int32)
-        x = x_ref[:]
-        acc = jnp.zeros((x.shape[0], b.shape[-1]), jnp.float32)
-        for p in range(4):
-            pb = ((b >> (2 * p)) & 3).astype(jnp.bfloat16)
-            sE = pltpu.repeat(
-                s_ref[p * g4:(p + 1) * g4].astype(jnp.bfloat16), gs, 0)
-            acc += jnp.dot(x[:, p * kq:(p + 1) * kq], pb * sE,
-                           preferred_element_type=jnp.float32)
-        acc -= jnp.dot(xg_ref[:].astype(jnp.bfloat16),
-                       zs_ref[:].astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-        o_ref[:] = acc.astype(odt)
+    def kern(x3_ref, b_ref, s_ref, zs_ref, xg_ref, xs_ref, o_ref, acc_ref):
+        c = pl.program_id(1)
 
-    grid = (pl.cdiv(m, bm), n // bn)
+        @pl.when(c == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        local = jnp.zeros((mp, bn), jnp.float32)
+        for t in range(ch):
+            bt = b_ref[t * gs:(t + 1) * gs, :].astype(jnp.int32)
+            for p in range(4):
+                if xdt == "i8":
+                    plane = ((bt >> (2 * p)) & 3).astype(jnp.int8)
+                    part = jax.lax.dot_general(
+                        x3_ref[p * ch + t], plane, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32).astype(jnp.float32)
+                else:
+                    plane = ((bt >> (2 * p)) & 3).astype(jnp.bfloat16)
+                    part = jax.lax.dot_general(
+                        x3_ref[p * ch + t], plane, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                st = s_ref[p * ch + t, :].astype(jnp.float32)[None, :]
+                local = local + part * st
+        acc_ref[:] += local
+
+        @pl.when(c == nc - 1)
+        def _():
+            fold = jax.lax.dot_general(
+                xg_ref[:], zs_ref[:].astype(jnp.float32),
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            o_ref[:] = ((acc_ref[:] - fold) * xs_ref[:]).astype(odt)
+
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((m, n), odt),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((mp, n), odt),
+        grid=(n // bn, nc),
         in_specs=[
-            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, g), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kq, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * ch, mp, gs), lambda j, c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, bn), lambda j, c: (c, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * ch, bn), lambda j, c: (c, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, bn), lambda j, c: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, g), lambda j, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, 1), lambda j, c: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((mp, bn), lambda j, c: (0, j),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((mp, bn), jnp.float32)],
     )
+
+
+def _w2g_prep(x2: Array, mp: int, k: int, gs: int, ch: int):
+    """Chunk-major x pages + natural-order per-group sums for the kernel."""
+    from piquant_tpu.quant.linear import grouped_chunk_perm
+
+    g = k // gs
+    perm = jnp.asarray(grouped_chunk_perm(k, gs, ch))
+    x3 = x2.reshape(mp, g, gs).transpose(1, 0, 2)[perm]
+    xg = jnp.sum(x2.astype(jnp.float32).reshape(mp, g, gs), axis=2)
+    return x3, xg
+
+
+def w2g_matmul(x2: Array, ql, mp: int, out_dtype=jnp.bfloat16,
+               xs: Optional[Array] = None) -> Optional[Array]:
+    """Grouped-INT2 matmul via the chunk-grid kernel.
+
+    x2 [mp, K] padded to mp rows: bf16 (weight-only) or int8 with per-row
+    scales `xs` [mp, 1] (W2A8-g).  Requires ql.s_chunk (natural-layout
+    grouped weight with cached side streams); None if unsupported."""
+    from piquant_tpu.quant.linear import grouped_chunk_factor
+
+    k, n, gs = ql.k, ql.n, ql.group_size
+    ch = grouped_chunk_factor(k, gs)
+    # gs % 32: the in-kernel plane slices b_ref[t*gs:(t+1)*gs] must land on
+    # the uint8 sublane quantum
+    if (ch is None or gs % 32 or getattr(ql, "s_chunk", None) is None
+            or n % 128):
+        return None
+    bn = next((c for c in BN_CANDIDATES if n % c == 0), None)
+    if bn is None:
+        return None
+    xdt = "i8" if x2.dtype == jnp.int8 else "bf16"
+    x3, xg = _w2g_prep(x2, mp, k, gs, ch)
+    if xs is None:
+        xs = jnp.ones((mp, 1), jnp.float32)
+    oname = "bf16" if jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16) else "f32"
+    kfun = _w2g_chunk_kernel(mp, k, n, gs, ch, bn, xdt, oname)
+    return kfun(x3, ql.data, ql.s_chunk, ql.zs16, xg, xs)
 
 
 @lru_cache(maxsize=None)
@@ -514,10 +584,21 @@ def _w2a8_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
 
 def w2a8_matmul(xq: Array, xs: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
     """Pre-quantized activations xq [M, K] int8 + per-row scales xs [M, 1]
-    against an int2 channelwise weight; None if no fast path."""
+    against an int2 weight (channelwise, or grouped via the chunk-grid
+    W2A8-g kernel); None if no fast path."""
     k, n = ql.k, ql.n
-    if ql.bits != 2 or getattr(ql, "group_size", None) is not None:
+    if ql.bits != 2:
         return None
+    if getattr(ql, "group_size", None) is not None:
+        m = xq.shape[0]
+        mp = m + (-m % 32)          # int8 sublane quantum
+        if mp > M_MAX:
+            return None
+        if mp != m:
+            xq = jnp.pad(xq, ((0, mp - m), (0, 0)))
+            xs = jnp.pad(xs, ((0, mp - m), (0, 0)))
+        y = w2g_matmul(xq, ql, mp, out_dtype, xs=xs.astype(jnp.float32))
+        return None if y is None else y[:m]
     if n % 128 or k % 512:
         return None
     kq = k // 4
@@ -621,33 +702,9 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
     if group_size is not None:
         g = k // group_size
         if ql.bits == 2:
-            if k % 512:
+            y = w2g_matmul(x2, ql, mp, out_dtype)
+            if y is None:
                 return None
-            # grouped unpack holds 4 bf16 planes + repeated scales in
-            # scoped VMEM; keep the packed block <= 1 MB
-            bng = next((c for c in (1024, 512, 256, 128)
-                        if n % c == 0 and (k // 4) * c <= 1024 * 1024), None)
-            if bng is None:
-                return None
-            import numpy as _np
-
-            from piquant_tpu.quant.linear import strided_group_perm
-
-            # x columns permuted to match the strided-group storage layout
-            kq = k // 4
-            perm = strided_group_perm(kq, g // 4)
-            pfull = _np.concatenate([p * kq + perm for p in range(4)])
-            x_perm = x2[:, pfull]
-            xg = jnp.sum(x2.astype(jnp.float32).reshape(mp, g, group_size),
-                         axis=2)  # natural group order, matches scale rows
-            # scales/zp*scale stream in BF16: the (G, N) f32 side buffers
-            # cost 1024 B/col next to the 1024 B/col of packed codes —
-            # halving them lifts the code-stream ceiling by ~33%
-            sc = ql.scale.astype(jnp.bfloat16)
-            zs2 = (ql.scale.astype(jnp.float32)
-                   * ql.zero_point.astype(jnp.float32)).astype(jnp.bfloat16)
-            kfun = _w2_grouped_kernel(mp, k, n, g, bm, bng, oname)
-            y = kfun(x_perm, xg, ql.data, sc, zs2)
         else:
             kfun = _w4_grouped_kernel(mp, k, n, g, bm, bn, oname)
             y = kfun(x2, ql.data, ql.scale.astype(jnp.float32),

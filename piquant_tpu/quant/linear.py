@@ -26,6 +26,7 @@ needs to stay within the 0.1-ppl target; per-tensor remains available
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -64,30 +65,53 @@ def pack_split_quarter(codes: Array) -> Array:
             | (c[3 * q:] << 6))
 
 
-def strided_group_perm(kq: int, g4: int):
-    """Permutation for the grouped-INT2 storage layout: packed plane row r
-    holds ORIGINAL plane row pi(r) = (r % g4) * gs + (r // g4), so the
-    group of packed row r is r % g4 — which turns the per-group scale
-    expand in the Pallas kernel into a native tile-repeat
-    (`pltpu.repeat`), the only group-broadcast Mosaic lowers fast (the
-    broadcast+reshape form compiles minutes and runs at 1/3 the speed).
-    Scales/zero-points stay in natural group order."""
-    import numpy as np
-    gs = kq // g4
-    r = np.arange(kq)
-    return (r % g4) * gs + (r // g4)
+def grouped_chunk_factor(k: int, group_size: int) -> Optional[int]:
+    """Groups-per-plane chunk factor CH for the chunk-grid grouped-INT2
+    kernel (ops/pallas/qmatmul._w2g_chunk_kernel): the kernel streams
+    CH*group_size packed rows per grid step, which hold 4*CH complete
+    groups (CH per bit-plane).  CH must divide the per-plane group count
+    and 4*CH must meet the bf16 sublane quantum (>=16) for the chunk-major
+    scale stream; None if the shape doesn't fit the kernel."""
+    if k % (4 * group_size):
+        return None
+    g4 = (k // 4) // group_size
+    for c in (8, 4):
+        if g4 % c == 0:
+            return c
+    return None
 
 
-def _grouped_int2_perm_codes(codes: Array, k: int, group_size: int,
-                             inverse: bool = False) -> Array:
-    """Apply (or invert) the strided-group row permutation per plane."""
+@functools.lru_cache(maxsize=None)
+def grouped_chunk_perm(k: int, group_size: int, ch: int):
+    """Chunk-major group order for the kernel's side streams:
+    perm[c*4CH + p*CH + t] = p*g4 + c*CH + t.  Chunk c's packed rows
+    [c*CH*gs, (c+1)*CH*gs) hold exactly the groups perm[c*4CH : (c+1)*4CH]
+    (plane p of packed row block t*gs.. is group p*g4 + c*CH + t)."""
     import numpy as np
-    kq = k // 4
-    g4 = (k // group_size) // 4
-    perm = strided_group_perm(kq, g4)
-    if inverse:
-        perm = np.argsort(perm)
-    return codes.reshape(4, kq, -1)[:, perm].reshape(k, codes.shape[-1])
+    g4 = (k // 4) // group_size
+    out = np.empty(4 * g4, np.int32)
+    i = 0
+    for c in range(g4 // ch):
+        for p in range(4):
+            for t in range(ch):
+                out[i] = p * g4 + c * ch + t
+                i += 1
+    return out
+
+
+def _grouped_int2_cache(scale: Array, zp: Array, k: int, group_size: int):
+    """Kernel-ready grouped side streams: chunk-major bf16 scales + natural
+    bf16 zp*scale.  Stored on the QuantizedLinear so the per-step decode
+    path streams 2 B/group-entry instead of casting/gathering (G, N) f32
+    every call (side streams are 25% of code traffic each at gs=32)."""
+    ch = grouped_chunk_factor(k, group_size)
+    if ch is None:
+        return None, None
+    perm = grouped_chunk_perm(k, group_size, ch)
+    s_chunk = scale.astype(jnp.bfloat16)[jnp.asarray(perm)]
+    zs16 = (scale.astype(jnp.float32)
+            * zp.astype(jnp.float32)).astype(jnp.bfloat16)
+    return s_chunk, zs16
 
 
 def unpack_split_quarter(packed: Array) -> Array:
@@ -167,16 +191,21 @@ class QuantizedLinear:
     bits: int          # 4 or 8
     k: int             # logical contraction dim
     group_size: Optional[int] = None
+    # kernel-ready grouped side streams (derived, not part of the wire
+    # format): chunk-major bf16 scales + natural-order bf16 zp*scale for
+    # the chunk-grid grouped-INT2 kernel (see _grouped_int2_cache)
+    s_chunk: Optional[Array] = None
+    zs16: Optional[Array] = None
 
     def tree_flatten(self):
-        return (self.data, self.scale, self.zero_point), (self.bits, self.k,
-                                                          self.group_size)
+        return (self.data, self.scale, self.zero_point, self.s_chunk,
+                self.zs16), (self.bits, self.k, self.group_size)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        data, scale, zp = children
+        data, scale, zp, s_chunk, zs16 = children
         bits, k, group_size = aux
-        return cls(data, scale, zp, bits, k, group_size)
+        return cls(data, scale, zp, bits, k, group_size, s_chunk, zs16)
 
     @property
     def n(self) -> int:
@@ -195,15 +224,10 @@ class QuantizedLinear:
         """Packed codes in the REFERENCE wire ABI (quantize.inl:37-50:
         adjacent-element bytes of the flattened [K, N] array, low
         nibble/crumb first) — for handing a quantized weight to a
-        pi-quant consumer.  Grouped INT2 undoes the strided-group storage
-        permutation first."""
+        pi-quant consumer.  Storage is the natural split-quarter/half
+        layout, so only the byte interleave differs."""
         if self.bits == 2:
-            codes = unpack_split_quarter(self.data)
-            if self.group_size is not None:
-                codes = _grouped_int2_perm_codes(codes, self.k,
-                                                 self.group_size,
-                                                 inverse=True)
-            return split_quarter_to_wire(pack_split_quarter(codes))
+            return split_quarter_to_wire(self.data)
         if self.bits == 4:
             return split_half_to_wire(self.data)
         return self.data.reshape(-1)
@@ -214,26 +238,23 @@ class QuantizedLinear:
         """Build from reference-wire packed codes (inverse of to_wire)."""
         if bits == 2:
             data = wire_to_split_quarter(wire, k, n)
-            if group_size is not None:
-                codes = _grouped_int2_perm_codes(
-                    unpack_split_quarter(data), k, group_size)
-                data = pack_split_quarter(codes)
         elif bits == 4:
             data = wire_to_split_half(wire, k, n)
         else:
             data = wire.reshape(k, n)
-        return cls(data=data, scale=jnp.asarray(scale),
-                   zero_point=jnp.asarray(zero_point), bits=bits, k=k,
-                   group_size=group_size)
+        scale = jnp.asarray(scale)
+        zero_point = jnp.asarray(zero_point)
+        s_chunk = zs16 = None
+        if bits == 2 and group_size is not None:
+            s_chunk, zs16 = _grouped_int2_cache(scale, zero_point, k,
+                                                group_size)
+        return cls(data=data, scale=scale, zero_point=zero_point, bits=bits,
+                   k=k, group_size=group_size, s_chunk=s_chunk, zs16=zs16)
 
     def dequantize(self, dtype=jnp.bfloat16) -> Array:
         """Materialize the full [K, N] float weight (debug / fallback)."""
         if self.bits == 2:
             codes = unpack_split_quarter(self.data)
-            if self.group_size is not None:  # undo strided-group layout
-                codes = _grouped_int2_perm_codes(codes, self.k,
-                                                 self.group_size,
-                                                 inverse=True)
         elif self.bits == 4:
             codes = unpack_split_half(self.data)
         else:
@@ -261,16 +282,18 @@ class QuantizedExpertStack:
     bits: int
     k: int
     group_size: Optional[int] = None
+    s_chunk: Optional[Array] = None   # [E, G, N] — see QuantizedLinear
+    zs16: Optional[Array] = None
 
     def tree_flatten(self):
-        return (self.data, self.scale, self.zero_point), (self.bits, self.k,
-                                                          self.group_size)
+        return (self.data, self.scale, self.zero_point, self.s_chunk,
+                self.zs16), (self.bits, self.k, self.group_size)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        data, scale, zp = children
+        data, scale, zp, s_chunk, zs16 = children
         bits, k, group_size = aux
-        return cls(data, scale, zp, bits, k, group_size)
+        return cls(data, scale, zp, bits, k, group_size, s_chunk, zs16)
 
     @property
     def n_experts(self) -> int:
@@ -283,7 +306,11 @@ class QuantizedExpertStack:
     def expert(self, i: int) -> "QuantizedLinear":
         return QuantizedLinear(data=self.data[i], scale=self.scale[i],
                                zero_point=self.zero_point[i], bits=self.bits,
-                               k=self.k, group_size=self.group_size)
+                               k=self.k, group_size=self.group_size,
+                               s_chunk=(None if self.s_chunk is None
+                                        else self.s_chunk[i]),
+                               zs16=(None if self.zs16 is None
+                                     else self.zs16[i]))
 
     @staticmethod
     def stack(qls: "list[QuantizedLinear]") -> "QuantizedExpertStack":
@@ -292,11 +319,26 @@ class QuantizedExpertStack:
             if (q.bits, q.k, q.group_size, q.data.shape) != (
                     q0.bits, q0.k, q0.group_size, q0.data.shape):
                 raise ValueError("experts must share geometry")
+        has_cache = all(q.s_chunk is not None for q in qls)
         return QuantizedExpertStack(
             data=jnp.stack([q.data for q in qls]),
             scale=jnp.stack([q.scale for q in qls]),
             zero_point=jnp.stack([q.zero_point for q in qls]),
-            bits=q0.bits, k=q0.k, group_size=q0.group_size)
+            bits=q0.bits, k=q0.k, group_size=q0.group_size,
+            s_chunk=(jnp.stack([q.s_chunk for q in qls]) if has_cache
+                     else None),
+            zs16=(jnp.stack([q.zs16 for q in qls]) if has_cache else None))
+
+
+def with_grouped_cache(ql: QuantizedLinear) -> QuantizedLinear:
+    """Attach (or refresh) the kernel-ready grouped side streams; no-op for
+    channelwise/int4+ weights.  Call after building a grouped-INT2
+    QuantizedLinear from parts (concat/slice/random init)."""
+    if ql.bits != 2 or ql.group_size is None:
+        return ql
+    s_chunk, zs16 = _grouped_int2_cache(ql.scale, ql.zero_point, ql.k,
+                                        ql.group_size)
+    return dataclasses.replace(ql, s_chunk=s_chunk, zs16=zs16)
 
 
 def quantize_linear_weight(
@@ -356,16 +398,17 @@ def quantize_linear_weight(
     codes = jnp.clip(rounded.astype(jnp.int32) + z_full, qmin, qmax)
 
     if bits == 2:
-        if group_size is not None:
-            # strided-group storage layout (see strided_group_perm)
-            codes = _grouped_int2_perm_codes(codes, k, group_size)
         data = pack_split_quarter(codes)
     elif bits == 4:
         data = pack_split_half(codes)
     else:
         data = codes.astype(jnp.uint8)
+    s_chunk = zs16 = None
+    if bits == 2 and group_size is not None:
+        s_chunk, zs16 = _grouped_int2_cache(scale, zp, k, group_size)
     return QuantizedLinear(data=data, scale=scale, zero_point=zp, bits=bits,
-                           k=k, group_size=group_size)
+                           k=k, group_size=group_size, s_chunk=s_chunk,
+                           zs16=zs16)
 
 
 def _matmul_dequant_jnp(x: Array, ql: QuantizedLinear, out_dtype) -> Array:
@@ -384,9 +427,7 @@ def _matmul_dequant_jnp(x: Array, ql: QuantizedLinear, out_dtype) -> Array:
         # f32 operands: CPU XLA lacks bf16 batched dots, and this path is
         # the (non-pallas) fallback anyway.
         if ql.bits == 2:
-            codes = _grouped_int2_perm_codes(
-                unpack_split_quarter(ql.data), ql.k, ql.group_size,
-                inverse=True).astype(jnp.float32)
+            codes = unpack_split_quarter(ql.data).astype(jnp.float32)
         elif ql.bits == 4:
             codes = unpack_split_half(ql.data).astype(jnp.float32)
         else:
@@ -468,7 +509,9 @@ def quantized_matmul(
     # including decode — pays off for INT2, whose int8-plane kernel halves
     # the unpack+dot cost that bounds INT2 decode (710 vs 380 GB/s
     # weight-stream measured on v5e, ops/pallas/qmatmul.py).
-    use_a8 = (bool(act_quant) and ql.group_size is None
+    use_a8 = (bool(act_quant)
+              and (ql.group_size is None
+                   or (ql.bits == 2 and ql.s_chunk is not None))
               and ql.bits in (2, 4)
               and (act_quant == "all" or m >= ACT_QUANT_MIN_M))
 
@@ -500,6 +543,13 @@ def quantized_matmul(
     if use_a8:
         # fallback (CPU/tests): same W4A8/W2A8 numerics in plain XLA
         xq, xs = _quantize_act(x.reshape(m, ql.k))
+        if ql.group_size is not None:
+            # grouped W2A8-g: int8 activations through the grouped-einsum
+            # dequant path (per-group scales applied post-accumulation,
+            # matching the chunk-grid kernel's math)
+            y = _matmul_dequant_jnp(xq.astype(jnp.float32), ql,
+                                    jnp.float32) * xs
+            return y.reshape(*lead, ql.n).astype(out_dtype)
         b = ql.data.astype(jnp.int32)
         if ql.bits == 2:
             codes = jnp.concatenate(

@@ -20,7 +20,9 @@ import numpy as np
 from piquant_tpu.quant.linear import (QuantizedExpertStack,
                                       QuantizedLinear)
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: natural-layout grouped INT2 + cached side streams
+# (QuantizedLinear.s_chunk/zs16 pytree leaves) — v1 caches used the old
+# strided-group packed layout and must re-quantize
 
 
 def _flatten_with_meta(params) -> Tuple[Dict[str, np.ndarray], list]:
@@ -83,12 +85,29 @@ def load_quantized(path: str) -> Any:
         m = nodes[path]
         if m["kind"] in ("qlinear", "qexperts"):
             cls = QuantizedExpertStack if m["kind"] == "qexperts" else QuantizedLinear
+            scale = jnp.asarray(data[path + ".scale"])
+            zp = jnp.asarray(data[path + ".zp"])
+            gs = m.get("group_size")
+            s_chunk = zs16 = None
+            if m["bits"] == 2 and gs is not None:
+                # rebuild the kernel-ready grouped side streams (derived
+                # state, cheaper to recompute than to persist)
+                from piquant_tpu.quant.linear import _grouped_int2_cache
+                if m["kind"] == "qlinear":
+                    s_chunk, zs16 = _grouped_int2_cache(scale, zp, m["k"], gs)
+                else:
+                    per = [_grouped_int2_cache(scale[e], zp[e], m["k"], gs)
+                           for e in range(scale.shape[0])]
+                    if per and per[0][0] is not None:
+                        s_chunk = jnp.stack([p[0] for p in per])
+                        zs16 = jnp.stack([p[1] for p in per])
             return cls(
                 data=jnp.asarray(data[path + ".data"]),
-                scale=jnp.asarray(data[path + ".scale"]),
-                zero_point=jnp.asarray(data[path + ".zp"]),
+                scale=scale,
+                zero_point=zp,
                 bits=m["bits"], k=m["k"],
-                group_size=m.get("group_size"),
+                group_size=gs,
+                s_chunk=s_chunk, zs16=zs16,
             )
         if m["kind"] == "dict":
             return {k: build(f"{path}/{k}") for k in m["keys"]}
