@@ -302,8 +302,19 @@ def w4a8_matmul(xq: Array, xs: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Ar
     """Pre-quantized activations xq [M, K] int8 + per-row scales xs [M, 1]
     against an int4 channelwise weight; None if no fast path."""
     k, n = ql.k, ql.n
-    if ql.bits != 4 or getattr(ql, "group_size", None) is not None:
+    if ql.bits != 4:
         return None
+    if getattr(ql, "group_size", None) is not None:
+        m = xq.shape[0]
+        mp = m + (-m % 32)          # int8 sublane quantum
+        if mp > M_MAX:
+            return None             # prefill-sized grouped: dequant+dense
+        if mp != m:
+            xq = jnp.pad(xq, ((0, mp - m), (0, 0)))
+            xs = jnp.pad(xs, ((0, mp - m), (0, 0)))
+        y = wg_grouped_matmul(xq, ql, mp, out_dtype,
+                              xs=xs.astype(jnp.float32))
+        return None if y is None else y[:m]
     if n % 256 or k % 512:
         return None
     m = xq.shape[0]
@@ -382,10 +393,11 @@ def _w4_grouped_kernel(m: int, k: int, n: int, g: int, bm: int, bn: int,
 
 
 @lru_cache(maxsize=None)
-def _w2g_chunk_kernel(mp: int, k: int, n: int, gs: int, ch: int, bn: int,
-                      xdt: str, out_dtype: str):
-    """Grouped-INT2 chunk-grid kernel (the quality-viable INT2 config —
-    channelwise INT2 is unusable, see benchmarks/ppl_quality.py).
+def _wg_chunk_kernel(mp: int, k: int, n: int, gs: int, ch: int, bn: int,
+                     bits: int, xdt: str, out_dtype: str):
+    """Grouped sub-byte chunk-grid kernel (INT2 split-quarter: 4 planes;
+    INT4 split-half: 2 planes).  Grouped INT2 is the quality-viable INT2
+    config — channelwise INT2 is unusable, see benchmarks/ppl_quality.py.
 
     Per-group MXU dots with POST-DOT rescale, instead of pre-scaling whole
     bf16 planes: grid axis c streams chunks of ch*gs packed rows (= 4*ch
@@ -404,9 +416,11 @@ def _w2g_chunk_kernel(mp: int, k: int, n: int, gs: int, ch: int, bn: int,
     in the epilogue as an f32 dot over the G axis.  Zero-point/scale math
     cites reference quantize.inl:27-35 / dequantize.inl:22-28."""
     odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
+    planes = {2: 4, 4: 2}[bits]
+    mask = (1 << bits) - 1
     g = k // gs
-    g4 = g // 4
-    nc = g4 // ch
+    gp = g // planes
+    nc = gp // ch
     rows = ch * gs
 
     def kern(x3_ref, b_ref, s_ref, zs_ref, xg_ref, xs_ref, o_ref, acc_ref):
@@ -419,14 +433,14 @@ def _w2g_chunk_kernel(mp: int, k: int, n: int, gs: int, ch: int, bn: int,
         local = jnp.zeros((mp, bn), jnp.float32)
         for t in range(ch):
             bt = b_ref[t * gs:(t + 1) * gs, :].astype(jnp.int32)
-            for p in range(4):
+            for p in range(planes):
                 if xdt == "i8":
-                    plane = ((bt >> (2 * p)) & 3).astype(jnp.int8)
+                    plane = ((bt >> (bits * p)) & mask).astype(jnp.int8)
                     part = jax.lax.dot_general(
                         x3_ref[p * ch + t], plane, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32).astype(jnp.float32)
                 else:
-                    plane = ((bt >> (2 * p)) & 3).astype(jnp.bfloat16)
+                    plane = ((bt >> (bits * p)) & mask).astype(jnp.bfloat16)
                     part = jax.lax.dot_general(
                         x3_ref[p * ch + t], plane, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
@@ -446,11 +460,11 @@ def _w2g_chunk_kernel(mp: int, k: int, n: int, gs: int, ch: int, bn: int,
         out_shape=jax.ShapeDtypeStruct((mp, n), odt),
         grid=(n // bn, nc),
         in_specs=[
-            pl.BlockSpec((4 * ch, mp, gs), lambda j, c: (c, 0, 0),
+            pl.BlockSpec((planes * ch, mp, gs), lambda j, c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, bn), lambda j, c: (c, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * ch, bn), lambda j, c: (c, j),
+            pl.BlockSpec((planes * ch, bn), lambda j, c: (c, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, bn), lambda j, c: (0, j),
                          memory_space=pltpu.VMEM),
@@ -465,28 +479,30 @@ def _w2g_chunk_kernel(mp: int, k: int, n: int, gs: int, ch: int, bn: int,
     )
 
 
-def _w2g_prep(x2: Array, mp: int, k: int, gs: int, ch: int):
+def _wg_prep(x2: Array, mp: int, k: int, gs: int, ch: int, planes: int):
     """Chunk-major x pages + natural-order per-group sums for the kernel."""
     from piquant_tpu.quant.linear import grouped_chunk_perm
 
     g = k // gs
-    perm = jnp.asarray(grouped_chunk_perm(k, gs, ch))
+    perm = jnp.asarray(grouped_chunk_perm(k, gs, ch, planes))
     x3 = x2.reshape(mp, g, gs).transpose(1, 0, 2)[perm]
     xg = jnp.sum(x2.astype(jnp.float32).reshape(mp, g, gs), axis=2)
     return x3, xg
 
 
-def w2g_matmul(x2: Array, ql, mp: int, out_dtype=jnp.bfloat16,
-               xs: Optional[Array] = None) -> Optional[Array]:
-    """Grouped-INT2 matmul via the chunk-grid kernel.
+def wg_grouped_matmul(x2: Array, ql, mp: int, out_dtype=jnp.bfloat16,
+                      xs: Optional[Array] = None) -> Optional[Array]:
+    """Grouped INT2/INT4 matmul via the chunk-grid kernel.
 
     x2 [mp, K] padded to mp rows: bf16 (weight-only) or int8 with per-row
-    scales `xs` [mp, 1] (W2A8-g).  Requires ql.s_chunk (natural-layout
-    grouped weight with cached side streams); None if unsupported."""
+    scales `xs` [mp, 1] (W2A8-g / W4A8-g).  Requires ql.s_chunk
+    (natural-layout grouped weight with cached side streams); None if
+    unsupported."""
     from piquant_tpu.quant.linear import grouped_chunk_factor
 
     k, n, gs = ql.k, ql.n, ql.group_size
-    ch = grouped_chunk_factor(k, gs)
+    planes = {2: 4, 4: 2}[ql.bits]
+    ch = grouped_chunk_factor(k, gs, planes)
     # gs % 32: the in-kernel plane slices b_ref[t*gs:(t+1)*gs] must land on
     # the uint8 sublane quantum
     if (ch is None or gs % 32 or getattr(ql, "s_chunk", None) is None
@@ -496,11 +512,11 @@ def w2g_matmul(x2: Array, ql, mp: int, out_dtype=jnp.bfloat16,
     if bn is None:
         return None
     xdt = "i8" if x2.dtype == jnp.int8 else "bf16"
-    x3, xg = _w2g_prep(x2, mp, k, gs, ch)
+    x3, xg = _wg_prep(x2, mp, k, gs, ch, planes)
     if xs is None:
         xs = jnp.ones((mp, 1), jnp.float32)
     oname = "bf16" if jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16) else "f32"
-    kfun = _w2g_chunk_kernel(mp, k, n, gs, ch, bn, xdt, oname)
+    kfun = _wg_chunk_kernel(mp, k, n, gs, ch, bn, ql.bits, xdt, oname)
     return kfun(x3, ql.data, ql.s_chunk, ql.zs16, xg, xs)
 
 
@@ -597,7 +613,8 @@ def w2a8_matmul(xq: Array, xs: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Ar
         if mp != m:
             xq = jnp.pad(xq, ((0, mp - m), (0, 0)))
             xs = jnp.pad(xs, ((0, mp - m), (0, 0)))
-        y = w2g_matmul(xq, ql, mp, out_dtype, xs=xs.astype(jnp.float32))
+        y = wg_grouped_matmul(xq, ql, mp, out_dtype,
+                              xs=xs.astype(jnp.float32))
         return None if y is None else y[:m]
     if n % 128 or k % 512:
         return None
@@ -701,11 +718,12 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
 
     if group_size is not None:
         g = k // group_size
-        if ql.bits == 2:
-            y = w2g_matmul(x2, ql, mp, out_dtype)
-            if y is None:
+        y = wg_grouped_matmul(x2, ql, mp, out_dtype)
+        if y is None:
+            if ql.bits == 2:
                 return None
-        else:
+            # legacy broadcast-expand kernel covers int4 shapes the
+            # chunk-grid kernel rejects (gs < 32, odd group counts)
             kfun = _w4_grouped_kernel(mp, k, n, g, bm, bn, oname)
             y = kfun(x2, ql.data, ql.scale.astype(jnp.float32),
                      ql.zero_point.astype(jnp.int32))

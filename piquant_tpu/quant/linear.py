@@ -65,53 +65,69 @@ def pack_split_quarter(codes: Array) -> Array:
             | (c[3 * q:] << 6))
 
 
-def grouped_chunk_factor(k: int, group_size: int) -> Optional[int]:
-    """Groups-per-plane chunk factor CH for the chunk-grid grouped-INT2
-    kernel (ops/pallas/qmatmul._w2g_chunk_kernel): the kernel streams
-    CH*group_size packed rows per grid step, which hold 4*CH complete
-    groups (CH per bit-plane).  CH must divide the per-plane group count
-    and 4*CH must meet the bf16 sublane quantum (>=16) for the chunk-major
-    scale stream; None if the shape doesn't fit the kernel."""
-    if k % (4 * group_size):
+def grouped_chunk_factor(k: int, group_size: int,
+                         planes: int = 4) -> Optional[int]:
+    """Groups-per-plane chunk factor CH for the chunk-grid grouped kernel
+    (ops/pallas/qmatmul._wg_chunk_kernel): the kernel streams
+    CH*group_size packed rows per grid step, which hold planes*CH complete
+    groups (CH per bit-plane; planes = 4 for INT2 split-quarter, 2 for
+    INT4 split-half).  CH must divide the per-plane group count and
+    planes*CH must meet the bf16 sublane quantum (>=16) for the
+    chunk-major scale stream; None if the shape doesn't fit the kernel."""
+    if k % (planes * group_size):
         return None
-    g4 = (k // 4) // group_size
-    for c in (8, 4):
-        if g4 % c == 0:
+    gp = (k // planes) // group_size
+    cands = (8, 4) if planes == 4 else (8,)
+    for c in cands:
+        if gp % c == 0:
             return c
     return None
 
 
 @functools.lru_cache(maxsize=None)
-def grouped_chunk_perm(k: int, group_size: int, ch: int):
+def grouped_chunk_perm(k: int, group_size: int, ch: int, planes: int = 4):
     """Chunk-major group order for the kernel's side streams:
-    perm[c*4CH + p*CH + t] = p*g4 + c*CH + t.  Chunk c's packed rows
-    [c*CH*gs, (c+1)*CH*gs) hold exactly the groups perm[c*4CH : (c+1)*4CH]
-    (plane p of packed row block t*gs.. is group p*g4 + c*CH + t)."""
+    perm[c*planes*CH + p*CH + t] = p*gp + c*CH + t.  Chunk c's packed rows
+    [c*CH*gs, (c+1)*CH*gs) hold exactly the groups
+    perm[c*planes*CH : (c+1)*planes*CH] (plane p of packed row block
+    t*gs.. is group p*gp + c*CH + t)."""
     import numpy as np
-    g4 = (k // 4) // group_size
-    out = np.empty(4 * g4, np.int32)
+    gp = (k // planes) // group_size
+    out = np.empty(planes * gp, np.int32)
     i = 0
-    for c in range(g4 // ch):
-        for p in range(4):
+    for c in range(gp // ch):
+        for p in range(planes):
             for t in range(ch):
-                out[i] = p * g4 + c * ch + t
+                out[i] = p * gp + c * ch + t
                 i += 1
     return out
 
 
-def _grouped_int2_cache(scale: Array, zp: Array, k: int, group_size: int):
+def _grouped_cache(scale: Array, zp: Array, k: int, group_size: int,
+                   bits: int):
     """Kernel-ready grouped side streams: chunk-major bf16 scales + natural
     bf16 zp*scale.  Stored on the QuantizedLinear so the per-step decode
     path streams 2 B/group-entry instead of casting/gathering (G, N) f32
     every call (side streams are 25% of code traffic each at gs=32)."""
-    ch = grouped_chunk_factor(k, group_size)
+    planes = {2: 4, 4: 2}.get(bits)
+    if planes is None:
+        return None, None
+    ch = grouped_chunk_factor(k, group_size, planes)
     if ch is None:
         return None, None
-    perm = grouped_chunk_perm(k, group_size, ch)
+    perm = grouped_chunk_perm(k, group_size, ch, planes)
     s_chunk = scale.astype(jnp.bfloat16)[jnp.asarray(perm)]
-    zs16 = (scale.astype(jnp.float32)
-            * zp.astype(jnp.float32)).astype(jnp.bfloat16)
+    zs = scale.astype(jnp.float32) * zp.astype(jnp.float32)
+    # INT4 zero-points reach 15: bf16 rounding of zp*scale leaks a visible
+    # fold error (sum over G groups); keep the INT4 fold stream f32 (25% of
+    # code bytes at gs=32 vs INT2's 12.5% bf16 stream)
+    zs16 = zs.astype(jnp.bfloat16) if bits == 2 else zs
     return s_chunk, zs16
+
+
+# back-compat alias (weight_cache imports the int2 name)
+def _grouped_int2_cache(scale: Array, zp: Array, k: int, group_size: int):
+    return _grouped_cache(scale, zp, k, group_size, 2)
 
 
 def unpack_split_quarter(packed: Array) -> Array:
@@ -245,9 +261,9 @@ class QuantizedLinear:
         scale = jnp.asarray(scale)
         zero_point = jnp.asarray(zero_point)
         s_chunk = zs16 = None
-        if bits == 2 and group_size is not None:
-            s_chunk, zs16 = _grouped_int2_cache(scale, zero_point, k,
-                                                group_size)
+        if bits in (2, 4) and group_size is not None:
+            s_chunk, zs16 = _grouped_cache(scale, zero_point, k,
+                                           group_size, bits)
         return cls(data=data, scale=scale, zero_point=zero_point, bits=bits,
                    k=k, group_size=group_size, s_chunk=s_chunk, zs16=zs16)
 
@@ -334,10 +350,10 @@ def with_grouped_cache(ql: QuantizedLinear) -> QuantizedLinear:
     """Attach (or refresh) the kernel-ready grouped side streams; no-op for
     channelwise/int4+ weights.  Call after building a grouped-INT2
     QuantizedLinear from parts (concat/slice/random init)."""
-    if ql.bits != 2 or ql.group_size is None:
+    if ql.bits not in (2, 4) or ql.group_size is None:
         return ql
-    s_chunk, zs16 = _grouped_int2_cache(ql.scale, ql.zero_point, ql.k,
-                                        ql.group_size)
+    s_chunk, zs16 = _grouped_cache(ql.scale, ql.zero_point, ql.k,
+                                   ql.group_size, ql.bits)
     return dataclasses.replace(ql, s_chunk=s_chunk, zs16=zs16)
 
 
@@ -379,6 +395,13 @@ def quantize_linear_weight(
         rmax = jnp.max(wf, axis=axis, keepdims=True)
     span = rmax - rmin
     scale = jnp.where(span == 0, 1.0, span / (qmax - qmin)).astype(jnp.float32)
+    if group_size is not None and bits in (2, 4):
+        # grouped scales stream bf16 to the chunk-grid kernel; rounding the
+        # quantizer's scale to bf16 here (before zp/code derivation) makes
+        # that stream EXACT instead of a 0.4% rel perturbation vs the f32
+        # fallback — a 0.4% coarser scale grid is invisible next to 2/4-bit
+        # code error
+        scale = scale.astype(jnp.bfloat16).astype(jnp.float32)
     zp = jnp.clip(round_half_away(qmin - rmin / scale), qmin, qmax)
     zp = jnp.where(span == 0, (qmax + qmin) >> 1, zp).astype(jnp.int32)
 
@@ -404,8 +427,8 @@ def quantize_linear_weight(
     else:
         data = codes.astype(jnp.uint8)
     s_chunk = zs16 = None
-    if bits == 2 and group_size is not None:
-        s_chunk, zs16 = _grouped_int2_cache(scale, zp, k, group_size)
+    if bits in (2, 4) and group_size is not None:
+        s_chunk, zs16 = _grouped_cache(scale, zp, k, group_size, bits)
     return QuantizedLinear(data=data, scale=scale, zero_point=zp, bits=bits,
                            k=k, group_size=group_size, s_chunk=s_chunk,
                            zs16=zs16)
@@ -510,8 +533,7 @@ def quantized_matmul(
     # the unpack+dot cost that bounds INT2 decode (710 vs 380 GB/s
     # weight-stream measured on v5e, ops/pallas/qmatmul.py).
     use_a8 = (bool(act_quant)
-              and (ql.group_size is None
-                   or (ql.bits == 2 and ql.s_chunk is not None))
+              and (ql.group_size is None or ql.s_chunk is not None)
               and ql.bits in (2, 4)
               and (act_quant == "all" or m >= ACT_QUANT_MIN_M))
 

@@ -89,14 +89,16 @@ def load_quantized(path: str) -> Any:
             zp = jnp.asarray(data[path + ".zp"])
             gs = m.get("group_size")
             s_chunk = zs16 = None
-            if m["bits"] == 2 and gs is not None:
+            if m["bits"] in (2, 4) and gs is not None:
                 # rebuild the kernel-ready grouped side streams (derived
                 # state, cheaper to recompute than to persist)
-                from piquant_tpu.quant.linear import _grouped_int2_cache
+                from piquant_tpu.quant.linear import _grouped_cache
                 if m["kind"] == "qlinear":
-                    s_chunk, zs16 = _grouped_int2_cache(scale, zp, m["k"], gs)
+                    s_chunk, zs16 = _grouped_cache(scale, zp, m["k"], gs,
+                                                   m["bits"])
                 else:
-                    per = [_grouped_int2_cache(scale[e], zp[e], m["k"], gs)
+                    per = [_grouped_cache(scale[e], zp[e], m["k"], gs,
+                                          m["bits"])
                            for e in range(scale.shape[0])]
                     if per and per[0][0] is not None:
                         s_chunk = jnp.stack([p[0] for p in per])

@@ -171,17 +171,19 @@ def test_act_quant_all_mode_int2():
     np.testing.assert_array_equal(np.asarray(y_thr), np.asarray(y_wq))
 
 
-@pytest.mark.parametrize("k,gs,m", [(512, 32, 8), (1024, 32, 1),
-                                    (2048, 64, 8), (1024, 32, 33)])
-def test_int2_grouped_kernel_matches_fallback(k, gs, m):
-    """Group-wise INT2 (the quality-viable config) must take the chunk-grid
-    Pallas kernel for supported shapes and match the XLA fallback."""
+@pytest.mark.parametrize("bits,k,gs,m", [(2, 512, 32, 8), (2, 1024, 32, 1),
+                                         (2, 2048, 64, 8), (2, 1024, 32, 33),
+                                         (4, 512, 32, 8), (4, 1024, 32, 16),
+                                         (4, 2048, 64, 8)])
+def test_grouped_chunk_kernel_matches_fallback(bits, k, gs, m):
+    """Group-wise INT2/INT4 must take the chunk-grid Pallas kernel for
+    supported shapes and match the XLA fallback."""
     from piquant_tpu.quant.linear import quantize_linear_weight
 
     rng = np.random.default_rng(SEED + 11)
     n = 256
     w = jnp.asarray(rng.normal(0, 0.05, (k, n)), jnp.float32)
-    ql = quantize_linear_weight(w, 2, group_size=gs)
+    ql = quantize_linear_weight(w, bits, group_size=gs)
     assert ql.s_chunk is not None and ql.zs16 is not None
     x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.float32)
     got = Q.quantized_matmul(x, ql, jnp.float32)
@@ -204,20 +206,22 @@ def test_int2_grouped_small_gs_falls_back():
     assert Q.quantized_matmul(x, ql, jnp.float32) is None
 
 
-def test_w2a8_grouped_kernel_matches_fallback():
-    """W2A8-g: int8 per-token activations against the grouped-INT2 weight
-    (per-group i32 accumulation, f32 rescale) must match the XLA einsum
-    fallback at int8-activation numerics."""
+@pytest.mark.parametrize("bits", [2, 4])
+def test_wa8_grouped_kernel_matches_fallback(bits):
+    """W2A8-g / W4A8-g: int8 per-token activations against the grouped
+    weight (per-group i32 accumulation, f32 rescale) must match the XLA
+    einsum fallback at int8-activation numerics."""
     from piquant_tpu.quant.linear import (_quantize_act,
                                           quantize_linear_weight)
 
     rng = np.random.default_rng(SEED + 13)
     k, n = 1024, 256
     w = jnp.asarray(rng.normal(0, 0.05, (k, n)), jnp.float32)
-    ql = quantize_linear_weight(w, 2, group_size=32)
+    ql = quantize_linear_weight(w, bits, group_size=32)
     x = jnp.asarray(rng.normal(0, 1, (8, k)), jnp.float32)
     xq, xs = _quantize_act(x)
-    got = Q.w2a8_matmul(xq, xs, ql, jnp.float32)
+    fn = Q.w2a8_matmul if bits == 2 else Q.w4a8_matmul
+    got = fn(xq, xs, ql, jnp.float32)
     assert got is not None
     want = _matmul_dequant_jnp(xq.astype(jnp.float32), ql, jnp.float32) * xs
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
