@@ -213,3 +213,31 @@ def test_quantize_params_mixed_precision_overrides():
     assert l0["w1"].bits == 2 and l0["w1"].group_size == 16
     logits, _ = M.forward(cfg, qp, jnp.zeros((1, 4), jnp.int32))
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_grouped_int2_act_quant_decode_consistency():
+    """INT2-g32 + act_quant_decode (the W2A8-g decode config): a model
+    large enough to engage the chunk-grid path (K % 1024 == 0) must produce
+    decode logits close to the bf16-activation grouped path."""
+    import dataclasses
+
+    cfg = M.LlamaConfig(vocab_size=256, d_model=1024, n_layers=1, n_heads=8,
+                        n_kv_heads=4, d_ff=2048, max_seq_len=64)
+    params = M.init_params(cfg, jax.random.key(7))
+    qp = M.quantize_params(params, bits=2, group_size=32)
+    # the MLP/attention projections carry the kernel-ready side streams
+    assert qp["layers"][0]["w1"].s_chunk is not None
+    rng = np.random.default_rng(SEED + 9)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 8)), jnp.int32)
+
+    def decode_logits(c):
+        cache = M.init_kv_cache(c, 2, max_len=16)
+        _, cache = M.prefill(c, qp, tokens[:, :7], cache)
+        got, _ = M.decode_step(c, qp, tokens[:, 7],
+                               jnp.full((2,), 7, jnp.int32), cache)
+        return np.asarray(got)
+
+    base = decode_logits(cfg)
+    a8 = decode_logits(dataclasses.replace(cfg, act_quant_decode=True))
+    denom = np.abs(base).max()
+    assert np.abs(a8 - base).max() / denom < 0.08, np.abs(a8 - base).max()
