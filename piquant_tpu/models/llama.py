@@ -710,7 +710,7 @@ def _moe_ragged_try(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
     b, t, d = x.shape
     ntok = b * t
     if (env == "0" or cfg.ep_axis is not None
-            or not hasattr(w1s, "bits") or w1s.bits != 4
+            or not hasattr(w1s, "bits") or w1s.bits not in (2, 4, 8)
             or w1s.group_size is not None
             or ntok < 32      # decode: weight traffic dominates, dense is fine
             or cfg.act_quant_decode or cfg.act_quant_prefill

@@ -75,26 +75,40 @@ def _w4_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
 
 
 @lru_cache(maxsize=None)
-def _w4_ragged_kernel(m: int, k: int, n: int, e: int, bm: int, bn: int,
-                      out_dtype: str):
-    """Megablocks-style grouped GEMM over an INT4 expert stack.
+def _wq_ragged_kernel(m: int, k: int, n: int, e: int, bm: int, bn: int,
+                      bits: int, out_dtype: str):
+    """Megablocks-style grouped GEMM over a channelwise expert stack
+    (INT4 split-half, INT2 split-quarter, or INT8).
 
     x rows are pre-sorted by expert and padded so every bm-row block belongs
     to exactly ONE expert; the prefetched `block_expert` array drives the
     weight/scale index_maps, so each grid step DMAs only its expert's packed
-    tile (quant/moe.py builds the routing).  Same split-half unpack and
-    analytic zero-point fold as `_w4_kernel`."""
+    tile (quant/moe.py builds the routing).  Same plane unpack and
+    analytic zero-point fold as `_w4_kernel`/`_w2_kernel`/`_w8_kernel`."""
     odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
-    kh = k // 2
+    rows = {2: k // 4, 4: k // 2}.get(bits, k)
 
     def kern(be_ref, x_ref, b_ref, s_ref, zs_ref, xsum_ref, o_ref):
         del be_ref  # consumed by the index_maps
-        b = b_ref[0].astype(jnp.int32)            # (kh, bn)
-        lo = (b & 15).astype(jnp.bfloat16)
-        hi = (b >> 4).astype(jnp.bfloat16)        # b < 256: no mask needed
+        b = b_ref[0].astype(jnp.int32)            # (rows, bn)
         x = x_ref[:]
-        acc = jnp.dot(x[:, :kh], lo, preferred_element_type=jnp.float32)
-        acc += jnp.dot(x[:, kh:], hi, preferred_element_type=jnp.float32)
+        if bits == 8:
+            acc = jnp.dot(x, b.astype(jnp.bfloat16),  # codes < 256: exact
+                          preferred_element_type=jnp.float32)
+        elif bits == 4:
+            kh = k // 2
+            acc = jnp.dot(x[:, :kh], (b & 15).astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+            acc += jnp.dot(x[:, kh:], (b >> 4).astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        else:
+            kq = k // 4
+            acc = jnp.dot(x[:, :kq], (b & 3).astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+            for p in range(1, 4):
+                acc += jnp.dot(x[:, p * kq:(p + 1) * kq],
+                               ((b >> (2 * p)) & 3).astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
         o_ref[:] = (acc * s_ref[0] - xsum_ref[:] * zs_ref[0]).astype(odt)
 
     # Grid order (j, i): row blocks iterate FASTEST.  Rows are sorted by
@@ -111,7 +125,7 @@ def _w4_ragged_kernel(m: int, k: int, n: int, e: int, bm: int, bn: int,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((bm, k), lambda j, i, be: (i, 0)),
-                pl.BlockSpec((1, kh, bn), lambda j, i, be: (be[i], 0, j)),
+                pl.BlockSpec((1, rows, bn), lambda j, i, be: (be[i], 0, j)),
                 pl.BlockSpec((1, 1, bn), lambda j, i, be: (be[i], 0, j)),
                 pl.BlockSpec((1, 1, bn), lambda j, i, be: (be[i], 0, j)),
                 pl.BlockSpec((bm, 1), lambda j, i, be: (i, 0)),
@@ -122,34 +136,38 @@ def _w4_ragged_kernel(m: int, k: int, n: int, e: int, bm: int, bn: int,
     )
 
 
-def w4_ragged_matmul(x_sorted: Array, stack, block_expert: Array,
+def wq_ragged_matmul(x_sorted: Array, stack, block_expert: Array,
                      out_dtype=jnp.bfloat16) -> Optional[Array]:
     """x_sorted [M, K] @ per-block expert of `stack` -> [M, N].
 
     M must be a multiple of the routing block (block_expert.shape[0] * bm
-    == M).  INT4 channelwise split-half expert stacks only."""
-    if stack.bits != 4 or stack.group_size is not None:
+    == M).  Channelwise INT2/INT4/INT8 expert stacks."""
+    if stack.bits not in (2, 4, 8) or stack.group_size is not None:
         return None
     m, k = x_sorted.shape
-    e, kh, n = stack.data.shape
+    e, rows, n = stack.data.shape
     if m % block_expert.shape[0]:
         return None
     bm = m // block_expert.shape[0]
     # packed tile capped at 1 MB: the unpack temporaries (~6x) must leave
     # room for double-buffered x blocks, or the weight stream serializes
     bn = next((c for c in BN_CANDIDATES
-               if n % c == 0 and kh * c <= W_BLOCK_VMEM_LIMIT // 2), None)
-    if bn is None or k != 2 * kh:
+               if n % c == 0 and rows * c <= W_BLOCK_VMEM_LIMIT // 2), None)
+    if bn is None or rows != {2: k // 4, 4: k // 2}.get(stack.bits, k):
         return None
     scale = stack.scale.astype(jnp.float32).reshape(e, 1, n)
     zs = (stack.zero_point.astype(jnp.float32)
           * stack.scale.astype(jnp.float32)).reshape(e, 1, n)
     xb = x_sorted.astype(jnp.bfloat16)
     xsum = jnp.sum(x_sorted.astype(jnp.float32), axis=-1, keepdims=True)
-    kern = _w4_ragged_kernel(m, k, n, e, bm, bn,
+    kern = _wq_ragged_kernel(m, k, n, e, bm, bn, stack.bits,
                              "bf16" if out_dtype == jnp.bfloat16 else "f32")
     return kern(block_expert.astype(jnp.int32),
-                xb, stack.data.reshape(e, kh, n), scale, zs, xsum)
+                xb, stack.data.reshape(e, rows, n), scale, zs, xsum)
+
+
+# back-compat name (the kernel grew INT2/INT8 support)
+w4_ragged_matmul = wq_ragged_matmul
 
 
 @lru_cache(maxsize=None)

@@ -257,7 +257,8 @@ def test_moe_expert_parallel_quantized_matches_single():
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
-def test_moe_ragged_matches_dense():
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_moe_ragged_matches_dense(bits):
     """The grouped (megablocks-style) ragged path must match the
     dense-all-experts path on identical inputs (same routing, same
     quantized weights) — interpret mode exercises the Pallas kernel on CPU."""
@@ -269,7 +270,8 @@ def test_moe_ragged_matches_dense():
     # tiny() geometry (d_model 256, d_ff 512) is divisible by the kernel's
     # 128-lane N tiles
     cfg = M.LlamaConfig.tiny(n_experts=4, moe_top_k=2)
-    params = M.quantize_params(M.init_params(cfg, jax.random.key(3)), bits=4)
+    params = M.quantize_params(M.init_params(cfg, jax.random.key(3)),
+                               bits=bits)
     layer = params["layers"][0]
     x = jax.random.normal(jax.random.key(4), (2, 32, cfg.d_model),
                           cfg.dtype) * 0.5
