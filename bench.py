@@ -130,7 +130,23 @@ def _host_specs():
 
 
 def main():
+    # Watchdog: a wedged TPU relay otherwise blocks forever inside a device
+    # call (where SIGALRM handlers never run); a daemon thread + os._exit
+    # dies loudly instead so the harness sees a failure, not a hang.
+    import os
+    import threading
+
+    def _abort():
+        print("bench.py: TPU relay unresponsive (watchdog fired)",
+              file=sys.stderr, flush=True)
+        os._exit(3)
+
+    t = threading.Timer(
+        int(os.environ.get("PIQUANT_BENCH_TIMEOUT_S", "1500")), _abort)
+    t.daemon = True
+    t.start()
     gbs = bench_tpu()
+    t.cancel()
     base = bench_torch_baseline()
     vs = gbs / base if base else None
     print(json.dumps({
