@@ -641,6 +641,90 @@ def decode_step(
                                  cache.length + 1)
 
 
+def forward_verify(
+    cfg: MLAConfig,
+    params: Dict,
+    tokens: Array,       # [B, T] int32
+    positions: Array,    # [B, T] absolute, row-contiguous (p, p+1, ..)
+    cache: LatentKVCache,
+    attn_window: Optional[int] = None,
+) -> Tuple[Array, LatentKVCache]:
+    """Multi-token cached forward for speculative verification.
+
+    The absorbed-path analogue of llama.forward(tokens[B,T], positions,
+    cache): each row's T latents are written at
+    [positions[b,0], positions[b,0]+T) (per-row start — rows advance
+    independently under continuous batching), attention reads the INT8
+    latent cache with per-position causal masks (an in-chunk query sees
+    in-chunk keys through their QUANTIZED latents — the same numerics
+    class as decode_step, which also reads its own token back from the
+    cache), and FULL logits [B, T, V] are returned so the caller can
+    verify every drafted position.  Rejected-draft garbage beyond a row's
+    continuation point stays masked until overwritten, exactly like the
+    dense-KV path (models/speculative.py invariant)."""
+    b, t = tokens.shape
+    dt = cfg.dtype
+    x = params["embed"][tokens].astype(dt)
+    cos, sin = _rope(cfg, positions)
+    w = min(cache.max_len, attn_window) if attn_window else cache.max_len
+    kv_pos = jnp.arange(w, dtype=jnp.int32)
+    mask = jnp.where(
+        kv_pos[None, None, None, :] <= positions[:, None, :, None], 0.0, -1e9
+    ).astype(jnp.float32)                               # [B,1,T,w]
+    scale = cfg.qk_head_dim ** -0.5
+    start = positions[:, 0]
+
+    for li, layer in enumerate(params["layers"]):
+        hx = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+        q_nope, q_pe = _project_q(cfg, layer, hx, cos, sin)      # [B,H,T,*]
+        c_new, kpe_new = _project_latent(cfg, layer, hx, cos, sin)  # [B,T,*]
+        codes, cscale = _quantize_latent(c_new)
+
+        def put(buf, upd):
+            return jax.vmap(
+                lambda bf, up, p: jax.lax.dynamic_update_slice(
+                    bf, up.astype(bf.dtype), (p, jnp.zeros((), p.dtype)))
+            )(buf, upd, start)
+
+        cache = LatentKVCache(
+            c_codes=cache.c_codes.at[li].set(put(cache.c_codes[li], codes)),
+            c_scale=cache.c_scale.at[li].set(put(cache.c_scale[li], cscale)),
+            k_pe=cache.k_pe.at[li].set(put(cache.k_pe[li], kpe_new)),
+            length=cache.length,
+        )
+
+        w_k, w_v = _split_kv_b(cfg, layer)
+        q_lat = jnp.einsum("bhtn,rhn->bhtr", q_nope.astype(jnp.bfloat16),
+                           w_k, preferred_element_type=jnp.float32)
+        cc = cache.c_codes[li, :, :w].astype(jnp.bfloat16)       # [B,w,R]
+        cs = cache.c_scale[li, :, :w, 0]                         # [B,w]
+        scores = (
+            jnp.einsum("bhtr,bsr->bhts", q_lat.astype(jnp.bfloat16), cc,
+                       preferred_element_type=jnp.float32)
+            * cs[:, None, None]
+            + jnp.einsum("bhtr,bsr->bhts", q_pe.astype(jnp.bfloat16),
+                         cache.k_pe[li, :, :w],
+                         preferred_element_type=jnp.float32)
+        ) * scale + mask
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx_lat = jnp.einsum("bhts,bsr->bhtr",
+                             (probs * cs[:, None, None]).astype(jnp.bfloat16),
+                             cc, preferred_element_type=jnp.float32)
+        ctx = jnp.einsum("bhtr,rhv->bhtv", ctx_lat.astype(jnp.bfloat16), w_v,
+                         preferred_element_type=jnp.float32)
+        ctx = ctx.astype(dt).transpose(0, 2, 1, 3).reshape(
+            b, t, cfg.n_heads * cfg.v_head_dim)
+        x = x + _mm(ctx, layer["wo"], dt)
+
+        x = x + _mlp(cfg, layer, rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = _mm(x, params["lm_head"], jnp.float32)
+    return logits, LatentKVCache(
+        cache.c_codes, cache.c_scale, cache.k_pe,
+        jnp.maximum(cache.length, positions[None, :, -1] + 1))
+
+
 # ---------------------------------------------------------------------------
 # HF loader (DeepseekV2ForCausalLM)
 # ---------------------------------------------------------------------------

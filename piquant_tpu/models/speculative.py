@@ -33,6 +33,18 @@ from piquant_tpu.models import llama as M
 Array = jax.Array
 
 
+def _verify_forward(cfg, params, tokens, positions, cache):
+    """Model-generic T=G+1 verify forward returning FULL logits [B,T,V].
+
+    Dense-KV (Llama-family) configs go through llama.forward; MLA configs
+    through mla.forward_verify (absorbed path over the INT8 latent cache).
+    Dispatch is trace-time — cfg is a static jit argument."""
+    from piquant_tpu.models import mla as _mla
+    if isinstance(cfg, _mla.MLAConfig):
+        return _mla.forward_verify(cfg, params, tokens, positions, cache)
+    return M.forward(cfg, params, tokens, positions=positions, cache=cache)
+
+
 def ngram_draft(hist: Array, pos: Array, G: int) -> Array:
     """Draft G tokens per row by bigram prompt lookup.
 
@@ -80,8 +92,8 @@ def spec_block(
         drafts = ngram_draft(hist, pos, G)               # [B, G]
         tokens_in = jnp.concatenate([tok[:, None], drafts], axis=1)
         positions = pos[:, None] + garange[None, :]
-        logits, cache = M.forward(cfg, params, tokens_in,
-                                  positions=positions, cache=cache)
+        logits, cache = _verify_forward(cfg, params, tokens_in,
+                                        positions, cache)
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, G+1]
         ok = (drafts == greedy[:, :-1])
         n_acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1,

@@ -292,10 +292,6 @@ class Engine:
 
         b = econfig.batch_slots
         self._model = _model_for(cfg)
-        if self._model is not M and econfig.speculate:
-            raise ValueError(
-                "speculate is a dense-KV (Llama-family) feature; not "
-                "supported for MLA configs yet")
         if econfig.prefill_chunk and econfig.prefill_chunk > econfig.max_seq_len:
             raise ValueError(
                 f"prefill_chunk={econfig.prefill_chunk} exceeds "

@@ -245,3 +245,79 @@ def test_mla_moe_tiny_quantized_and_engine():
     eng.submit(Request(rid=0, prompt=prompt,
                        sampling=SamplingParams(max_new_tokens=n_new)))
     assert eng.run()[0].tokens == want
+
+
+def test_mla_forward_verify_matches_stepwise():
+    """forward_verify (multi-token absorbed verify for speculation) must
+    reproduce sequential decode_step: same cache contents and the same
+    greedy tokens at every verified position, with per-row start offsets."""
+    cfg = L.MLAConfig.tiny(dtype=jnp.float32)
+    params = L.init_params(cfg, jax.random.key(5))
+    rng = np.random.default_rng(SEED + 21)
+    prompts = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)), jnp.int32)
+    T = 4
+
+    # rows advance from different positions: row0 from 6, row1 from 4
+    starts = np.asarray([6, 4], np.int32)
+    cache0 = L.init_latent_cache(cfg, 2, max_len=16)
+    _, cache0 = L.forward(cfg, params, prompts, cache=cache0)
+
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, T)), jnp.int32)
+    positions = (jnp.asarray(starts)[:, None]
+                 + jnp.arange(T, dtype=jnp.int32)[None])
+
+    lg_v, cache_v = L.forward_verify(cfg, params, toks, positions, cache0)
+    assert lg_v.shape == (2, T, cfg.vocab_size)
+
+    # oracle: one decode_step per token (per-row positions)
+    cache_s = cache0
+    step_logits = []
+    for j in range(T):
+        lg, cache_s = L.decode_step(cfg, params, toks[:, j], positions[:, j],
+                                    cache_s)
+        step_logits.append(np.asarray(lg))
+    want = np.stack(step_logits, axis=1)               # [B, T, V]
+
+    got = np.asarray(lg_v)
+    denom = np.abs(want).max()
+    assert np.abs(got - want).max() / denom < 2e-3
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+    # cache contents written at the same slots
+    np.testing.assert_array_equal(np.asarray(cache_v.c_codes),
+                                  np.asarray(cache_s.c_codes))
+    np.testing.assert_array_equal(np.asarray(cache_v.k_pe, np.float32),
+                                  np.asarray(cache_s.k_pe, np.float32))
+    # length tracks true per-row live positions (decode_step's uniform +1
+    # over-counts rows that re-advance from an earlier position)
+    np.testing.assert_array_equal(
+        np.asarray(cache_v.length),
+        np.broadcast_to(np.asarray(positions[:, -1] + 1),
+                        cache_v.length.shape))
+
+
+def test_mla_speculative_greedy_identical():
+    """Speculative decoding through the engine must emit EXACTLY the same
+    greedy tokens as normal decode for MLA models (the dense-KV invariant,
+    models/speculative.py, now holds for the latent-cache verify path)."""
+    from piquant_tpu.serving import Engine, EngineConfig, Request, SamplingParams
+
+    cfg = L.MLAConfig.tiny(dtype=jnp.float32)
+    params = L.quantize_params(L.init_params(cfg, jax.random.key(7)), bits=8)
+    rng = np.random.default_rng(SEED + 31)
+    prompts = [
+        ([5, 9, 11, 5, 9, 11, 5, 9, 11, 5, 9] * 2)[:20],   # repetitive
+        rng.integers(1, 60, 17).tolist(),                   # random
+    ]
+
+    def run(spec):
+        eng = Engine(cfg, params, EngineConfig(
+            batch_slots=2, max_seq_len=128, decode_block=3, speculate=spec))
+        for i, p in enumerate(prompts):
+            eng.submit(Request(rid=i, prompt=p,
+                               sampling=SamplingParams(max_new_tokens=16)))
+        return [r.tokens for r in sorted(eng.run(), key=lambda r: r.rid)]
+
+    base = run(0)
+    spec = run(4)
+    assert [len(t) for t in base] == [16, 16]
+    assert spec == base
