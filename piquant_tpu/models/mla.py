@@ -89,6 +89,13 @@ class MLAConfig:
     first_k_dense: int = 1
     routed_scaling: float = 1.0
     norm_topk_prob: bool = False
+    # DeepSeek-V2/V2-Chat device-limited routing: experts are split into
+    # n_group groups; only the topk_group groups with the highest per-group
+    # max score stay eligible before the expert top-k
+    # (HF DeepseekV2MoEGate topk_method="group_limited_greedy")
+    topk_method: str = "greedy"
+    n_group: int = 1
+    topk_group: int = 1
     yarn: Optional[YarnParams] = None
 
     @property
@@ -365,6 +372,19 @@ def _mlp(cfg: MLAConfig, layer: Dict, x: Array) -> Array:
     scores = jax.nn.softmax(
         jnp.einsum("btd,de->bte", x.astype(jnp.float32),
                    layer["router"].astype(jnp.float32)), axis=-1)
+    if cfg.topk_method == "group_limited_greedy" and cfg.n_group > 1:
+        # mask non-selected groups' scores to 0 (softmax scores are >= 0,
+        # so the multiply is exactly HF's masked_fill(..., 0.0))
+        bsz, t, e = scores.shape
+        if e % cfg.n_group:
+            raise ValueError(f"n_experts={e} not divisible by "
+                             f"n_group={cfg.n_group}")
+        per = e // cfg.n_group
+        gmax = jnp.max(scores.reshape(bsz, t, cfg.n_group, per), axis=-1)
+        _, gi = jax.lax.top_k(gmax, cfg.topk_group)          # [B,T,Kg]
+        gmask = jnp.sum(jax.nn.one_hot(gi, cfg.n_group, dtype=scores.dtype),
+                        axis=-2)                              # [B,T,G]
+        scores = scores * jnp.repeat(gmask, per, axis=-1)
     probs, topi = jax.lax.top_k(scores, cfg.moe_top_k)
     if cfg.norm_topk_prob:
         probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
@@ -747,9 +767,11 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> MLAConfig:
             mscale=rs.get("mscale") or 1.0,
             mscale_all_dim=rs.get("mscale_all_dim") or 0.0,
         )
-    if n_experts and getattr(hf_config, "topk_method", "greedy") != "greedy":
-        raise ValueError("only greedy top-k routing is supported "
-                         "(group_limited_greedy: not yet)")
+    topk_method = getattr(hf_config, "topk_method", "greedy") or "greedy"
+    if n_experts and topk_method not in ("greedy", "group_limited_greedy"):
+        raise ValueError(f"unsupported topk_method {topk_method!r} "
+                         "(greedy / group_limited_greedy only; V3's "
+                         "noaux_tc sigmoid routing: not yet)")
     return MLAConfig(
         vocab_size=hf_config.vocab_size,
         d_model=hf_config.hidden_size,
@@ -772,6 +794,9 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> MLAConfig:
         first_k_dense=getattr(hf_config, "first_k_dense_replace", 0) or 0,
         routed_scaling=getattr(hf_config, "routed_scaling_factor", 1.0),
         norm_topk_prob=bool(getattr(hf_config, "norm_topk_prob", False)),
+        topk_method=topk_method,
+        n_group=getattr(hf_config, "n_group", None) or 1,
+        topk_group=getattr(hf_config, "topk_group", None) or 1,
         yarn=yarn,
     )
 

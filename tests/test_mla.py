@@ -321,3 +321,52 @@ def test_mla_speculative_greedy_identical():
     spec = run(4)
     assert [len(t) for t in base] == [16, 16]
     assert spec == base
+
+
+def test_mla_moe_group_limited_matches_transformers():
+    """DeepSeek-V2/V2-Chat device-limited routing (topk_method
+    "group_limited_greedy": per-group max -> topk_group groups eligible ->
+    expert top-k) cross-validated against transformers DeepseekV2."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    if not hasattr(transformers, "DeepseekV2ForCausalLM"):
+        pytest.skip("transformers lacks DeepseekV2")
+
+    torch.manual_seed(SEED + 40)
+    conf = transformers.DeepseekV2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        n_routed_experts=8, num_experts_per_tok=3, n_shared_experts=1,
+        first_k_dense_replace=1, norm_topk_prob=False,
+        routed_scaling_factor=1.0,
+        topk_method="group_limited_greedy", n_group=4, topk_group=2,
+        kv_lora_rank=32, q_lora_rank=None, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, max_position_embeddings=64,
+        rope_theta=10_000.0, rms_norm_eps=1e-5, pad_token_id=0,
+        attn_implementation="eager", tie_word_embeddings=False,
+    )
+    model = transformers.DeepseekV2ForCausalLM(conf)
+    model.eval()
+
+    cfg, params = L.params_from_hf(model, dtype=jnp.float32)
+    assert cfg.topk_method == "group_limited_greedy"
+    assert cfg.n_group == 4 and cfg.topk_group == 2
+    rng = np.random.default_rng(SEED + 41)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 10))
+
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+
+    got, _ = L.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-3, rtol=3e-3)
+
+    # group limiting changes routing vs plain greedy on the same weights
+    plain, _ = L.forward(dataclasses_replace(cfg, topk_method="greedy"),
+                         params, jnp.asarray(tokens, jnp.int32))
+    assert np.abs(np.asarray(plain) - np.asarray(got)).max() > 1e-4
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg, **kw)
