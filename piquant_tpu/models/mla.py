@@ -213,6 +213,8 @@ def init_params(cfg: MLAConfig, key: Array) -> Dict:
         if cfg.moe_layer(li):
             e, dff = cfg.n_experts, cfg.moe_d_ff
             layer["router"] = dense(next(keys), cfg.d_model, e)
+            if cfg.topk_method == "noaux_tc":
+                layer["router_bias"] = jnp.zeros((e,), jnp.float32)
             layer["moe_w1"] = jnp.stack(
                 [dense(next(keys), cfg.d_model, dff) for _ in range(e)])
             layer["moe_w3"] = jnp.stack(
@@ -369,25 +371,47 @@ def _mlp(cfg: MLAConfig, layer: Dict, x: Array) -> Array:
     if "router" not in layer:
         return _silu_mlp(cfg, layer["w1"], layer["w3"], layer["w2"], x)
     dt = cfg.dtype
-    scores = jax.nn.softmax(
-        jnp.einsum("btd,de->bte", x.astype(jnp.float32),
-                   layer["router"].astype(jnp.float32)), axis=-1)
-    if cfg.topk_method == "group_limited_greedy" and cfg.n_group > 1:
-        # mask non-selected groups' scores to 0 (softmax scores are >= 0,
-        # so the multiply is exactly HF's masked_fill(..., 0.0))
-        bsz, t, e = scores.shape
-        if e % cfg.n_group:
-            raise ValueError(f"n_experts={e} not divisible by "
-                             f"n_group={cfg.n_group}")
-        per = e // cfg.n_group
-        gmax = jnp.max(scores.reshape(bsz, t, cfg.n_group, per), axis=-1)
-        _, gi = jax.lax.top_k(gmax, cfg.topk_group)          # [B,T,Kg]
-        gmask = jnp.sum(jax.nn.one_hot(gi, cfg.n_group, dtype=scores.dtype),
+    logits = jnp.einsum("btd,de->bte", x.astype(jnp.float32),
+                        layer["router"].astype(jnp.float32))
+    bsz, t, e = logits.shape
+    if cfg.n_group > 1 and e % cfg.n_group:
+        raise ValueError(f"n_experts={e} not divisible by "
+                         f"n_group={cfg.n_group}")
+    per = e // cfg.n_group
+
+    def group_limit(choice, group_score):
+        """Zero out experts outside the topk_group best groups
+        (HF masked_fill(~mask, 0.0) semantics)."""
+        _, gi = jax.lax.top_k(group_score, cfg.topk_group)   # [B,T,Kg]
+        gmask = jnp.sum(jax.nn.one_hot(gi, cfg.n_group, dtype=choice.dtype),
                         axis=-2)                              # [B,T,G]
-        scores = scores * jnp.repeat(gmask, per, axis=-1)
-    probs, topi = jax.lax.top_k(scores, cfg.moe_top_k)
-    if cfg.norm_topk_prob:
-        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+        return jnp.where(jnp.repeat(gmask, per, axis=-1) > 0, choice, 0.0)
+
+    if cfg.topk_method == "noaux_tc":
+        # DeepSeek-V3 router (HF DeepseekV3TopkRouter): sigmoid scores; a
+        # selection-only correction bias; group score = sum of the top-2
+        # biased scores per group; weights gathered from the UNBIASED
+        # sigmoid scores at the selected experts.
+        scores = jax.nn.sigmoid(logits)
+        choice = scores + layer["router_bias"].astype(jnp.float32)[None, None]
+        if cfg.n_group > 1:
+            grp = choice.reshape(bsz, t, cfg.n_group, per)
+            gscore = jnp.sum(jax.lax.top_k(grp, 2)[0], axis=-1)
+            choice = group_limit(choice, gscore)
+        _, topi = jax.lax.top_k(choice, cfg.moe_top_k)
+        probs = jnp.take_along_axis(scores, topi, axis=-1)
+        if cfg.norm_topk_prob:
+            probs = probs / (jnp.sum(probs, axis=-1, keepdims=True) + 1e-20)
+    else:
+        scores = jax.nn.softmax(logits, axis=-1)
+        if cfg.topk_method == "group_limited_greedy" and cfg.n_group > 1:
+            # V2/V2-Chat device-limited routing: group score = per-group max
+            # (scores >= 0, so where(...) == HF's masked_fill to 0.0)
+            gmax = jnp.max(scores.reshape(bsz, t, cfg.n_group, per), axis=-1)
+            scores = group_limit(scores, gmax)
+        probs, topi = jax.lax.top_k(scores, cfg.moe_top_k)
+        if cfg.norm_topk_prob:
+            probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
     probs = probs * cfg.routed_scaling
 
     def as_linear(st):
@@ -767,11 +791,15 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> MLAConfig:
             mscale=rs.get("mscale") or 1.0,
             mscale_all_dim=rs.get("mscale_all_dim") or 0.0,
         )
-    topk_method = getattr(hf_config, "topk_method", "greedy") or "greedy"
-    if n_experts and topk_method not in ("greedy", "group_limited_greedy"):
-        raise ValueError(f"unsupported topk_method {topk_method!r} "
-                         "(greedy / group_limited_greedy only; V3's "
-                         "noaux_tc sigmoid routing: not yet)")
+    if getattr(hf_config, "model_type", "") == "deepseek_v3":
+        # V3 has no topk_method field; its router is always the sigmoid
+        # noaux_tc scheme (HF DeepseekV3TopkRouter)
+        topk_method = "noaux_tc"
+    else:
+        topk_method = getattr(hf_config, "topk_method", "greedy") or "greedy"
+    if n_experts and topk_method not in ("greedy", "group_limited_greedy",
+                                         "noaux_tc"):
+        raise ValueError(f"unsupported topk_method {topk_method!r}")
     return MLAConfig(
         vocab_size=hf_config.vocab_size,
         d_model=hf_config.hidden_size,
@@ -842,6 +870,11 @@ def params_from_hf(model, dtype=jnp.bfloat16) -> Tuple[MLAConfig, Dict]:
         }
         if cfg.moe_layer(i):
             layer["router"] = jnp.asarray(lin(pre + "mlp.gate.weight"), dt)
+            if pre + "mlp.gate.e_score_correction_bias" in sd:
+                layer["router_bias"] = jnp.asarray(
+                    npy(pre + "mlp.gate.e_score_correction_bias"), jnp.float32)
+            elif cfg.topk_method == "noaux_tc":
+                layer["router_bias"] = jnp.zeros((cfg.n_experts,), jnp.float32)
             for ours, theirs in (("moe_w1", "gate_proj"), ("moe_w3", "up_proj"),
                                  ("moe_w2", "down_proj")):
                 layer[ours] = jnp.asarray(np.stack(

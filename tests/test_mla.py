@@ -370,3 +370,56 @@ def test_mla_moe_group_limited_matches_transformers():
 def dataclasses_replace(cfg, **kw):
     import dataclasses
     return dataclasses.replace(cfg, **kw)
+
+
+def test_mla_deepseek_v3_noaux_matches_transformers():
+    """DeepSeek-V3 sigmoid noaux_tc routing (selection-only correction
+    bias, top-2-sum group scores, weights from unbiased sigmoid scores)
+    cross-validated against transformers DeepseekV3ForCausalLM."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    if not hasattr(transformers, "DeepseekV3ForCausalLM"):
+        pytest.skip("transformers lacks DeepseekV3")
+
+    torch.manual_seed(SEED + 50)
+    conf = transformers.DeepseekV3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        n_routed_experts=8, num_experts_per_tok=3, n_shared_experts=1,
+        first_k_dense_replace=1, norm_topk_prob=True,
+        routed_scaling_factor=2.5, n_group=4, topk_group=2,
+        kv_lora_rank=32, q_lora_rank=24, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16, max_position_embeddings=64,
+        rope_theta=10_000.0, rms_norm_eps=1e-5, pad_token_id=0,
+        attn_implementation="eager", tie_word_embeddings=False,
+    )
+    model = transformers.DeepseekV3ForCausalLM(conf)
+    model.eval()
+    # non-zero correction bias so selection != weighting
+    with torch.no_grad():
+        for li in range(1, 3):
+            model.model.layers[li].mlp.gate.e_score_correction_bias.uniform_(
+                -0.2, 0.2)
+
+    cfg, params = L.params_from_hf(model, dtype=jnp.float32)
+    assert cfg.topk_method == "noaux_tc"
+    assert "router_bias" in params["layers"][1]
+    assert float(jnp.abs(params["layers"][1]["router_bias"]).max()) > 0
+
+    rng = np.random.default_rng(SEED + 51)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 10))
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+
+    got, _ = L.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-3, rtol=3e-3)
+
+    # absorbed decode consistency (V3 geometry through the latent cache)
+    cache = L.init_kv_cache(cfg, 2, max_len=32)
+    _, cache = L.prefill(cfg, params,
+                         jnp.asarray(tokens[:, :-1], jnp.int32), cache)
+    step, _ = L.decode_step(cfg, params, jnp.asarray(tokens[:, -1], jnp.int32),
+                            jnp.full((2,), 9, jnp.int32), cache)
+    rel = np.abs(np.asarray(step) - want[:, -1]).max() / np.abs(want[:, -1]).max()
+    assert rel < 0.08, rel
