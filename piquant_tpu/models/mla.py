@@ -96,6 +96,10 @@ class MLAConfig:
     topk_method: str = "greedy"
     n_group: int = 1
     topk_group: int = 1
+    # expert-parallel mesh axis (inside shard_map): each device holds
+    # E/ep whole routed experts (stack leading dim sharded); the psum in
+    # _mlp completes token outputs.  Shared experts stay replicated.
+    ep_axis: Optional[str] = None
     yarn: Optional[YarnParams] = None
 
     @property
@@ -425,17 +429,29 @@ def _mlp(cfg: MLAConfig, layer: Dict, x: Array) -> Array:
                                    zs16=getattr(st, "zs16", None))
         return st
 
+    w1s = layer["moe_w1"]
+    e_local = w1s.n_experts if hasattr(w1s, "n_experts") else w1s.shape[0]
+    off = (jax.lax.axis_index(cfg.ep_axis) * e_local
+           if cfg.ep_axis is not None else 0)
+
     def body(y, per):
         el, e1, e3, e2 = per
-        gate = jnp.sum(jnp.where(topi == el, probs, 0.0),
+        gate = jnp.sum(jnp.where(topi == off + el, probs, 0.0),
                        axis=-1, keepdims=True)
         h = _silu_mlp(cfg, as_linear(e1), as_linear(e3), as_linear(e2), x)
         return y + h.astype(jnp.float32) * gate, None
 
+    y0 = jnp.zeros(x.shape, jnp.float32)
+    if cfg.ep_axis is not None:
+        # the body output varies over ep (gate uses axis_index); the carry
+        # must carry the same vma type under shard_map
+        y0 = jax.lax.pvary(y0, (cfg.ep_axis,))
     y, _ = jax.lax.scan(
-        body, jnp.zeros(x.shape, jnp.float32),
-        (jnp.arange(cfg.n_experts, dtype=jnp.int32),
-         layer["moe_w1"], layer["moe_w3"], layer["moe_w2"]))
+        body, y0,
+        (jnp.arange(e_local, dtype=jnp.int32),
+         w1s, layer["moe_w3"], layer["moe_w2"]))
+    if cfg.ep_axis is not None:
+        y = jax.lax.psum(y, cfg.ep_axis)
     if "shared_w1" in layer:
         y = y + _silu_mlp(cfg, layer["shared_w1"], layer["shared_w3"],
                           layer["shared_w2"], x).astype(jnp.float32)

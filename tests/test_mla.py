@@ -423,3 +423,54 @@ def test_mla_deepseek_v3_noaux_matches_transformers():
                             jnp.full((2,), 9, jnp.int32), cache)
     rel = np.abs(np.asarray(step) - want[:, -1]).max() / np.abs(want[:, -1]).max()
     assert rel < 0.08, rel
+
+
+def test_mla_moe_expert_parallel_matches_single():
+    """MLA-MoE under expert parallelism (cfg.ep_axis inside shard_map:
+    whole quantized routed experts per shard + psum; shared experts
+    replicated) == single device, for greedy and noaux_tc routers."""
+    import dataclasses
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+    from piquant_tpu.quant.linear import QuantizedExpertStack
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.array(devs[:4]), ("ep",))
+
+    for method, extra in (("greedy", {}),
+                          ("noaux_tc", dict(n_group=2, topk_group=1))):
+        cfg = dataclasses.replace(L.MLAConfig.tiny_moe(), dtype=jnp.float32,
+                                  topk_method=method, **extra)
+        cfg_ep = dataclasses.replace(cfg, ep_axis="ep")
+        params = L.quantize_params(L.init_params(cfg, jax.random.key(8)),
+                                   bits=8)
+        layer = params["layers"][1]          # MoE layer (first_k_dense=1)
+        assert "router" in layer
+        x = jax.random.normal(jax.random.key(9), (2, 5, cfg.d_model),
+                              jnp.float32)
+        want = np.asarray(L._mlp(cfg, layer, x))
+
+        moe_keys = ("moe_w1", "moe_w2", "moe_w3")
+        stacked = {k: layer[k] for k in moe_keys}
+        rest = {k: v for k, v in layer.items() if k not in moe_keys}
+
+        def stack_spec(st):
+            return QuantizedExpertStack(
+                data=P("ep", None, None), scale=P("ep", None, None),
+                zero_point=P("ep", None, None), bits=st.bits, k=st.k,
+                group_size=st.group_size)
+
+        @jax.jit
+        def run(stacked_, rest_, x_):
+            return shard_map(
+                lambda st, rt, xv: L._mlp(cfg_ep, {**rt, **st}, xv),
+                mesh=mesh,
+                in_specs=({k: stack_spec(stacked_[k]) for k in moe_keys},
+                          jax.tree.map(lambda _: P(), rest_), P()),
+                out_specs=P(),
+            )(stacked_, rest_, x_)
+
+        got = np.asarray(run(stacked, rest, x))
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
