@@ -156,6 +156,18 @@ class LlamaConfig:
         )
 
     @staticmethod
+    def qwen3_moe_a3b() -> "LlamaConfig":
+        """Qwen3-30B-A3B: qk-norm attention + 128-expert top-8 MoE
+        (no shared expert, no top-k renorm)."""
+        return LlamaConfig(
+            vocab_size=151_936, d_model=2048, n_layers=48, n_heads=32,
+            n_kv_heads=4, d_ff=6144, rope_theta=1_000_000.0,
+            max_seq_len=32_768, head_dim_override=128, qk_norm=True,
+            n_experts=128, moe_top_k=8, moe_d_ff=768,
+            moe_renormalize=False,
+        )
+
+    @staticmethod
     def tiny(vocab: int = 256, **kw) -> "LlamaConfig":
         """Small config for tests / compile checks."""
         return LlamaConfig(

@@ -62,7 +62,8 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         shared_expert_d_ff=getattr(hf_config,
                                    "shared_expert_intermediate_size", None),
         moe_renormalize=bool(getattr(hf_config, "norm_topk_prob", True)),
-        qk_norm=mtype == "qwen3",  # per-head RMSNorm on q/k before rope
+        # per-head RMSNorm on q/k before rope
+        qk_norm=mtype in ("qwen3", "qwen3_moe"),
         dtype=dtype,
     )
 
@@ -158,11 +159,15 @@ def params_from_state_dict(state_dict: Dict[str, Any], cfg: LlamaConfig) -> Dict
             layer["moe_w2"] = jnp.asarray(np.stack(
                 [lin(f"{ep}{e}.down_proj.weight") for e in range(ne)]), dt)
             sh = pre + "mlp.shared_expert."
-            layer["shared_w1"] = jnp.asarray(lin(sh + "gate_proj.weight"), dt)
-            layer["shared_w3"] = jnp.asarray(lin(sh + "up_proj.weight"), dt)
-            layer["shared_w2"] = jnp.asarray(lin(sh + "down_proj.weight"), dt)
-            layer["shared_gate"] = jnp.asarray(
-                lin(pre + "mlp.shared_expert_gate.weight"), dt)
+            if sh + "gate_proj.weight" in state_dict:
+                # Qwen2-MoE: always-on shared expert behind a sigmoid gate.
+                # Qwen3-MoE uses the same router/experts layout with NO
+                # shared expert — these keys are simply absent.
+                layer["shared_w1"] = jnp.asarray(lin(sh + "gate_proj.weight"), dt)
+                layer["shared_w3"] = jnp.asarray(lin(sh + "up_proj.weight"), dt)
+                layer["shared_w2"] = jnp.asarray(lin(sh + "down_proj.weight"), dt)
+                layer["shared_gate"] = jnp.asarray(
+                    lin(pre + "mlp.shared_expert_gate.weight"), dt)
         elif pre + "block_sparse_moe.gate.weight" in state_dict:
             # Mixtral MoE: router + per-expert w1 (gate), w3 (up), w2 (down)
             layer["router"] = jnp.asarray(

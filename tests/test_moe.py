@@ -325,3 +325,47 @@ def test_ragged_routing_properties():
     g_sum = np.zeros(ntok); np.add.at(g_sum, tok, gate)
     np.testing.assert_allclose(g_sum, np.asarray(probs).reshape(ntok, k).sum(-1),
                                rtol=1e-6)
+
+
+def test_qwen3_moe_loader_matches_transformers():
+    """Qwen3-MoE: qk-norm attention + Qwen2-MoE-style experts with NO
+    shared expert; softmax-all routing (norm_topk_prob=False) —
+    cross-validated against transformers Qwen3MoeForCausalLM."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    if not hasattr(transformers, "Qwen3MoeForCausalLM"):
+        pytest.skip("transformers lacks Qwen3Moe")
+    from piquant_tpu.models.loader import load_from_hf
+
+    torch.manual_seed(SEED + 22)
+    conf = transformers.Qwen3MoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_experts=4, num_experts_per_tok=2, decoder_sparse_step=1,
+        max_position_embeddings=64, rope_theta=10_000.0, rms_norm_eps=1e-5,
+        pad_token_id=0, attn_implementation="eager",
+        tie_word_embeddings=False,
+    )
+    model = transformers.Qwen3MoeForCausalLM(conf)
+    model.eval()
+
+    cfg, params = load_from_hf(model, dtype=jnp.float32)
+    assert cfg.n_experts == 4 and cfg.qk_norm and not cfg.qkv_bias
+    assert not cfg.moe_renormalize
+    assert "shared_w1" not in params["layers"][0]
+    assert "q_norm" in params["layers"][0]
+    rng = np.random.default_rng(SEED + 23)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 10))
+
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+
+    got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+
+    # greedy decode consistency through the quantized serving path
+    qp = M.quantize_params(params, bits=8)
+    cache = M.init_kv_cache(cfg, 2, max_len=16)
+    lg, cache = M.prefill(cfg, qp, jnp.asarray(tokens, jnp.int32), cache)
+    assert lg.shape == (2, cfg.vocab_size)
