@@ -64,6 +64,20 @@ class LlamaConfig:
                                                # rotate only the first
                                                # `rotary_dim` dims per head
     qk_norm: bool = False        # Qwen3: per-head RMSNorm on q/k before rope
+    # Gemma-2 family:
+    sandwich_norms: bool = False  # extra RMSNorm on the attention and MLP
+                                  # OUTPUTS before the residual add
+                                  # (post_attention/post_feedforward norms)
+    attn_softcap: Optional[float] = None   # cap*tanh(scores/cap) pre-mask
+    final_softcap: Optional[float] = None  # same cap on the lm_head logits
+    attn_scale_override: Optional[float] = None  # score scale instead of
+                                                 # head_dim**-0.5 (Gemma-2
+                                                 # query_pre_attn_scalar**-0.5)
+    sliding_pattern: Optional[int] = None  # alternate sliding/full layers:
+                                           # layer li is FULL attention iff
+                                           # (li+1) % pattern == 0, sliding
+                                           # (cfg.sliding_window) otherwise
+                                           # (Gemma-2: 2, Gemma-3: 6)
     n_experts: int = 0           # Mixtral-style MoE MLP when > 1
     moe_top_k: int = 2           # experts per token (softmax over selected)
     moe_d_ff: Optional[int] = None          # expert hidden dim (default d_ff)
@@ -130,6 +144,19 @@ class LlamaConfig:
             n_kv_heads=16, d_ff=24_576, rope_theta=10_000.0, max_seq_len=8192,
             head_dim_override=256, norm_plus_one=True, mlp_act="gelu",
             scale_embed=True,
+        )
+
+    @staticmethod
+    def gemma2_9b() -> "LlamaConfig":
+        """Gemma-2-9B: sandwich norms, logit softcaps, alternating
+        sliding(4096)/full attention, query_pre_attn_scalar=256."""
+        return LlamaConfig(
+            vocab_size=256_000, d_model=3584, n_layers=42, n_heads=16,
+            n_kv_heads=8, d_ff=14_336, rope_theta=10_000.0, max_seq_len=8192,
+            head_dim_override=256, norm_plus_one=True, mlp_act="gelu",
+            scale_embed=True, sandwich_norms=True, attn_softcap=50.0,
+            final_softcap=30.0, attn_scale_override=256.0 ** -0.5,
+            sliding_window=4096, sliding_pattern=2,
         )
 
     @staticmethod
@@ -204,6 +231,9 @@ def init_params(cfg: LlamaConfig, key: Array) -> Dict:
             "wv": dense(next(keys), cfg.d_model, cfg.n_kv_heads * hd),
             "wo": dense(next(keys), cfg.n_heads * hd, cfg.d_model),
         }
+        if cfg.sandwich_norms:
+            layer["post_attn_norm"] = jnp.ones((cfg.d_model,), dt)
+            layer["post_mlp_norm"] = jnp.ones((cfg.d_model,), dt)
         if cfg.n_experts > 1:
             mff = cfg.moe_d_ff or cfg.d_ff
             layer["router"] = dense(next(keys), cfg.d_model, cfg.n_experts)
@@ -284,19 +314,23 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
             "wv": qlin(next(keys), cfg.d_model, cfg.n_kv_heads * hd),
             "wo": qlin(next(keys), cfg.n_heads * hd, cfg.d_model),
         }
+        if cfg.sandwich_norms:
+            layer["post_attn_norm"] = jnp.ones((cfg.d_model,), dt)
+            layer["post_mlp_norm"] = jnp.ones((cfg.d_model,), dt)
         if cfg.n_experts > 1:
             from piquant_tpu.quant.linear import QuantizedExpertStack
+            mff = cfg.moe_d_ff or cfg.d_ff
             layer["router"] = (jax.random.normal(
                 next(keys), (cfg.d_model, cfg.n_experts), jnp.float32) * 0.02
                 ).astype(dt)
             layer["moe_w1"] = QuantizedExpertStack.stack(
-                [qlin(next(keys), cfg.d_model, cfg.d_ff)
+                [qlin(next(keys), cfg.d_model, mff)
                  for _ in range(cfg.n_experts)])
             layer["moe_w3"] = QuantizedExpertStack.stack(
-                [qlin(next(keys), cfg.d_model, cfg.d_ff)
+                [qlin(next(keys), cfg.d_model, mff)
                  for _ in range(cfg.n_experts)])
             layer["moe_w2"] = QuantizedExpertStack.stack(
-                [qlin(next(keys), cfg.d_ff, cfg.d_model)
+                [qlin(next(keys), mff, cfg.d_model)
                  for _ in range(cfg.n_experts)])
         else:
             layer["w1"] = qlin(next(keys), cfg.d_model, cfg.d_ff)
@@ -525,6 +559,7 @@ def _attention(
     b, t, _ = x.shape
     hd = cfg.head_dim
     dt = cfg.dtype
+    ascale = cfg.attn_scale_override or hd ** -0.5
 
     aq = "all" if cfg.act_quant_decode else cfg.act_quant_prefill
     if "wqkv" in layer:
@@ -566,6 +601,7 @@ def _attention(
         import os as _os
 
         if (t == 1 and pending is None and jax.default_backend() == "tpu"
+                and cfg.attn_softcap is None
                 and _os.environ.get("PIQUANT_TPU_PALLAS_ATTN", "0") == "1"):
             # flash-decoding Pallas kernel (ops/pallas/attention.py).
             # OFF by default: the XLA int8-cache path below measured
@@ -577,7 +613,7 @@ def _attention(
             ctx1 = decode_attention(
                 qg[:, :, :, 0], cache.k_codes[layer_idx], cache.k_scale[layer_idx],
                 cache.v_codes[layer_idx], cache.v_scale[layer_idx],
-                positions[:, 0], hd ** -0.5)
+                positions[:, 0], ascale)
             if ctx1 is not None:
                 ctx = ctx1[:, :, :, None]  # [B,Hkv,rep,1,D]
                 ctx = ctx.astype(dt).reshape(b, cfg.n_heads, t, hd).transpose(0, 2, 1, 3)
@@ -604,7 +640,10 @@ def _attention(
         scores = jnp.einsum(
             "bhrtd,bhsd->bhrts", qg.astype(jnp.bfloat16), kc.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32) * ks
-        scores = scores * (1.0 / jnp.sqrt(hd)) + mask[:, None]
+        scores = scores * ascale
+        if cfg.attn_softcap:  # Gemma-2: cap*tanh(s/cap) BEFORE the mask
+            scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
+        scores = scores + mask[:, None]
         if pending is not None:
             # deferred append: the cache does NOT hold the current token
             # (mask is strict), so its contribution joins the softmax from
@@ -620,7 +659,9 @@ def _attention(
                 "bhrtd,bhsd->bhrts", qg.astype(jnp.bfloat16),
                 kq.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32) * ksq[:, :, None]
-            s_self = s_self * (1.0 / jnp.sqrt(hd))
+            s_self = s_self * ascale
+            if cfg.attn_softcap:
+                s_self = cfg.attn_softcap * jnp.tanh(s_self / cfg.attn_softcap)
             m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_self)
             ec = jnp.exp(scores - m)                       # [B, Hkv, r, 1, W]
             es = jnp.exp(s_self - m)                       # [B, Hkv, r, 1, 1]
@@ -645,7 +686,10 @@ def _attention(
         scores = jnp.einsum(
             "bhrtd,bhsd->bhrts", qg.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32)
-        scores = scores * (1.0 / jnp.sqrt(hd)) + mask[:, None]
+        scores = scores * ascale
+        if cfg.attn_softcap:
+            scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
+        scores = scores + mask[:, None]
         probs = jax.nn.softmax(scores, axis=-1)
         ctx = jnp.einsum("bhrts,bhsd->bhrtd", probs.astype(jnp.bfloat16),
                          v.astype(jnp.bfloat16),
@@ -868,34 +912,49 @@ def forward(
              and _os.environ.get("PIQUANT_DEFER_APPEND", "1") == "1")
     pending: Optional[list] = [] if defer else None
 
+    masks = None  # (sliding, full) pair when cfg.sliding_pattern is set
     if mask is None:
-        if attend_in_layer or cache is None:
-            qp = positions[:, None, :, None]          # [B,1,T,1] absolute
-            kp = positions[:, None, None, :]          # [B,1,1,T]
-            ok = kp <= qp
-            if cfg.sliding_window is not None:
-                ok = ok & (kp > qp - cfg.sliding_window)
-            mask = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)
-        elif cache is not None:
-            # decode/prefill against cache: allow attention to pos <= position
-            # (STRICT < in deferred mode — the current token is not in the
-            # cache yet; its slot holds stale data that must stay masked)
-            kv_pos = jnp.arange(s_len, dtype=jnp.int32)[None, None, None, :]
-            qp = positions[:, None, :, None]
-            ok = kv_pos < qp if defer else kv_pos <= qp
-            if cfg.sliding_window is not None:
-                ok = ok & (kv_pos > qp - cfg.sliding_window)
-            mask = jnp.where(ok, 0.0, -1e9).astype(jnp.float32)
+        def build_mask(window):
+            if attend_in_layer or cache is None:
+                qp = positions[:, None, :, None]      # [B,1,T,1] absolute
+                kp = positions[:, None, None, :]      # [B,1,1,T]
+                ok = kp <= qp
+                if window is not None:
+                    ok = ok & (kp > qp - window)
+            else:
+                # decode/prefill against cache: attention to pos <= position
+                # (STRICT < in deferred mode — the current token is not in
+                # the cache yet; its slot holds stale data, keep it masked)
+                kv_pos = jnp.arange(s_len, dtype=jnp.int32)[None, None, None, :]
+                qp = positions[:, None, :, None]
+                ok = kv_pos < qp if defer else kv_pos <= qp
+                if window is not None:
+                    ok = ok & (kv_pos > qp - window)
+            return jnp.where(ok, 0.0, -1e9).astype(jnp.float32)
+
+        if cfg.sliding_pattern:  # Gemma-2: alternate sliding / full layers
+            masks = (build_mask(cfg.sliding_window), build_mask(None))
+        else:
+            mask = build_mask(cfg.sliding_window)
 
     for i, layer in enumerate(params["layers"]):
+        mk = (masks[1 if (i + 1) % cfg.sliding_pattern == 0 else 0]
+              if masks is not None else mask)
         h, cache = _attention(cfg, layer,
                               rms_norm(x, layer["attn_norm"], cfg.rms_eps,
                                        cfg.norm_plus_one),
-                              positions, cache, i, mask, attend_in_layer,
+                              positions, cache, i, mk, attend_in_layer,
                               kv_write_start, attn_window, pending)
+        if cfg.sandwich_norms:  # Gemma-2: norm the block OUTPUTS too
+            h = rms_norm(h, layer["post_attn_norm"], cfg.rms_eps,
+                         cfg.norm_plus_one)
         x = x + h
-        x = x + _mlp(cfg, layer, rms_norm(x, layer["mlp_norm"], cfg.rms_eps,
-                                          cfg.norm_plus_one))
+        h = _mlp(cfg, layer, rms_norm(x, layer["mlp_norm"], cfg.rms_eps,
+                                      cfg.norm_plus_one))
+        if cfg.sandwich_norms:
+            h = rms_norm(h, layer["post_mlp_norm"], cfg.rms_eps,
+                         cfg.norm_plus_one)
+        x = x + h
 
     if pending:
         cache = kv_cache_append_stacked_batch(
@@ -910,6 +969,8 @@ def forward(
     if logit_positions is not None:
         x = x[jnp.arange(b), logit_positions][:, None, :]
     logits = _mm(x, params["lm_head"], jnp.float32)
+    if cfg.final_softcap:  # Gemma-2
+        logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     return logits, cache
 
 

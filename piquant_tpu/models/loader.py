@@ -24,9 +24,11 @@ from piquant_tpu.models.llama import LlamaConfig
 
 def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
     mtype = getattr(hf_config, "model_type", "")
-    is_gemma = mtype == "gemma"
+    is_gemma = mtype in ("gemma", "gemma2")
+    is_gemma2 = mtype == "gemma2"
     default_hd = hf_config.hidden_size // hf_config.num_attention_heads
     hd = getattr(hf_config, "head_dim", default_hd) or default_hd
+    qpas = getattr(hf_config, "query_pre_attn_scalar", None)
     return LlamaConfig(
         vocab_size=hf_config.vocab_size,
         d_model=hf_config.hidden_size,
@@ -49,6 +51,15 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         norm_plus_one=is_gemma,   # Gemma RMSNorm: x_norm * (1 + w)
         mlp_act="gelu" if is_gemma else "silu",
         scale_embed=is_gemma,     # Gemma: embeddings * sqrt(d_model)
+        # Gemma-2: sandwich norms, logit softcaps, query_pre_attn_scalar
+        # score scale, alternating sliding/full attention (period 2)
+        sandwich_norms=is_gemma2,
+        attn_softcap=getattr(hf_config, "attn_logit_softcapping", None)
+        if is_gemma2 else None,
+        final_softcap=getattr(hf_config, "final_logit_softcapping", None)
+        if is_gemma2 else None,
+        attn_scale_override=(qpas ** -0.5 if is_gemma2 and qpas else None),
+        sliding_pattern=2 if is_gemma2 else None,
         # Phi family: rotate only partial_rotary_factor of the head dim
         rotary_dim_override=(
             int(hf_config.partial_rotary_factor * hd)
@@ -137,14 +148,25 @@ def params_from_state_dict(state_dict: Dict[str, Any], cfg: LlamaConfig) -> Dict
             wv = lin(pre + "self_attn.v_proj.weight")
         wq = _permute_rope_cols(wq_raw, cfg.n_heads, hd, rd)
         wk = _permute_rope_cols(wk_raw, cfg.n_kv_heads, hd, rd)
+        if pre + "pre_feedforward_layernorm.weight" in state_dict:
+            # Gemma-2 sandwich norms: post_attention_layernorm norms the
+            # attention OUTPUT (not the MLP input as in Llama)
+            pre_mlp_norm = npy(pre + "pre_feedforward_layernorm.weight")
+        else:
+            pre_mlp_norm = npy(pre + "post_attention_layernorm.weight")
         layer: Dict[str, Any] = {
             "attn_norm": jnp.asarray(npy(pre + "input_layernorm.weight"), dt),
-            "mlp_norm": jnp.asarray(npy(pre + "post_attention_layernorm.weight"), dt),
+            "mlp_norm": jnp.asarray(pre_mlp_norm, dt),
             "wq": jnp.asarray(wq, dt),
             "wk": jnp.asarray(wk, dt),
             "wv": jnp.asarray(wv, dt),
             "wo": jnp.asarray(lin(pre + "self_attn.o_proj.weight"), dt),
         }
+        if cfg.sandwich_norms:
+            layer["post_attn_norm"] = jnp.asarray(
+                npy(pre + "post_attention_layernorm.weight"), dt)
+            layer["post_mlp_norm"] = jnp.asarray(
+                npy(pre + "post_feedforward_layernorm.weight"), dt)
         if pre + "mlp.gate.weight" in state_dict:
             # Qwen2-MoE: router + experts under mlp., plus a shared expert
             # with a sigmoid gate.  Layers may also be plain dense

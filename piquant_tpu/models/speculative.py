@@ -15,6 +15,13 @@ in the cache and garbage entries in the history, but both sit at positions
 strictly beyond the continuation point: attention masks them out until the
 true tokens overwrite them.
 
+Precision note: the identity is exact when the T=1 decode forward and the
+T=G+1 verify forward reduce in the same order (TPU MXU tiling).  On CPU,
+XLA lowers M=1 and M>1 matmuls differently (~1e-3 logit association
+noise), which can flip a near-tie — observed only under the full Gemma-2
+feature stack (softcap + sandwich norms + sliding pattern together); the
+plain / MLA identity tests pass deterministically.
+
 The reference (pi-quant) has no serving layer; this belongs to the
 BASELINE serving slice built on its quantization primitives (the verify
 forward runs the same INT4 fused-dequant matmuls and INT8 KV cache as

@@ -270,3 +270,55 @@ def test_real_checkpoint_pipeline_dry_run(hf_model, tmp_path):
     assert np.isfinite(ppl_f) and np.isfinite(ppl_q)
     # random-init tiny model: ppl ~ vocab_size; int4 stays in the same range
     assert abs(np.log(ppl_q) - np.log(ppl_f)) < 0.5, (ppl_f, ppl_q)
+
+
+def test_gemma2_loader_matches_transformers():
+    """Gemma-2: sandwich norms (post-attention/post-feedforward on block
+    OUTPUTS), attn + final logit softcapping, query_pre_attn_scalar score
+    scale, alternating sliding/full attention — cross-validated against
+    transformers Gemma2ForCausalLM with a sliding window small enough to
+    actually clip the test sequence."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    if not hasattr(transformers, "Gemma2ForCausalLM"):
+        pytest.skip("transformers lacks Gemma2")
+    from piquant_tpu.models.loader import load_from_hf
+    from piquant_tpu.models import llama as M
+
+    torch.manual_seed(77)
+    conf = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, query_pre_attn_scalar=24,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        sliding_window=6, max_position_embeddings=64,
+        rope_theta=10_000.0, rms_norm_eps=1e-5, pad_token_id=0,
+        attn_implementation="eager", tie_word_embeddings=False,
+    )
+    model = transformers.Gemma2ForCausalLM(conf)
+    model.eval()
+
+    cfg, params = load_from_hf(model, dtype=jnp.float32)
+    assert cfg.sandwich_norms and cfg.sliding_pattern == 2
+    assert cfg.attn_softcap == 50.0 and cfg.final_softcap == 30.0
+    assert abs(cfg.attn_scale_override - 24 ** -0.5) < 1e-9
+    assert "post_attn_norm" in params["layers"][0]
+
+    rng = np.random.default_rng(78)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 12))  # > sliding_window
+
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+
+    got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+
+    # greedy decode through the cached path matches the forward argmax at
+    # the last position (sliding/full alternation in decode masks)
+    cache = M.init_kv_cache(cfg, 2, max_len=16)
+    lg, cache = M.prefill(cfg, params, jnp.asarray(tokens[:, :-1], jnp.int32),
+                          cache)
+    step, _ = M.decode_step(cfg, params, jnp.asarray(tokens[:, -1], jnp.int32),
+                            jnp.full((2,), 11, jnp.int32), cache)
+    rel = np.abs(np.asarray(step) - want[:, -1]).max() / np.abs(want[:, -1]).max()
+    assert rel < 0.08, rel
