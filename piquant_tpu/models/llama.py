@@ -43,6 +43,21 @@ Array = jax.Array
 
 
 @dataclasses.dataclass(frozen=True)
+class YarnRope:
+    """Standard YaRN rope scaling (transformers
+    modeling_rope_utils._compute_yarn_parameters; the DeepSeek mscale
+    variant lives in models/mla.py).  Hashable so LlamaConfig stays a
+    valid static jit argument."""
+
+    factor: float = 32.0
+    original_max_position_embeddings: int = 4096
+    beta_fast: float = 32.0
+    beta_slow: float = 1.0
+    attention_factor: Optional[float] = None  # None: 0.1*ln(factor)+1
+    truncate: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
 class LlamaConfig:
     vocab_size: int = 128_256
     d_model: int = 4096
@@ -78,6 +93,15 @@ class LlamaConfig:
                                            # (li+1) % pattern == 0, sliding
                                            # (cfg.sliding_window) otherwise
                                            # (Gemma-2: 2, Gemma-3: 6)
+    # GPT-OSS family:
+    attn_sinks: bool = False     # learned per-head sink logit in the softmax
+                                 # denominator (dropped from the probs)
+    o_bias: bool = False         # bias on the attention output projection
+    router_bias: bool = False    # bias on the MoE router logits
+    moe_bias: bool = False       # per-expert biases on gate/up/down projs
+    moe_clamp_swiglu: bool = False  # (up+1) * gate*sigmoid(1.702*gate) with
+                                    # gate<=7, |up|<=7 clamps
+    yarn: Optional[YarnRope] = None
     n_experts: int = 0           # Mixtral-style MoE MLP when > 1
     moe_top_k: int = 2           # experts per token (softmax over selected)
     moe_d_ff: Optional[int] = None          # expert hidden dim (default d_ff)
@@ -144,6 +168,25 @@ class LlamaConfig:
             n_kv_heads=16, d_ff=24_576, rope_theta=10_000.0, max_seq_len=8192,
             head_dim_override=256, norm_plus_one=True, mlp_act="gelu",
             scale_embed=True,
+        )
+
+    @staticmethod
+    def gpt_oss_20b() -> "LlamaConfig":
+        """GPT-OSS-20B: attention sinks, alternating sliding(128)/full
+        layers, YaRN(x32), 32-expert top-4 clamped-swiglu MoE with biases
+        on every projection."""
+        return LlamaConfig(
+            vocab_size=201_088, d_model=2880, n_layers=24, n_heads=64,
+            n_kv_heads=8, d_ff=2880, rope_theta=150_000.0,
+            max_seq_len=131_072, head_dim_override=64,
+            qkv_bias=True, o_bias=True, attn_sinks=True,
+            sliding_window=128, sliding_pattern=2,
+            n_experts=32, moe_top_k=4, moe_d_ff=2880,
+            moe_renormalize=True, router_bias=True, moe_bias=True,
+            moe_clamp_swiglu=True,
+            yarn=YarnRope(factor=32.0,
+                          original_max_position_embeddings=4096,
+                          truncate=False),
         )
 
     @staticmethod
@@ -257,6 +300,17 @@ def init_params(cfg: LlamaConfig, key: Array) -> Dict:
             layer["bq"] = jnp.zeros((cfg.n_heads * hd,), dt)
             layer["bk"] = jnp.zeros((cfg.n_kv_heads * hd,), dt)
             layer["bv"] = jnp.zeros((cfg.n_kv_heads * hd,), dt)
+        if cfg.o_bias:
+            layer["bo"] = jnp.zeros((cfg.d_model,), dt)
+        if cfg.attn_sinks:
+            layer["sinks"] = jnp.zeros((cfg.n_heads,), jnp.float32)
+        if cfg.router_bias and "router" in layer:
+            layer["router_b"] = jnp.zeros((cfg.n_experts,), jnp.float32)
+        if cfg.moe_bias and "router" in layer:
+            mffb = cfg.moe_d_ff or cfg.d_ff
+            layer["moe_b1"] = jnp.zeros((cfg.n_experts, mffb), jnp.float32)
+            layer["moe_b3"] = jnp.zeros((cfg.n_experts, mffb), jnp.float32)
+            layer["moe_b2"] = jnp.zeros((cfg.n_experts, cfg.d_model), jnp.float32)
         if cfg.qk_norm:
             layer["q_norm"] = jnp.ones((hd,), dt)
             layer["k_norm"] = jnp.ones((hd,), dt)
@@ -340,6 +394,17 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
             layer["bq"] = jnp.zeros((cfg.n_heads * hd,), dt)
             layer["bk"] = jnp.zeros((cfg.n_kv_heads * hd,), dt)
             layer["bv"] = jnp.zeros((cfg.n_kv_heads * hd,), dt)
+        if cfg.o_bias:
+            layer["bo"] = jnp.zeros((cfg.d_model,), dt)
+        if cfg.attn_sinks:
+            layer["sinks"] = jnp.zeros((cfg.n_heads,), jnp.float32)
+        if cfg.router_bias and "router" in layer:
+            layer["router_b"] = jnp.zeros((cfg.n_experts,), jnp.float32)
+        if cfg.moe_bias and "router" in layer:
+            mffb = cfg.moe_d_ff or cfg.d_ff
+            layer["moe_b1"] = jnp.zeros((cfg.n_experts, mffb), jnp.float32)
+            layer["moe_b3"] = jnp.zeros((cfg.n_experts, mffb), jnp.float32)
+            layer["moe_b2"] = jnp.zeros((cfg.n_experts, cfg.d_model), jnp.float32)
         if cfg.qk_norm:
             layer["q_norm"] = jnp.ones((hd,), dt)
             layer["k_norm"] = jnp.ones((hd,), dt)
@@ -507,11 +572,59 @@ def rms_norm(x: Array, w: Array, eps: float, plus_one: bool = False) -> Array:
     return normed * (w + 1.0) if plus_one else normed * w
 
 
+def _softmax_with_sinks(scores: Array, snk: Optional[Array]) -> Array:
+    """softmax over the last axis; with sinks, exp(sink) joins the
+    denominator only (HF GptOss eager_attention_forward: concat + softmax
+    + drop the sink column)."""
+    if snk is None:
+        return jax.nn.softmax(scores, axis=-1)
+    m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), snk)
+    e = jnp.exp(scores - m)
+    return e / (jnp.sum(e, axis=-1, keepdims=True) + jnp.exp(snk - m))
+
+
 def _rope_freqs(cfg: LlamaConfig, positions: Array) -> Tuple[Array, Array]:
     rd = cfg.rotary_dim
     inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
+    scale = 1.0
+    if cfg.yarn is not None:
+        inv, scale = _yarn_inv_freq(cfg)
     ang = positions[..., None].astype(jnp.float32) * inv  # [..., T, rd/2]
-    return jnp.cos(ang), jnp.sin(ang)
+    return jnp.cos(ang) * scale, jnp.sin(ang) * scale
+
+
+def _yarn_inv_freq(cfg: LlamaConfig):
+    """Standard YaRN (transformers _compute_yarn_parameters, re-derived):
+    blend interpolated and extrapolated inverse frequencies with a linear
+    ramp over the correction range; cos/sin scaled by attention_factor."""
+    import math
+
+    y = cfg.yarn
+    rd = cfg.rotary_dim
+    base = cfg.rope_theta
+    orig = y.original_max_position_embeddings
+
+    af = y.attention_factor
+    if af is None:
+        af = 0.1 * math.log(y.factor) + 1.0 if y.factor > 1 else 1.0
+
+    def corr_dim(n_rot):
+        return (rd * math.log(orig / (n_rot * 2 * math.pi))) / (2 * math.log(base))
+
+    low, high = corr_dim(y.beta_fast), corr_dim(y.beta_slow)
+    if y.truncate:
+        low, high = math.floor(low), math.ceil(high)
+    low, high = max(low, 0), min(high, rd - 1)
+    if low == high:
+        high += 0.001
+
+    pos_freqs = base ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd)
+    extrap = 1.0 / pos_freqs
+    interp = 1.0 / (y.factor * pos_freqs)
+    ramp = jnp.clip((jnp.arange(rd // 2, dtype=jnp.float32) - low)
+                    / (high - low), 0, 1)
+    extrap_w = 1.0 - ramp
+    return interp * (1 - extrap_w) + extrap * extrap_w, af
 
 
 def apply_rope(x: Array, cos: Array, sin: Array) -> Array:
@@ -589,6 +702,12 @@ def _attention(
 
     rep = cfg.n_heads // cfg.n_kv_heads
     qg = q.reshape(b, cfg.n_kv_heads, rep, t, hd)  # grouped heads: no repeat
+    snk = None
+    if cfg.attn_sinks:
+        # GPT-OSS: learned per-head sink logit joins the softmax denominator
+        # (and is dropped from the probabilities) — head h = kv*rep + r
+        snk = layer["sinks"].astype(jnp.float32).reshape(
+            cfg.n_kv_heads, rep)[None, :, :, None, None]  # [1,Hkv,rep,1,1]
 
     if cache is not None and pending is None:
         cache = kv_cache_append_stacked(cache, layer_idx, k, v, positions,
@@ -601,7 +720,7 @@ def _attention(
         import os as _os
 
         if (t == 1 and pending is None and jax.default_backend() == "tpu"
-                and cfg.attn_softcap is None
+                and cfg.attn_softcap is None and snk is None
                 and _os.environ.get("PIQUANT_TPU_PALLAS_ATTN", "0") == "1"):
             # flash-decoding Pallas kernel (ops/pallas/attention.py).
             # OFF by default: the XLA int8-cache path below measured
@@ -663,9 +782,13 @@ def _attention(
             if cfg.attn_softcap:
                 s_self = cfg.attn_softcap * jnp.tanh(s_self / cfg.attn_softcap)
             m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_self)
+            if snk is not None:
+                m = jnp.maximum(m, snk)
             ec = jnp.exp(scores - m)                       # [B, Hkv, r, 1, W]
             es = jnp.exp(s_self - m)                       # [B, Hkv, r, 1, 1]
             denom = jnp.sum(ec, axis=-1, keepdims=True) + es
+            if snk is not None:
+                denom = denom + jnp.exp(snk - m)
             # normalize BEFORE the bf16 cast: the cast then rounds the same
             # probability values the append-then-read softmax rounds, so the
             # two paths agree to float-association noise
@@ -677,7 +800,7 @@ def _attention(
             ctx = ctx + (ps_self.astype(jnp.float32)
                          * vq.astype(jnp.float32)[:, :, None])
         else:
-            probs = jax.nn.softmax(scores, axis=-1)
+            probs = _softmax_with_sinks(scores, snk)
             pscaled = (probs * vs[:, :, None, None, :]).astype(jnp.bfloat16)
             ctx = jnp.einsum("bhrts,bhsd->bhrtd", pscaled, vc.astype(jnp.bfloat16),
                              preferred_element_type=jnp.float32)
@@ -690,7 +813,7 @@ def _attention(
         if cfg.attn_softcap:
             scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
         scores = scores + mask[:, None]
-        probs = jax.nn.softmax(scores, axis=-1)
+        probs = _softmax_with_sinks(scores, snk)
         ctx = jnp.einsum("bhrts,bhsd->bhrtd", probs.astype(jnp.bfloat16),
                          v.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
@@ -698,6 +821,8 @@ def _attention(
     ctx = ctx.astype(dt).reshape(b, cfg.n_heads, t, hd).transpose(0, 2, 1, 3)
     ctx = ctx.reshape(b, t, cfg.n_heads * hd)
     out = _mm(ctx, layer["wo"], dt, aq)
+    if cfg.o_bias:
+        out = out + layer["bo"]
     return out, cache
 
 
@@ -724,6 +849,8 @@ def _mlp_moe(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:
     aq = "all" if cfg.act_quant_decode else cfg.act_quant_prefill
     logits = jnp.einsum("btd,de->bte", x.astype(jnp.float32),
                         layer["router"].astype(jnp.float32))
+    if cfg.router_bias:
+        logits = logits + layer["router_b"].astype(jnp.float32)
     full = jax.nn.softmax(logits, axis=-1)
     probs, topi = jax.lax.top_k(full, cfg.moe_top_k)        # [B, T, k]
     if cfg.moe_renormalize:  # Mixtral: softmax over the SELECTED logits
@@ -766,6 +893,7 @@ def _moe_ragged_try(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
     b, t, d = x.shape
     ntok = b * t
     if (env == "0" or cfg.ep_axis is not None
+            or cfg.moe_bias or cfg.moe_clamp_swiglu
             or not hasattr(w1s, "bits") or w1s.bits not in (2, 4, 8)
             or w1s.group_size is not None
             or ntok < 32      # decode: weight traffic dominates, dense is fine
@@ -819,16 +947,33 @@ def _moe_dense(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
         return st  # float [K, N] slice
 
     def body(y, per):
-        el, e1, e3, e2 = per
+        if cfg.moe_bias:
+            el, e1, e3, e2, b1, b3, b2 = per
+        else:
+            el, e1, e3, e2 = per
+            b1 = b3 = b2 = None
         gate = jnp.sum(jnp.where(topi == off + el, probs, 0.0),
                        axis=-1, keepdims=True)               # [B, T, 1]
         g = _mm(x, as_linear(e1), dt, aq)
         u = _mm(x, as_linear(e3), dt, aq)
         gf = g.astype(jnp.float32)
-        act = (jax.nn.gelu(gf, approximate=True) if cfg.mlp_act == "gelu"
-               else jax.nn.silu(gf))
-        h = (act * u.astype(jnp.float32)).astype(dt)
-        y = y + _mm(h, as_linear(e2), dt, aq).astype(jnp.float32) * gate
+        uf = u.astype(jnp.float32)
+        if b1 is not None:
+            gf = gf + b1.astype(jnp.float32)
+            uf = uf + b3.astype(jnp.float32)
+        if cfg.moe_clamp_swiglu:
+            # GPT-OSS: clamped swiglu with the +1 offset on `up`
+            gf = jnp.minimum(gf, 7.0)
+            uf = jnp.clip(uf, -7.0, 7.0)
+            h = ((uf + 1.0) * (gf * jax.nn.sigmoid(1.702 * gf))).astype(dt)
+        else:
+            act = (jax.nn.gelu(gf, approximate=True) if cfg.mlp_act == "gelu"
+                   else jax.nn.silu(gf))
+            h = (act * uf).astype(dt)
+        o = _mm(h, as_linear(e2), dt, aq).astype(jnp.float32)
+        if b2 is not None:
+            o = o + b2.astype(jnp.float32)
+        y = y + o * gate
         return y, None
 
     y0 = jnp.zeros(x.shape, jnp.float32)
@@ -836,8 +981,10 @@ def _moe_dense(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
         # under shard_map the body's output varies over the ep axis (the
         # gate uses axis_index); the initial carry must match that vma type
         y0 = jax.lax.pvary(y0, (cfg.ep_axis,))
-    y, _ = jax.lax.scan(
-        body, y0, (jnp.arange(e_local, dtype=jnp.int32), w1s, w3s, w2s))
+    xs = (jnp.arange(e_local, dtype=jnp.int32), w1s, w3s, w2s)
+    if cfg.moe_bias:
+        xs = xs + (layer["moe_b1"], layer["moe_b3"], layer["moe_b2"])
+    y, _ = jax.lax.scan(body, y0, xs)
     if cfg.ep_axis is not None:
         y = jax.lax.psum(y, cfg.ep_axis)
     return y

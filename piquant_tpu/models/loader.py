@@ -26,9 +26,34 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
     mtype = getattr(hf_config, "model_type", "")
     is_gemma = mtype in ("gemma", "gemma2")
     is_gemma2 = mtype == "gemma2"
+    is_gpt_oss = mtype == "gpt_oss"
     default_hd = hf_config.hidden_size // hf_config.num_attention_heads
     hd = getattr(hf_config, "head_dim", default_hd) or default_hd
     qpas = getattr(hf_config, "query_pre_attn_scalar", None)
+    yarn = None
+    rs = getattr(hf_config, "rope_scaling", None)
+    if rs and rs.get("rope_type", rs.get("type")) == "yarn":
+        from piquant_tpu.models.llama import YarnRope
+        yarn = YarnRope(
+            factor=rs["factor"],
+            original_max_position_embeddings=rs.get(
+                "original_max_position_embeddings",
+                hf_config.max_position_embeddings),
+            beta_fast=rs.get("beta_fast") or 32.0,
+            beta_slow=rs.get("beta_slow") or 1.0,
+            attention_factor=rs.get("attention_factor"),
+            truncate=bool(rs.get("truncate", True)),
+        )
+    # alternating sliding/full layout (Gemma-2, GPT-OSS): period of the
+    # layer_types list when it alternates, else None
+    sliding_pattern = 2 if is_gemma2 else None
+    lt = getattr(hf_config, "layer_types", None)
+    if lt and "sliding_attention" in lt and "full_attention" in lt:
+        # full-attention layers at (li+1) % p == 0 for some period p
+        fulls = [i for i, t in enumerate(lt) if t == "full_attention"]
+        p0 = fulls[0] + 1
+        if all((i + 1) % p0 == 0 for i in fulls) and len(fulls) == len(lt) // p0:
+            sliding_pattern = p0
     return LlamaConfig(
         vocab_size=hf_config.vocab_size,
         d_model=hf_config.hidden_size,
@@ -41,7 +66,7 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         rms_eps=getattr(hf_config, "rms_norm_eps", 1e-5),
         max_seq_len=getattr(hf_config, "max_position_embeddings", 8192),
         qkv_bias=bool(getattr(hf_config, "attention_bias", False)
-                      or mtype in ("qwen2", "qwen2_moe")),
+                      or mtype in ("qwen2", "qwen2_moe", "gpt_oss")),
         head_dim_override=hd if hd != default_hd else None,
         # e.g. Qwen2 configs carry sliding_window=4096 with
         # use_sliding_window=False — honor the gate
@@ -59,7 +84,14 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         final_softcap=getattr(hf_config, "final_logit_softcapping", None)
         if is_gemma2 else None,
         attn_scale_override=(qpas ** -0.5 if is_gemma2 and qpas else None),
-        sliding_pattern=2 if is_gemma2 else None,
+        sliding_pattern=sliding_pattern,
+        # GPT-OSS: sinks, biases everywhere, clamped swiglu, yarn
+        attn_sinks=is_gpt_oss,
+        o_bias=is_gpt_oss,
+        router_bias=is_gpt_oss,
+        moe_bias=is_gpt_oss,
+        moe_clamp_swiglu=is_gpt_oss,
+        yarn=yarn,
         # Phi family: rotate only partial_rotary_factor of the head dim
         rotary_dim_override=(
             int(hf_config.partial_rotary_factor * hd)
@@ -69,7 +101,8 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         n_experts=(getattr(hf_config, "num_local_experts", 0)
                    or getattr(hf_config, "num_experts", 0) or 0),
         moe_top_k=getattr(hf_config, "num_experts_per_tok", 2) or 2,
-        moe_d_ff=getattr(hf_config, "moe_intermediate_size", None),
+        moe_d_ff=(getattr(hf_config, "moe_intermediate_size", None)
+                  or (hf_config.intermediate_size if is_gpt_oss else None)),
         shared_expert_d_ff=getattr(hf_config,
                                    "shared_expert_intermediate_size", None),
         moe_renormalize=bool(getattr(hf_config, "norm_topk_prob", True)),
@@ -167,7 +200,28 @@ def params_from_state_dict(state_dict: Dict[str, Any], cfg: LlamaConfig) -> Dict
                 npy(pre + "post_attention_layernorm.weight"), dt)
             layer["post_mlp_norm"] = jnp.asarray(
                 npy(pre + "post_feedforward_layernorm.weight"), dt)
-        if pre + "mlp.gate.weight" in state_dict:
+        if cfg.o_bias and pre + "self_attn.o_proj.bias" in state_dict:
+            layer["bo"] = jnp.asarray(npy(pre + "self_attn.o_proj.bias"), dt)
+        if cfg.attn_sinks:
+            layer["sinks"] = jnp.asarray(npy(pre + "self_attn.sinks"),
+                                         jnp.float32)
+        if pre + "mlp.router.weight" in state_dict:
+            # GPT-OSS: router with bias; experts store fused [E, D, 2F]
+            # gate_up with INTERLEAVED gate/up columns + per-expert biases;
+            # weights are already [din, dout] (not nn.Linear) — no .T
+            layer["router"] = jnp.asarray(lin(pre + "mlp.router.weight"), dt)
+            layer["router_b"] = jnp.asarray(npy(pre + "mlp.router.bias"),
+                                            jnp.float32)
+            gu = npy(pre + "mlp.experts.gate_up_proj")        # [E, D, 2F]
+            gub = npy(pre + "mlp.experts.gate_up_proj_bias")  # [E, 2F]
+            layer["moe_w1"] = jnp.asarray(gu[:, :, 0::2], dt)
+            layer["moe_w3"] = jnp.asarray(gu[:, :, 1::2], dt)
+            layer["moe_b1"] = jnp.asarray(gub[:, 0::2], jnp.float32)
+            layer["moe_b3"] = jnp.asarray(gub[:, 1::2], jnp.float32)
+            layer["moe_w2"] = jnp.asarray(npy(pre + "mlp.experts.down_proj"), dt)
+            layer["moe_b2"] = jnp.asarray(
+                npy(pre + "mlp.experts.down_proj_bias"), jnp.float32)
+        elif pre + "mlp.gate.weight" in state_dict:
             # Qwen2-MoE: router + experts under mlp., plus a shared expert
             # with a sigmoid gate.  Layers may also be plain dense
             # (decoder_sparse_step / mlp_only_layers) — detected per layer.

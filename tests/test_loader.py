@@ -322,3 +322,56 @@ def test_gemma2_loader_matches_transformers():
                             jnp.full((2,), 11, jnp.int32), cache)
     rel = np.abs(np.asarray(step) - want[:, -1]).max() / np.abs(want[:, -1]).max()
     assert rel < 0.08, rel
+
+
+def test_gpt_oss_loader_matches_transformers():
+    """GPT-OSS: attention sinks (softmax-denominator logit), biases on all
+    projections + router + experts, interleaved fused gate_up split,
+    clamped-swiglu MoE ((up+1)*gate*sigmoid(1.702*gate)), alternating
+    sliding/full layers, YaRN rope — cross-validated against transformers
+    GptOssForCausalLM."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    if not hasattr(transformers, "GptOssForCausalLM"):
+        pytest.skip("transformers lacks GptOss")
+    from piquant_tpu.models.loader import load_from_hf
+    from piquant_tpu.models import llama as M
+
+    torch.manual_seed(81)
+    conf = transformers.GptOssConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=48,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=6, max_position_embeddings=64,
+        rope_theta=10_000.0, rms_norm_eps=1e-5, pad_token_id=0,
+        attn_implementation="eager", tie_word_embeddings=False,
+    )
+    model = transformers.GptOssForCausalLM(conf)
+    model.eval()
+
+    cfg, params = load_from_hf(model, dtype=jnp.float32)
+    assert cfg.attn_sinks and cfg.moe_clamp_swiglu and cfg.router_bias
+    assert cfg.o_bias and cfg.qkv_bias and cfg.moe_bias
+    assert cfg.sliding_pattern == 2 and cfg.sliding_window == 6
+    assert cfg.yarn is not None and cfg.yarn.factor == 32.0
+    assert not cfg.yarn.truncate
+    lyr = params["layers"][0]
+    assert lyr["moe_w1"].shape == (4, 64, 48) and lyr["sinks"].shape == (4,)
+
+    rng = np.random.default_rng(82)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 12))  # > sliding_window
+
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+
+    got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-3, rtol=3e-3)
+
+    # cached decode path (sinks + sliding alternation in decode masks)
+    cache = M.init_kv_cache(cfg, 2, max_len=16)
+    lg, cache = M.prefill(cfg, params, jnp.asarray(tokens[:, :-1], jnp.int32),
+                          cache)
+    step, _ = M.decode_step(cfg, params, jnp.asarray(tokens[:, -1], jnp.int32),
+                            jnp.full((2,), 11, jnp.int32), cache)
+    rel = np.abs(np.asarray(step) - want[:, -1]).max() / np.abs(want[:, -1]).max()
+    assert rel < 0.08, rel
