@@ -58,6 +58,18 @@ class YarnRope:
 
 
 @dataclasses.dataclass(frozen=True)
+class Llama3Rope:
+    """Llama-3.1 rope scaling (transformers _compute_llama3_parameters):
+    low-frequency components divided by `factor`, high-frequency kept,
+    smooth interpolation between the wavelength bounds."""
+
+    factor: float = 8.0
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position_embeddings: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
 class LlamaConfig:
     vocab_size: int = 128_256
     d_model: int = 4096
@@ -102,6 +114,32 @@ class LlamaConfig:
     moe_clamp_swiglu: bool = False  # (up+1) * gate*sigmoid(1.702*gate) with
                                     # gate<=7, |up|<=7 clamps
     yarn: Optional[YarnRope] = None
+    # Llama-4 family:
+    moe_every: Optional[int] = None  # MoE on layers with (li+1) % step == 0,
+                                     # dense MLP otherwise (interleave_moe_
+                                     # layer_step); None = all layers
+    moe_input_scaled: bool = False   # Llama-4 router: sigmoid(top-k LOGITS)
+                                     # scales the expert INPUT (not output)
+    shared_expert_gated: bool = True  # False (Llama-4): ungated always-on
+                                      # shared expert added to the routed sum
+    qk_l2norm: bool = False          # weightless L2 norm on q/k after rope
+                                     # (rope layers only)
+    nope_pattern: Optional[int] = None  # NO rope on layers with
+                                        # (li+1) % pattern == 0 (Llama-4: 4);
+                                        # those layers use FULL attention
+    attn_temp_tuning: bool = False   # nope layers: scale q by
+                                     # log1p(floor((pos+1)/floor_scale))
+                                     # * temp_attn_scale + 1
+    floor_scale: float = 8192.0
+    temp_attn_scale: float = 0.1
+    chunk_window: Optional[int] = None  # Llama-4 chunked attention: rope
+                                        # layers attend only within their
+                                        # position chunk (kp//C == qp//C)
+    rope_interleaved: bool = False   # checkpoint stores rope in interleaved
+                                     # (complex-multiply) order — the loader
+                                     # skips the GPT-NeoX half->interleaved
+                                     # column permutation (Llama-4)
+    llama3_rope: Optional[Llama3Rope] = None  # Llama-3.1+ frequency scaling
     n_experts: int = 0           # Mixtral-style MoE MLP when > 1
     moe_top_k: int = 2           # experts per token (softmax over selected)
     moe_d_ff: Optional[int] = None          # expert hidden dim (default d_ff)
@@ -123,6 +161,14 @@ class LlamaConfig:
                                      # weight-stream); int4 decode stays
                                      # DMA-bound either way
     dtype: Any = jnp.bfloat16
+
+    def layer_uses_rope(self, li: int) -> bool:
+        return not (self.nope_pattern and (li + 1) % self.nope_pattern == 0)
+
+    def moe_layer(self, li: int) -> bool:
+        if self.n_experts <= 1:
+            return False
+        return self.moe_every is None or (li + 1) % self.moe_every == 0
 
     @property
     def head_dim(self) -> int:
@@ -168,6 +214,24 @@ class LlamaConfig:
             n_kv_heads=16, d_ff=24_576, rope_theta=10_000.0, max_seq_len=8192,
             head_dim_override=256, norm_plus_one=True, mlp_act="gelu",
             scale_embed=True,
+        )
+
+    @staticmethod
+    def llama4_scout() -> "LlamaConfig":
+        """Llama-4-Scout-17B-16E: every layer MoE (16 experts, top-1,
+        input-scaled sigmoid routing, ungated shared expert), nope every
+        4th layer with temperature tuning, chunked(8192) attention on rope
+        layers, L2 qk-norm, Llama-3.1 rope scaling."""
+        return LlamaConfig(
+            vocab_size=202_048, d_model=5120, n_layers=48, n_heads=40,
+            n_kv_heads=8, d_ff=16_384, rope_theta=500_000.0,
+            max_seq_len=131_072, head_dim_override=128,
+            n_experts=16, moe_top_k=1, moe_d_ff=8192,
+            shared_expert_d_ff=8192, shared_expert_gated=False,
+            moe_every=1, moe_input_scaled=True,
+            qk_l2norm=True, nope_pattern=4, attn_temp_tuning=True,
+            chunk_window=8192, rope_interleaved=True,
+            llama3_rope=Llama3Rope(factor=8.0),
         )
 
     @staticmethod
@@ -265,7 +329,7 @@ def init_params(cfg: LlamaConfig, key: Array) -> Dict:
         "layers": [],
     }
     hd = cfg.head_dim
-    for _ in range(cfg.n_layers):
+    for li in range(cfg.n_layers):
         layer = {
             "attn_norm": jnp.ones((cfg.d_model,), dt),
             "mlp_norm": jnp.ones((cfg.d_model,), dt),
@@ -277,7 +341,7 @@ def init_params(cfg: LlamaConfig, key: Array) -> Dict:
         if cfg.sandwich_norms:
             layer["post_attn_norm"] = jnp.ones((cfg.d_model,), dt)
             layer["post_mlp_norm"] = jnp.ones((cfg.d_model,), dt)
-        if cfg.n_experts > 1:
+        if cfg.moe_layer(li):
             mff = cfg.moe_d_ff or cfg.d_ff
             layer["router"] = dense(next(keys), cfg.d_model, cfg.n_experts)
             layer["moe_w1"] = jnp.stack([dense(next(keys), cfg.d_model, mff)
@@ -291,7 +355,8 @@ def init_params(cfg: LlamaConfig, key: Array) -> Dict:
                 layer["shared_w1"] = dense(next(keys), cfg.d_model, sff)
                 layer["shared_w3"] = dense(next(keys), cfg.d_model, sff)
                 layer["shared_w2"] = dense(next(keys), sff, cfg.d_model)
-                layer["shared_gate"] = dense(next(keys), cfg.d_model, 1)
+                if cfg.shared_expert_gated:
+                    layer["shared_gate"] = dense(next(keys), cfg.d_model, 1)
         else:
             layer["w1"] = dense(next(keys), cfg.d_model, cfg.d_ff)
             layer["w3"] = dense(next(keys), cfg.d_model, cfg.d_ff)
@@ -359,7 +424,7 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
         else qlin(next(keys), cfg.d_model, cfg.vocab_size, lm_head_bits),
         "layers": [],
     }
-    for _ in range(cfg.n_layers):
+    for li in range(cfg.n_layers):
         layer = {
             "attn_norm": jnp.ones((cfg.d_model,), dt),
             "mlp_norm": jnp.ones((cfg.d_model,), dt),
@@ -371,7 +436,7 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
         if cfg.sandwich_norms:
             layer["post_attn_norm"] = jnp.ones((cfg.d_model,), dt)
             layer["post_mlp_norm"] = jnp.ones((cfg.d_model,), dt)
-        if cfg.n_experts > 1:
+        if cfg.moe_layer(li):
             from piquant_tpu.quant.linear import QuantizedExpertStack
             mff = cfg.moe_d_ff or cfg.d_ff
             layer["router"] = (jax.random.normal(
@@ -572,6 +637,12 @@ def rms_norm(x: Array, w: Array, eps: float, plus_one: bool = False) -> Array:
     return normed * (w + 1.0) if plus_one else normed * w
 
 
+def _l2_norm(x: Array, eps: float) -> Array:
+    xf = x.astype(jnp.float32)
+    return (xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
+                               + eps)).astype(x.dtype)
+
+
 def _softmax_with_sinks(scores: Array, snk: Optional[Array]) -> Array:
     """softmax over the last axis; with sinks, exp(sink) joins the
     denominator only (HF GptOss eager_attention_forward: concat + softmax
@@ -589,8 +660,27 @@ def _rope_freqs(cfg: LlamaConfig, positions: Array) -> Tuple[Array, Array]:
     scale = 1.0
     if cfg.yarn is not None:
         inv, scale = _yarn_inv_freq(cfg)
+    elif cfg.llama3_rope is not None:
+        inv = _llama3_inv_freq(cfg, inv)
     ang = positions[..., None].astype(jnp.float32) * inv  # [..., T, rd/2]
     return jnp.cos(ang) * scale, jnp.sin(ang) * scale
+
+
+def _llama3_inv_freq(cfg: LlamaConfig, inv: Array) -> Array:
+    """transformers _compute_llama3_parameters, re-derived."""
+    import math
+
+    r = cfg.llama3_rope
+    old_len = r.original_max_position_embeddings
+    low_wl = old_len / r.low_freq_factor
+    high_wl = old_len / r.high_freq_factor
+    wavelen = 2 * math.pi / inv
+    scaled = jnp.where(wavelen > low_wl, inv / r.factor, inv)
+    smooth = ((old_len / wavelen - r.low_freq_factor)
+              / (r.high_freq_factor - r.low_freq_factor))
+    smoothed = (1 - smooth) / r.factor * inv + smooth * inv
+    medium = (wavelen >= high_wl) & (wavelen <= low_wl)
+    return jnp.where(medium, smoothed, scaled)
 
 
 def _yarn_inv_freq(cfg: LlamaConfig):
@@ -696,9 +786,20 @@ def _attention(
         q = rms_norm(q, layer["q_norm"], cfg.rms_eps)
         k = rms_norm(k, layer["k_norm"], cfg.rms_eps)
 
-    cos, sin = _rope_freqs(cfg, positions)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    if cfg.layer_uses_rope(layer_idx):
+        cos, sin = _rope_freqs(cfg, positions)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if cfg.qk_l2norm:  # Llama-4: weightless L2 norm AFTER rope
+            q = _l2_norm(q, cfg.rms_eps)
+            k = _l2_norm(k, cfg.rms_eps)
+    elif cfg.attn_temp_tuning:
+        # Llama-4 nope layers: position-temperature scaling on q
+        # (log1p(floor((pos+1)/floor_scale)) * scale + 1)
+        sc = (jnp.log1p(jnp.floor((positions.astype(jnp.float32) + 1.0)
+                                  / cfg.floor_scale))
+              * cfg.temp_attn_scale + 1.0)                   # [B, T]
+        q = (q.astype(jnp.float32) * sc[:, None, :, None]).astype(q.dtype)
 
     rep = cfg.n_heads // cfg.n_kv_heads
     qg = q.reshape(b, cfg.n_kv_heads, rep, t, hd)  # grouped heads: no repeat
@@ -851,10 +952,17 @@ def _mlp_moe(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:
                         layer["router"].astype(jnp.float32))
     if cfg.router_bias:
         logits = logits + layer["router_b"].astype(jnp.float32)
-    full = jax.nn.softmax(logits, axis=-1)
-    probs, topi = jax.lax.top_k(full, cfg.moe_top_k)        # [B, T, k]
-    if cfg.moe_renormalize:  # Mixtral: softmax over the SELECTED logits
-        probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    if cfg.moe_input_scaled:
+        # Llama-4 router: sigmoid over the top-k LOGITS; the score scales
+        # the expert INPUT in _moe_dense (not the output — nonlinear, so
+        # the two are NOT equivalent)
+        probs, topi = jax.lax.top_k(logits, cfg.moe_top_k)  # [B, T, k]
+        probs = jax.nn.sigmoid(probs)
+    else:
+        full = jax.nn.softmax(logits, axis=-1)
+        probs, topi = jax.lax.top_k(full, cfg.moe_top_k)    # [B, T, k]
+        if cfg.moe_renormalize:  # Mixtral: softmax over the SELECTED logits
+            probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
 
     w1s, w3s, w2s = layer["moe_w1"], layer["moe_w3"], layer["moe_w2"]
     e_local = (w1s.n_experts if hasattr(w1s, "n_experts")
@@ -866,7 +974,8 @@ def _mlp_moe(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:
     if y is None:
         y = _moe_dense(cfg, layer, x, probs, topi, e_local, off, aq)
     if "shared_w1" in layer:
-        # Qwen2-MoE shared expert: always-on MLP scaled by a sigmoid gate
+        # Qwen2-MoE: always-on MLP scaled by a sigmoid gate;
+        # Llama-4 (shared_expert_gated=False): plain always-on MLP
         g = _mm(x, layer["shared_w1"], dt, aq)
         u = _mm(x, layer["shared_w3"], dt, aq)
         gf = g.astype(jnp.float32)
@@ -874,9 +983,11 @@ def _mlp_moe(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:
                else jax.nn.silu(gf))
         h = (act * u.astype(jnp.float32)).astype(dt)
         sh = _mm(h, layer["shared_w2"], dt, aq).astype(jnp.float32)
-        gate = jax.nn.sigmoid(
-            x.astype(jnp.float32) @ layer["shared_gate"].astype(jnp.float32))
-        y = y + gate * sh
+        if cfg.shared_expert_gated:
+            gate = jax.nn.sigmoid(
+                x.astype(jnp.float32) @ layer["shared_gate"].astype(jnp.float32))
+            sh = gate * sh
+        y = y + sh
     return y.astype(dt)
 
 
@@ -893,7 +1004,7 @@ def _moe_ragged_try(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
     b, t, d = x.shape
     ntok = b * t
     if (env == "0" or cfg.ep_axis is not None
-            or cfg.moe_bias or cfg.moe_clamp_swiglu
+            or cfg.moe_bias or cfg.moe_clamp_swiglu or cfg.moe_input_scaled
             or not hasattr(w1s, "bits") or w1s.bits not in (2, 4, 8)
             or w1s.group_size is not None
             or ntok < 32      # decode: weight traffic dominates, dense is fine
@@ -954,8 +1065,13 @@ def _moe_dense(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
             b1 = b3 = b2 = None
         gate = jnp.sum(jnp.where(topi == off + el, probs, 0.0),
                        axis=-1, keepdims=True)               # [B, T, 1]
-        g = _mm(x, as_linear(e1), dt, aq)
-        u = _mm(x, as_linear(e3), dt, aq)
+        if cfg.moe_input_scaled:  # Llama-4: score scales the INPUT
+            xin = (x.astype(jnp.float32) * gate).astype(dt)
+            gate = jnp.where(gate > 0, 1.0, 0.0)  # output: plain masked sum
+        else:
+            xin = x
+        g = _mm(xin, as_linear(e1), dt, aq)
+        u = _mm(xin, as_linear(e3), dt, aq)
         gf = g.astype(jnp.float32)
         uf = u.astype(jnp.float32)
         if b1 is not None:
@@ -1059,33 +1175,38 @@ def forward(
              and _os.environ.get("PIQUANT_DEFER_APPEND", "1") == "1")
     pending: Optional[list] = [] if defer else None
 
-    masks = None  # (sliding, full) pair when cfg.sliding_pattern is set
+    masks = None        # (local, full) pair for alternating-layout models
+    local_period = (cfg.sliding_pattern
+                    or (cfg.nope_pattern if cfg.chunk_window else None))
     if mask is None:
-        def build_mask(window):
+        def build_mask(window, chunk=None):
             if attend_in_layer or cache is None:
                 qp = positions[:, None, :, None]      # [B,1,T,1] absolute
                 kp = positions[:, None, None, :]      # [B,1,1,T]
                 ok = kp <= qp
-                if window is not None:
-                    ok = ok & (kp > qp - window)
             else:
                 # decode/prefill against cache: attention to pos <= position
                 # (STRICT < in deferred mode — the current token is not in
                 # the cache yet; its slot holds stale data, keep it masked)
-                kv_pos = jnp.arange(s_len, dtype=jnp.int32)[None, None, None, :]
+                kp = jnp.arange(s_len, dtype=jnp.int32)[None, None, None, :]
                 qp = positions[:, None, :, None]
-                ok = kv_pos < qp if defer else kv_pos <= qp
-                if window is not None:
-                    ok = ok & (kv_pos > qp - window)
+                ok = kp < qp if defer else kp <= qp
+            if window is not None:
+                ok = ok & (kp > qp - window)
+            if chunk is not None:  # Llama-4: block-local (kp//C == qp//C)
+                ok = ok & (kp // chunk == qp // chunk)
             return jnp.where(ok, 0.0, -1e9).astype(jnp.float32)
 
-        if cfg.sliding_pattern:  # Gemma-2: alternate sliding / full layers
-            masks = (build_mask(cfg.sliding_window), build_mask(None))
+        if local_period:
+            # Gemma-2/GPT-OSS: (sliding, full); Llama-4: (chunked, full)
+            local = (build_mask(cfg.sliding_window) if cfg.sliding_pattern
+                     else build_mask(None, cfg.chunk_window))
+            masks = (local, build_mask(None))
         else:
             mask = build_mask(cfg.sliding_window)
 
     for i, layer in enumerate(params["layers"]):
-        mk = (masks[1 if (i + 1) % cfg.sliding_pattern == 0 else 0]
+        mk = (masks[1 if (i + 1) % local_period == 0 else 0]
               if masks is not None else mask)
         h, cache = _attention(cfg, layer,
                               rms_norm(x, layer["attn_norm"], cfg.rms_eps,

@@ -27,11 +27,22 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
     is_gemma = mtype in ("gemma", "gemma2")
     is_gemma2 = mtype == "gemma2"
     is_gpt_oss = mtype == "gpt_oss"
+    is_llama4 = mtype in ("llama4_text", "llama4")
     default_hd = hf_config.hidden_size // hf_config.num_attention_heads
     hd = getattr(hf_config, "head_dim", default_hd) or default_hd
     qpas = getattr(hf_config, "query_pre_attn_scalar", None)
     yarn = None
+    llama3_rope = None
     rs = getattr(hf_config, "rope_scaling", None)
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        from piquant_tpu.models.llama import Llama3Rope
+        llama3_rope = Llama3Rope(
+            factor=rs["factor"],
+            low_freq_factor=rs.get("low_freq_factor", 1.0),
+            high_freq_factor=rs.get("high_freq_factor", 4.0),
+            original_max_position_embeddings=rs.get(
+                "original_max_position_embeddings", 8192),
+        )
     if rs and rs.get("rope_type", rs.get("type")) == "yarn":
         from piquant_tpu.models.llama import YarnRope
         yarn = YarnRope(
@@ -61,7 +72,8 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         n_heads=hf_config.num_attention_heads,
         n_kv_heads=getattr(hf_config, "num_key_value_heads",
                            hf_config.num_attention_heads),
-        d_ff=hf_config.intermediate_size,
+        d_ff=(getattr(hf_config, "intermediate_size_mlp", None)
+              if is_llama4 else None) or hf_config.intermediate_size,
         rope_theta=getattr(hf_config, "rope_theta", 10_000.0),
         rms_eps=getattr(hf_config, "rms_norm_eps", 1e-5),
         max_seq_len=getattr(hf_config, "max_position_embeddings", 8192),
@@ -92,6 +104,23 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         moe_bias=is_gpt_oss,
         moe_clamp_swiglu=is_gpt_oss,
         yarn=yarn,
+        llama3_rope=llama3_rope,
+        # Llama-4: interleaved-native rope, nope layers with temperature
+        # tuning + full attention, chunked attention elsewhere, input-scaled
+        # sigmoid top-k routing, ungated shared expert, interleaved MoE
+        rope_interleaved=is_llama4,
+        qk_l2norm=bool(is_llama4 and getattr(hf_config, "use_qk_norm", False)),
+        nope_pattern=4 if is_llama4 else None,
+        attn_temp_tuning=bool(
+            is_llama4 and getattr(hf_config, "attn_temperature_tuning", False)),
+        floor_scale=float(getattr(hf_config, "floor_scale", 8192.0)),
+        temp_attn_scale=float(getattr(hf_config, "attn_scale", 0.1)),
+        chunk_window=(getattr(hf_config, "attention_chunk_size", None)
+                      if is_llama4 else None),
+        moe_every=(getattr(hf_config, "interleave_moe_layer_step", None)
+                   if is_llama4 else None),
+        moe_input_scaled=is_llama4,
+        shared_expert_gated=not is_llama4,
         # Phi family: rotate only partial_rotary_factor of the head dim
         rotary_dim_override=(
             int(hf_config.partial_rotary_factor * hd)
@@ -102,9 +131,11 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
                    or getattr(hf_config, "num_experts", 0) or 0),
         moe_top_k=getattr(hf_config, "num_experts_per_tok", 2) or 2,
         moe_d_ff=(getattr(hf_config, "moe_intermediate_size", None)
-                  or (hf_config.intermediate_size if is_gpt_oss else None)),
-        shared_expert_d_ff=getattr(hf_config,
-                                   "shared_expert_intermediate_size", None),
+                  or (hf_config.intermediate_size
+                      if is_gpt_oss or is_llama4 else None)),
+        shared_expert_d_ff=(hf_config.intermediate_size if is_llama4 else
+                            getattr(hf_config,
+                                    "shared_expert_intermediate_size", None)),
         moe_renormalize=bool(getattr(hf_config, "norm_topk_prob", True)),
         # per-head RMSNorm on q/k before rope
         qk_norm=mtype in ("qwen3", "qwen3_moe"),
@@ -179,8 +210,11 @@ def params_from_state_dict(state_dict: Dict[str, Any], cfg: LlamaConfig) -> Dict
             wq_raw = lin(pre + "self_attn.q_proj.weight")
             wk_raw = lin(pre + "self_attn.k_proj.weight")
             wv = lin(pre + "self_attn.v_proj.weight")
-        wq = _permute_rope_cols(wq_raw, cfg.n_heads, hd, rd)
-        wk = _permute_rope_cols(wk_raw, cfg.n_kv_heads, hd, rd)
+        if cfg.rope_interleaved:  # Llama-4: checkpoint already interleaved
+            wq, wk = wq_raw, wk_raw
+        else:
+            wq = _permute_rope_cols(wq_raw, cfg.n_heads, hd, rd)
+            wk = _permute_rope_cols(wk_raw, cfg.n_kv_heads, hd, rd)
         if pre + "pre_feedforward_layernorm.weight" in state_dict:
             # Gemma-2 sandwich norms: post_attention_layernorm norms the
             # attention OUTPUT (not the MLP input as in Llama)
@@ -221,6 +255,26 @@ def params_from_state_dict(state_dict: Dict[str, Any], cfg: LlamaConfig) -> Dict
             layer["moe_w2"] = jnp.asarray(npy(pre + "mlp.experts.down_proj"), dt)
             layer["moe_b2"] = jnp.asarray(
                 npy(pre + "mlp.experts.down_proj_bias"), jnp.float32)
+        elif pre + "feed_forward.router.weight" in state_dict:
+            # Llama-4: fused [E, D, 2F] gate_up with CONTIGUOUS halves
+            # (torch .chunk(2, dim=-1)); ungated shared expert
+            layer["router"] = jnp.asarray(
+                lin(pre + "feed_forward.router.weight"), dt)
+            gu = npy(pre + "feed_forward.experts.gate_up_proj")  # [E, D, 2F]
+            f = gu.shape[-1] // 2
+            layer["moe_w1"] = jnp.asarray(gu[:, :, :f], dt)
+            layer["moe_w3"] = jnp.asarray(gu[:, :, f:], dt)
+            layer["moe_w2"] = jnp.asarray(
+                npy(pre + "feed_forward.experts.down_proj"), dt)
+            sh = pre + "feed_forward.shared_expert."
+            layer["shared_w1"] = jnp.asarray(lin(sh + "gate_proj.weight"), dt)
+            layer["shared_w3"] = jnp.asarray(lin(sh + "up_proj.weight"), dt)
+            layer["shared_w2"] = jnp.asarray(lin(sh + "down_proj.weight"), dt)
+        elif pre + "feed_forward.gate_proj.weight" in state_dict:
+            # Llama-4 dense (non-MoE interleave) layer
+            layer["w1"] = jnp.asarray(lin(pre + "feed_forward.gate_proj.weight"), dt)
+            layer["w3"] = jnp.asarray(lin(pre + "feed_forward.up_proj.weight"), dt)
+            layer["w2"] = jnp.asarray(lin(pre + "feed_forward.down_proj.weight"), dt)
         elif pre + "mlp.gate.weight" in state_dict:
             # Qwen2-MoE: router + experts under mlp., plus a shared expert
             # with a sigmoid gate.  Layers may also be plain dense

@@ -375,3 +375,93 @@ def test_gpt_oss_loader_matches_transformers():
                             jnp.full((2,), 11, jnp.int32), cache)
     rel = np.abs(np.asarray(step) - want[:, -1]).max() / np.abs(want[:, -1]).max()
     assert rel < 0.08, rel
+
+
+def test_llama4_loader_matches_transformers():
+    """Llama-4: interleaved MoE/dense layers, input-scaled sigmoid top-k
+    routing, ungated shared expert, nope layers (no rope + temperature
+    tuning + full attention) alternating with chunked-attention rope
+    layers, weightless L2 qk-norm — cross-validated against transformers
+    Llama4ForCausalLM."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    if not hasattr(transformers, "Llama4ForCausalLM"):
+        pytest.skip("transformers lacks Llama4")
+    from piquant_tpu.models.loader import load_from_hf
+    from piquant_tpu.models import llama as M
+
+    torch.manual_seed(91)
+    conf = transformers.Llama4TextConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=48,
+        intermediate_size_mlp=80, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_local_experts=4, num_experts_per_tok=2,
+        interleave_moe_layer_step=2, attention_chunk_size=8,
+        max_position_embeddings=64, rope_scaling=None,
+        rope_theta=10_000.0, rms_norm_eps=1e-5, pad_token_id=0,
+        attn_implementation="eager", tie_word_embeddings=False,
+    )
+    model = transformers.Llama4ForCausalLM(conf)
+    model.eval()
+
+    cfg, params = load_from_hf(model, dtype=jnp.float32)
+    assert cfg.moe_input_scaled and not cfg.shared_expert_gated
+    assert cfg.nope_pattern == 4 and cfg.chunk_window == 8
+    assert cfg.qk_l2norm and cfg.attn_temp_tuning and cfg.rope_interleaved
+    assert cfg.moe_every == 2 and cfg.d_ff == 80 and cfg.moe_d_ff == 48
+    assert "router" in params["layers"][1] and "w1" in params["layers"][0]
+    assert "shared_gate" not in params["layers"][1]
+
+    rng = np.random.default_rng(92)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 12))  # > chunk size
+
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+
+    got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-3, rtol=3e-3)
+
+    # cached decode (chunked/full alternation + nope temperature in decode)
+    cache = M.init_kv_cache(cfg, 2, max_len=16)
+    lg, cache = M.prefill(cfg, params, jnp.asarray(tokens[:, :-1], jnp.int32),
+                          cache)
+    step, _ = M.decode_step(cfg, params, jnp.asarray(tokens[:, -1], jnp.int32),
+                            jnp.full((2,), 11, jnp.int32), cache)
+    rel = np.abs(np.asarray(step) - want[:, -1]).max() / np.abs(want[:, -1]).max()
+    assert rel < 0.08, rel
+
+
+def test_llama31_rope_scaling_matches_transformers():
+    """Llama-3.1 rope scaling (low-freq /factor, smooth mid-band) —
+    cross-validated against transformers LlamaForCausalLM with
+    rope_scaling rope_type=llama3."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from piquant_tpu.models.loader import load_from_hf
+    from piquant_tpu.models import llama as M
+
+    torch.manual_seed(95)
+    conf = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rope_theta=10_000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 32},
+        rms_norm_eps=1e-5, pad_token_id=0, attn_implementation="eager",
+        tie_word_embeddings=False,
+    )
+    model = transformers.LlamaForCausalLM(conf)
+    model.eval()
+
+    cfg, params = load_from_hf(model, dtype=jnp.float32)
+    assert cfg.llama3_rope is not None and cfg.llama3_rope.factor == 8.0
+
+    rng = np.random.default_rng(96)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 40))  # > original_max/2
+
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+
+    got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
