@@ -140,6 +140,10 @@ class LlamaConfig:
                                      # skips the GPT-NeoX half->interleaved
                                      # column permutation (Llama-4)
     llama3_rope: Optional[Llama3Rope] = None  # Llama-3.1+ frequency scaling
+    # Gemma-3: sliding (local) layers use their own rope base; global
+    # layers optionally linear-scale positions
+    rope_theta_local: Optional[float] = None
+    rope_linear_factor: Optional[float] = None  # global layers: inv/factor
     n_experts: int = 0           # Mixtral-style MoE MLP when > 1
     moe_top_k: int = 2           # experts per token (softmax over selected)
     moe_d_ff: Optional[int] = None          # expert hidden dim (default d_ff)
@@ -164,6 +168,12 @@ class LlamaConfig:
 
     def layer_uses_rope(self, li: int) -> bool:
         return not (self.nope_pattern and (li + 1) % self.nope_pattern == 0)
+
+    def layer_is_local(self, li: int) -> bool:
+        """True for sliding/chunked layers in alternating layouts."""
+        p = self.sliding_pattern or (self.nope_pattern if self.chunk_window
+                                     else None)
+        return bool(p) and (li + 1) % p != 0
 
     def moe_layer(self, li: int) -> bool:
         if self.n_experts <= 1:
@@ -264,6 +274,21 @@ class LlamaConfig:
             scale_embed=True, sandwich_norms=True, attn_softcap=50.0,
             final_softcap=30.0, attn_scale_override=256.0 ** -0.5,
             sliding_window=4096, sliding_pattern=2,
+        )
+
+    @staticmethod
+    def gemma3_12b() -> "LlamaConfig":
+        """Gemma-3-12B: 5:1 sliding(1024)/full layout with dual rope
+        bases (local 10k / global 1M linear-scaled x8), qk-norm, sandwich
+        norms."""
+        return LlamaConfig(
+            vocab_size=262_208, d_model=3840, n_layers=48, n_heads=16,
+            n_kv_heads=8, d_ff=15_360, rope_theta=1_000_000.0,
+            max_seq_len=131_072, head_dim_override=256, norm_plus_one=True,
+            mlp_act="gelu", scale_embed=True, sandwich_norms=True,
+            qk_norm=True, attn_scale_override=256.0 ** -0.5,
+            sliding_window=1024, sliding_pattern=6,
+            rope_theta_local=10_000.0, rope_linear_factor=8.0,
         )
 
     @staticmethod
@@ -654,14 +679,21 @@ def _softmax_with_sinks(scores: Array, snk: Optional[Array]) -> Array:
     return e / (jnp.sum(e, axis=-1, keepdims=True) + jnp.exp(snk - m))
 
 
-def _rope_freqs(cfg: LlamaConfig, positions: Array) -> Tuple[Array, Array]:
+def _rope_freqs(cfg: LlamaConfig, positions: Array,
+                local: bool = False) -> Tuple[Array, Array]:
     rd = cfg.rotary_dim
-    inv = 1.0 / (cfg.rope_theta ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
+    theta = (cfg.rope_theta_local
+             if local and cfg.rope_theta_local else cfg.rope_theta)
+    inv = 1.0 / (theta ** (jnp.arange(0, rd, 2, dtype=jnp.float32) / rd))
     scale = 1.0
-    if cfg.yarn is not None:
+    if local and cfg.rope_theta_local:
+        pass  # Gemma-3 local rope: plain base, no scaling
+    elif cfg.yarn is not None:
         inv, scale = _yarn_inv_freq(cfg)
     elif cfg.llama3_rope is not None:
         inv = _llama3_inv_freq(cfg, inv)
+    elif cfg.rope_linear_factor:
+        inv = inv / cfg.rope_linear_factor
     ang = positions[..., None].astype(jnp.float32) * inv  # [..., T, rd/2]
     return jnp.cos(ang) * scale, jnp.sin(ang) * scale
 
@@ -782,12 +814,13 @@ def _attention(
     k = k.reshape(b, t, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, t, cfg.n_kv_heads, hd).transpose(0, 2, 1, 3)
 
-    if cfg.qk_norm:  # Qwen3: per-head RMSNorm before rope
-        q = rms_norm(q, layer["q_norm"], cfg.rms_eps)
-        k = rms_norm(k, layer["k_norm"], cfg.rms_eps)
+    if cfg.qk_norm:  # Qwen3/Gemma-3: per-head RMSNorm before rope
+        q = rms_norm(q, layer["q_norm"], cfg.rms_eps, cfg.norm_plus_one)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_eps, cfg.norm_plus_one)
 
     if cfg.layer_uses_rope(layer_idx):
-        cos, sin = _rope_freqs(cfg, positions)
+        cos, sin = _rope_freqs(cfg, positions,
+                               local=cfg.layer_is_local(layer_idx))
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         if cfg.qk_l2norm:  # Llama-4: weightless L2 norm AFTER rope

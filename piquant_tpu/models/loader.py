@@ -24,8 +24,9 @@ from piquant_tpu.models.llama import LlamaConfig
 
 def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
     mtype = getattr(hf_config, "model_type", "")
-    is_gemma = mtype in ("gemma", "gemma2")
-    is_gemma2 = mtype == "gemma2"
+    is_gemma3 = mtype in ("gemma3", "gemma3_text")
+    is_gemma = mtype in ("gemma", "gemma2") or is_gemma3
+    is_gemma2 = mtype == "gemma2" or is_gemma3  # sandwich-norm generation
     is_gpt_oss = mtype == "gpt_oss"
     is_llama4 = mtype in ("llama4_text", "llama4")
     default_hd = hf_config.hidden_size // hf_config.num_attention_heads
@@ -96,6 +97,11 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         final_softcap=getattr(hf_config, "final_logit_softcapping", None)
         if is_gemma2 else None,
         attn_scale_override=(qpas ** -0.5 if is_gemma2 and qpas else None),
+        rope_theta_local=(getattr(hf_config, "rope_local_base_freq", None)
+                          if is_gemma3 else None),
+        rope_linear_factor=(
+            rs["factor"] if is_gemma3 and rs
+            and rs.get("rope_type", rs.get("type")) == "linear" else None),
         sliding_pattern=sliding_pattern,
         # GPT-OSS: sinks, biases everywhere, clamped swiglu, yarn
         attn_sinks=is_gpt_oss,
@@ -138,7 +144,7 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
                                     "shared_expert_intermediate_size", None)),
         moe_renormalize=bool(getattr(hf_config, "norm_topk_prob", True)),
         # per-head RMSNorm on q/k before rope
-        qk_norm=mtype in ("qwen3", "qwen3_moe"),
+        qk_norm=mtype in ("qwen3", "qwen3_moe") or is_gemma3,
         dtype=dtype,
     )
 

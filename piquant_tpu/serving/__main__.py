@@ -26,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--random", metavar="PRESET",
                     choices=["tiny", "llama3_8b", "mistral_7b", "qwen2_7b",
                              "gemma_2b", "gemma_7b", "phi3_mini", "mixtral_8x7b",
-                             "qwen3_8b", "qwen3_moe_a3b", "gemma2_9b", "gpt_oss_20b", "llama4_scout",
+                             "qwen3_8b", "qwen3_moe_a3b", "gemma2_9b", "gemma3_12b", "gpt_oss_20b", "llama4_scout",
                              "mla_v2_lite", "mla_tiny", "mla_v2_moe"],
                     help="random-weight model preset instead of --model")
     ap.add_argument("--bits", type=int, default=4, choices=[2, 4, 8],
@@ -113,8 +113,8 @@ def main(argv=None) -> int:
                                                     lm_head_bits=8)
         elif preset in ("llama3_8b", "mistral_7b", "qwen2_7b", "gemma_7b",
                         "phi3_mini", "mixtral_8x7b", "qwen3_8b",
-                        "qwen3_moe_a3b", "gemma2_9b", "gpt_oss_20b",
-                        "llama4_scout"):
+                        "qwen3_moe_a3b", "gemma2_9b", "gemma3_12b",
+                        "gpt_oss_20b", "llama4_scout"):
             cfg = getattr(M.LlamaConfig, preset)()
             params = M.random_quantized_params(cfg, jax.random.key(0),
                                                bits=args.bits, lm_head_bits=8)

@@ -465,3 +465,52 @@ def test_llama31_rope_scaling_matches_transformers():
 
     got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+
+
+def test_gemma3_loader_matches_transformers():
+    """Gemma-3: dual rope bases (local 10k on sliding layers, global theta
+    with linear scaling on full layers), 5:1 sliding/full layout, qk
+    RMSNorm with the Gemma (1+w) convention, sandwich norms —
+    cross-validated against transformers Gemma3ForCausalLM."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    if not hasattr(transformers, "Gemma3ForCausalLM"):
+        pytest.skip("transformers lacks Gemma3")
+    from piquant_tpu.models.loader import load_from_hf
+    from piquant_tpu.models import llama as M
+
+    torch.manual_seed(101)
+    conf = transformers.Gemma3TextConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=6, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, query_pre_attn_scalar=24, sliding_window=6,
+        rope_theta=1_000_000.0, rope_local_base_freq=10_000.0,
+        rope_scaling={"rope_type": "linear", "factor": 8.0},
+        max_position_embeddings=64, rms_norm_eps=1e-5, pad_token_id=0,
+        attn_implementation="eager", tie_word_embeddings=False,
+    )
+    model = transformers.Gemma3ForCausalLM(conf)
+    model.eval()
+
+    cfg, params = load_from_hf(model, dtype=jnp.float32)
+    assert cfg.sliding_pattern == 6 and cfg.qk_norm and cfg.sandwich_norms
+    assert cfg.rope_theta_local == 10_000.0
+    assert cfg.rope_linear_factor == 8.0 and cfg.norm_plus_one
+
+    rng = np.random.default_rng(102)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 12))  # > sliding_window
+
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+
+    got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=3e-3, rtol=3e-3)
+
+    # cached decode (dual-rope + 5:1 alternation in decode masks)
+    cache = M.init_kv_cache(cfg, 2, max_len=16)
+    lg, cache = M.prefill(cfg, params, jnp.asarray(tokens[:, :-1], jnp.int32),
+                          cache)
+    step, _ = M.decode_step(cfg, params, jnp.asarray(tokens[:, -1], jnp.int32),
+                            jnp.full((2,), 11, jnp.int32), cache)
+    rel = np.abs(np.asarray(step) - want[:, -1]).max() / np.abs(want[:, -1]).max()
+    assert rel < 0.08, rel
