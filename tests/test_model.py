@@ -241,3 +241,27 @@ def test_grouped_int2_act_quant_decode_consistency():
     a8 = decode_logits(dataclasses.replace(cfg, act_quant_decode=True))
     denom = np.abs(base).max()
     assert np.abs(a8 - base).max() / denom < 0.08, np.abs(a8 - base).max()
+
+
+def test_all_presets_construct_with_valid_geometry():
+    """Every serving preset must build a self-consistent config (head
+    divisibility, pack alignment for INT4 K-halving, MoE fields present
+    when experts are declared) without instantiating full-size params."""
+    from piquant_tpu.models import llama as M
+
+    presets = ["llama3_8b", "mistral_7b", "qwen2_7b", "gemma_2b", "gemma_7b",
+               "gemma2_9b", "gemma3_12b", "phi3_mini", "qwen3_8b",
+               "qwen3_moe_a3b", "mixtral_8x7b", "gpt_oss_20b",
+               "llama4_scout"]
+    for name in presets:
+        cfg = getattr(M.LlamaConfig, name)()
+        assert cfg.n_heads % cfg.n_kv_heads == 0, name
+        assert cfg.head_dim * cfg.n_heads >= cfg.d_model // 2, name
+        assert cfg.d_model % 2 == 0 and cfg.head_dim % 2 == 0, name
+        if cfg.n_experts > 1:
+            assert cfg.moe_top_k <= cfg.n_experts, name
+            assert (cfg.moe_d_ff or cfg.d_ff) % 2 == 0, name
+        if cfg.sliding_pattern:
+            assert cfg.sliding_window or cfg.chunk_window, name
+        if cfg.nope_pattern:
+            assert cfg.n_layers % cfg.nope_pattern == 0, name
