@@ -317,13 +317,13 @@ class LlamaConfig:
     @staticmethod
     def qwen3_moe_a3b() -> "LlamaConfig":
         """Qwen3-30B-A3B: qk-norm attention + 128-expert top-8 MoE
-        (no shared expert, no top-k renorm)."""
+        (no shared expert; top-k renormalized per the released config)."""
         return LlamaConfig(
             vocab_size=151_936, d_model=2048, n_layers=48, n_heads=32,
             n_kv_heads=4, d_ff=6144, rope_theta=1_000_000.0,
             max_seq_len=32_768, head_dim_override=128, qk_norm=True,
             n_experts=128, moe_top_k=8, moe_d_ff=768,
-            moe_renormalize=False,
+            moe_renormalize=True,  # checkpoint config.json norm_topk_prob
         )
 
     @staticmethod
@@ -476,6 +476,13 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
             layer["moe_w2"] = QuantizedExpertStack.stack(
                 [qlin(next(keys), mff, cfg.d_model)
                  for _ in range(cfg.n_experts)])
+            if cfg.shared_expert_d_ff:
+                sff = cfg.shared_expert_d_ff
+                layer["shared_w1"] = qlin(next(keys), cfg.d_model, sff)
+                layer["shared_w3"] = qlin(next(keys), cfg.d_model, sff)
+                layer["shared_w2"] = qlin(next(keys), sff, cfg.d_model)
+                if cfg.shared_expert_gated:
+                    layer["shared_gate"] = dense(next(keys), cfg.d_model, 1)
         else:
             layer["w1"] = qlin(next(keys), cfg.d_model, cfg.d_ff)
             layer["w3"] = qlin(next(keys), cfg.d_model, cfg.d_ff)
@@ -855,6 +862,7 @@ def _attention(
 
         if (t == 1 and pending is None and jax.default_backend() == "tpu"
                 and cfg.attn_softcap is None and snk is None
+                and cfg.sliding_window is None and cfg.chunk_window is None
                 and _os.environ.get("PIQUANT_TPU_PALLAS_ATTN", "0") == "1"):
             # flash-decoding Pallas kernel (ops/pallas/attention.py).
             # OFF by default: the XLA int8-cache path below measured
@@ -1235,11 +1243,13 @@ def forward(
             local = (build_mask(cfg.sliding_window) if cfg.sliding_pattern
                      else build_mask(None, cfg.chunk_window))
             masks = (local, build_mask(None))
+        elif cfg.chunk_window:  # every layer chunked (no nope layers)
+            mask = build_mask(None, cfg.chunk_window)
         else:
             mask = build_mask(cfg.sliding_window)
 
     for i, layer in enumerate(params["layers"]):
-        mk = (masks[1 if (i + 1) % local_period == 0 else 0]
+        mk = (masks[0 if cfg.layer_is_local(i) else 1]
               if masks is not None else mask)
         h, cache = _attention(cfg, layer,
                               rms_norm(x, layer["attn_norm"], cfg.rms_eps,
@@ -1343,6 +1353,11 @@ def param_shardings(cfg: LlamaConfig, tp_axis: str = "tp",
             s["router"] = P(None, None)
             for k in _MOE_QUANT_KEYS:
                 s[k] = P(ep_axis, None, None)  # whole experts per shard
+            for k in ("moe_b1", "moe_b3", "moe_b2"):
+                if layer is not None and k in layer:
+                    # expert-stacked biases shard with their experts — the
+                    # scan in _moe_dense consumes e_local of each
+                    s[k] = P(ep_axis, None)
         if layer is not None:
             for k in layer.keys():  # small per-head/gate leaves: replicate
                 if k not in s and k != "fused_tp":

@@ -58,7 +58,13 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         )
     # alternating sliding/full layout (Gemma-2, GPT-OSS): period of the
     # layer_types list when it alternates, else None
-    sliding_pattern = 2 if is_gemma2 else None
+    if is_gemma3:
+        sliding_pattern = getattr(hf_config, "sliding_window_pattern",
+                                  None) or 6
+    elif is_gemma2:
+        sliding_pattern = 2
+    else:
+        sliding_pattern = None
     lt = getattr(hf_config, "layer_types", None)
     if lt and "sliding_attention" in lt and "full_attention" in lt:
         # full-attention layers at (li+1) % p == 0 for some period p
@@ -116,7 +122,7 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         # sigmoid top-k routing, ungated shared expert, interleaved MoE
         rope_interleaved=is_llama4,
         qk_l2norm=bool(is_llama4 and getattr(hf_config, "use_qk_norm", False)),
-        nope_pattern=4 if is_llama4 else None,
+        nope_pattern=_llama4_nope_pattern(hf_config) if is_llama4 else None,
         attn_temp_tuning=bool(
             is_llama4 and getattr(hf_config, "attn_temperature_tuning", False)),
         floor_scale=float(getattr(hf_config, "floor_scale", 8192.0)),
@@ -147,6 +153,24 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         qk_norm=mtype in ("qwen3", "qwen3_moe") or is_gemma3,
         dtype=dtype,
     )
+
+
+def _llama4_nope_pattern(hf_config) -> Optional[int]:
+    """Derive the nope period from no_rope_layers (1 = rope, 0 = nope).
+    Raises for layouts the periodic nope_pattern cannot represent rather
+    than silently corrupting the rope/mask assignment."""
+    nrl = getattr(hf_config, "no_rope_layers", None)
+    if not nrl:
+        return int(getattr(hf_config, "no_rope_layer_interval", None) or 4)
+    nope = [i for i, use_rope in enumerate(nrl) if not use_rope]
+    if not nope:
+        return None  # all layers rope
+    period = nope[0] + 1
+    expect = [i for i in range(len(nrl)) if (i + 1) % period == 0]
+    if nope != expect:
+        raise ValueError(f"no_rope_layers {nrl} is not periodic; "
+                         "unsupported Llama-4 rope layout")
+    return period
 
 
 def _half_to_interleaved_perm(head_dim: int) -> np.ndarray:

@@ -369,3 +369,49 @@ def test_qwen3_moe_loader_matches_transformers():
     cache = M.init_kv_cache(cfg, 2, max_len=16)
     lg, cache = M.prefill(cfg, qp, jnp.asarray(tokens, jnp.int32), cache)
     assert lg.shape == (2, cfg.vocab_size)
+
+
+def test_moe_expert_parallel_with_bias_stacks():
+    """GPT-OSS-style MoE (expert biases + clamped swiglu + router bias)
+    under EP: bias stacks shard with their experts (param_shardings
+    P(ep,None)) and the scan consumes e_local of each == single device."""
+    import dataclasses
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.array(devs[:4]), ("ep",))
+
+    cfg = _tiny_moe(router_bias=True, moe_bias=True, moe_clamp_swiglu=True)
+    cfg_ep = dataclasses.replace(cfg, ep_axis="ep")
+    params = M.init_params(cfg, jax.random.key(13))
+    layer = params["layers"][0]
+    # non-zero biases so the EP slicing is actually exercised
+    layer["router_b"] = jax.random.normal(jax.random.key(14),
+                                          (cfg.n_experts,)) * 0.1
+    layer["moe_b1"] = jax.random.normal(
+        jax.random.key(15), layer["moe_b1"].shape) * 0.1
+    layer["moe_b2"] = jax.random.normal(
+        jax.random.key(16), layer["moe_b2"].shape) * 0.1
+    x = jax.random.normal(jax.random.key(17), (2, 5, cfg.d_model), jnp.float32)
+    want = np.asarray(M._mlp(cfg, layer, x))
+
+    ep_keys = ("moe_w1", "moe_w2", "moe_w3", "moe_b1", "moe_b2", "moe_b3")
+    stacked = {k: layer[k] for k in ep_keys}
+    rest = {k: v for k, v in layer.items() if k not in ep_keys}
+    specs = {k: (P("ep", None, None) if layer[k].ndim == 3 else P("ep", None))
+             for k in ep_keys}
+
+    @jax.jit
+    def run(stacked_, rest_, x_):
+        return shard_map(
+            lambda st, rt, xv: M._mlp(cfg_ep, {**rt, **st}, xv),
+            mesh=mesh,
+            in_specs=(specs, jax.tree.map(lambda _: P(), rest_), P()),
+            out_specs=P(),
+        )(stacked_, rest_, x_)
+
+    got = np.asarray(run(stacked, rest, x))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
