@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument("--top-k", type=int, default=0)
     ap.add_argument("--top-p", type=float, default=1.0)
+    ap.add_argument("--min-p", type=float, default=0.0,
+                    help="keep tokens with p >= min_p * p_max")
+    ap.add_argument("--repetition-penalty", type=float, default=1.0,
+                    help="HF/CTRL repetition penalty over prompt+generated "
+                         "(enables the device-side token history)")
     ap.add_argument("--prefill-chunk", type=int, default=None)
     ap.add_argument("--attn-windows", default=None,
                     help="comma-separated attention-window bucket ladder "
@@ -133,11 +138,14 @@ def main(argv=None) -> int:
                if args.attn_windows else ())
     ec = EngineConfig(batch_slots=args.slots, max_seq_len=args.max_seq_len,
                       prefill_chunk=args.prefill_chunk,
-                      speculate=args.speculate, attn_windows=windows)
+                      speculate=args.speculate, attn_windows=windows,
+                      track_history=args.repetition_penalty != 1.0)
     eng = Engine(cfg, params, ec)
     eos = getattr(tok, "eos_token_id", None) if tok else None
     sp = SamplingParams(temperature=args.temperature, top_k=args.top_k,
-                        top_p=args.top_p, max_new_tokens=args.max_new,
+                        top_p=args.top_p, min_p=args.min_p,
+                        repetition_penalty=args.repetition_penalty,
+                        max_new_tokens=args.max_new,
                         eos_token=eos if eos is not None else -1)
 
     if args.benchmark:

@@ -29,6 +29,7 @@ import numpy as np
 
 from piquant_tpu.models import llama as M
 from piquant_tpu.serving.sampler import (TOPK_CAND, SamplingParams,
+                                         apply_repetition_penalty,
                                          sample_batch)
 
 Array = jax.Array
@@ -61,6 +62,10 @@ class EngineConfig:
     warmup_buckets: bool = True
     # Precompile every attn_windows bucket in __init__ (moves the cold-
     # compile cost from the first long-context block to startup).
+    track_history: bool = False
+    # Maintain a device-side token-history buffer (prompt + generated) for
+    # every slot.  Required for SamplingParams.repetition_penalty; also
+    # maintained implicitly when speculate > 0 (drafting needs it).
     prefill_chunk: Optional[int] = None
     # When set, prompts are prefilled in fixed-size chunks attending against
     # the (INT8) cache — ONE compiled prefill shape regardless of prompt
@@ -142,19 +147,21 @@ def _model_for(cfg):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_decode_block(cfg, kblk: int, window: int):
+def _jit_decode_block(cfg, kblk: int, window: int, rep: bool = False):
     """One compiled block per (config, block size, attention-window bucket):
     attention reads only the live cache prefix [0, window) instead of
-    max_seq_len — decode cache traffic tracks actual context length."""
+    max_seq_len — decode cache traffic tracks actual context length.
+    With rep=True the scan additionally carries the token-history buffer,
+    applies the repetition penalty before sampling, and honors min-p."""
     mod = _model_for(cfg)
 
-    def _decode_block(params, tok, pos, cache, temps, topks, topps,
+    def _decode_block(params, tok, pos, cache, temps, topks, topps, minps,
                       base_key, blk_idx, active):
         def step(carry, k):
             t, p, c = carry
             logits, c = mod.decode_step(cfg, params, t, p, c,
                                         attn_window=window)
-            toks = sample_batch(logits, temps, topks, topps, k)
+            toks = sample_batch(logits, temps, topks, topps, k, minps)
             t2 = jnp.where(active, toks, t)
             return (t2, p + active.astype(jnp.int32), c), t2
 
@@ -164,6 +171,31 @@ def _jit_decode_block(cfg, kblk: int, window: int):
         (t, p, cache), tok_hist = jax.lax.scan(step, (tok, pos, cache), keys)
         return tok_hist, t, p, cache  # [K, B], [B], [B], cache
 
+    def _decode_block_rep(params, tok, pos, cache, hist, temps, topks, topps,
+                          minps, pens, base_key, blk_idx, active):
+        rows = jnp.arange(tok.shape[0])
+
+        def step(carry, k):
+            t, p, c, h = carry
+            logits, c = mod.decode_step(cfg, params, t, p, c,
+                                        attn_window=window)
+            # history entries [0, p] are valid (h[b, p] == current token)
+            logits = apply_repetition_penalty(logits, h, p + 1, pens)
+            toks = sample_batch(logits, temps, topks, topps, k, minps)
+            t2 = jnp.where(active, toks, t)
+            p2 = p + active.astype(jnp.int32)
+            h = h.at[rows, jnp.minimum(p + 1, h.shape[1] - 1)].set(
+                jnp.where(active, t2, jnp.take_along_axis(
+                    h, jnp.minimum(p + 1, h.shape[1] - 1)[:, None], 1)[:, 0]))
+            return (t2, p2, c, h), t2
+
+        keys = jax.random.split(jax.random.fold_in(base_key, blk_idx), kblk)
+        (t, p, cache, hist), tok_hist = jax.lax.scan(
+            step, (tok, pos, cache, hist), keys)
+        return tok_hist, t, p, cache, hist
+
+    if rep:
+        return jax.jit(_decode_block_rep, donate_argnums=(3, 4))
     return jax.jit(_decode_block, donate_argnums=(3,))
 
 
@@ -205,7 +237,7 @@ def _jit_prefill(cfg):
     mod = _model_for(cfg)
 
     def _prefill(params, tokens, true_len, slot, cache, pool_cache,
-                 temp, topk, topp, base_key, idx):
+                 temp, topk, topp, minp, pen, base_key, idx):
         # lm_head projected only at the prompt's true last position (tokens
         # are right-padded) — the full [B,T,V] logits tensor would dominate
         # prefill memory
@@ -216,8 +248,11 @@ def _jit_prefill(cfg):
             return jax.lax.dynamic_update_slice_in_dim(big, small, slot, axis=1)
 
         new_pool = jax.tree.map(insert, pool_cache, cache1)
+        # first sampled token honors the repetition penalty over the prompt
+        # (the chunked path starts penalizing from the first decode block)
+        last = apply_repetition_penalty(last, tokens, true_len, pen)
         tok = sample_batch(last, temp, topk, topp,
-                           jax.random.fold_in(base_key, idx))
+                           jax.random.fold_in(base_key, idx), minp)
         return tok, new_pool
 
     return jax.jit(_prefill, donate_argnums=(5,))
@@ -263,9 +298,9 @@ def _jit_set_slot_state():
 
 @functools.lru_cache(maxsize=None)
 def _jit_sample_first():
-    def _sample_first(logits, temp, topk, topp, base_key, idx):
+    def _sample_first(logits, temp, topk, topp, minp, base_key, idx):
         return sample_batch(logits, temp, topk, topp,
-                            jax.random.fold_in(base_key, idx))
+                            jax.random.fold_in(base_key, idx), minp)
 
     return jax.jit(_sample_first)
 
@@ -310,6 +345,8 @@ class Engine:
         self._temps = np.zeros((b,), np.float32)
         self._topks = np.zeros((b,), np.int32)
         self._topps = np.ones((b,), np.float32)
+        self._minps = np.zeros((b,), np.float32)
+        self._pens = np.ones((b,), np.float32)
         self._slot_state_dirty = True  # device mirrors staged lazily
 
         # --- jitted device programs (shared, module-level caches) --------
@@ -318,7 +355,7 @@ class Engine:
         self._insert_slot = _jit_insert_slot()
         self._set_slot_state = _jit_set_slot_state()
         self._sample_first = _jit_sample_first()
-        if econfig.speculate > 0:
+        if econfig.speculate > 0 or econfig.track_history:
             self._hist = jnp.zeros((b, econfig.max_seq_len + econfig.speculate + 2),
                                    jnp.int32)
 
@@ -344,14 +381,21 @@ class Engine:
         b = self.ec.batch_slots
         for w in sorted(set(tuple(self.ec.attn_windows)
                             + (self.ec.max_seq_len,))):
-            fn = _jit_decode_block(self.cfg, self.ec.decode_block, w)
+            rep = bool(self.ec.track_history)
+            fn = _jit_decode_block(self.cfg, self.ec.decode_block, w, rep=rep)
             scratch_cache = self._model.init_kv_cache(self.cfg, b,
                                             max_len=self.ec.max_seq_len)
+            hist_args = (self._hist,) if rep else ()
+            minpen = ((jnp.zeros((b,), jnp.float32),
+                       jnp.ones((b,), jnp.float32)) if rep
+                      else (jnp.zeros((b,), jnp.float32),))
             out = fn(self.params, self._cur_tok, self._positions,
-                     scratch_cache, jnp.zeros((b,), jnp.float32),
+                     scratch_cache, *hist_args, jnp.zeros((b,), jnp.float32),
                      jnp.zeros((b,), jnp.int32), jnp.ones((b,), jnp.float32),
-                     self._key, 0, jnp.zeros((b,), jnp.bool_))
+                     *minpen, self._key, 0, jnp.zeros((b,), jnp.bool_))
             jax.block_until_ready(out[0])
+            if rep:
+                self._hist = out[4]  # donated in; keep the live buffer
             del scratch_cache, out
 
     # ------------------------------------------------------------------
@@ -363,6 +407,10 @@ class Engine:
                 f"request {req.rid}: top_k={req.sampling.top_k} exceeds the "
                 f"sampler candidate window ({TOPK_CAND}); sampling would "
                 f"silently use a narrower candidate set (sampler.TOPK_CAND)")
+        if req.sampling.repetition_penalty != 1.0 and not self.ec.track_history:
+            raise ValueError(
+                f"request {req.rid}: repetition_penalty needs the device-side "
+                "token history — set EngineConfig.track_history=True")
         req.submitted_at = time.perf_counter()
         self._queue.append(req)
         self._all.append(req)
@@ -468,6 +516,8 @@ class Engine:
             np.asarray([sp.temperature], np.float32),
             np.asarray([sp.top_k], np.int32),
             np.asarray([sp.top_p], np.float32),
+            np.asarray([sp.min_p], np.float32),
+            np.asarray([sp.repetition_penalty], np.float32),
             self._key, self._blk_counter)
         # padded positions wrote scales too, but attention masks beyond
         # `position` ignore them
@@ -481,6 +531,7 @@ class Engine:
                                np.asarray([sp.temperature], np.float32),
                                np.asarray([sp.top_k], np.int32),
                                np.asarray([sp.top_p], np.float32),
+                               np.asarray([sp.min_p], np.float32),
                                self._key, self._blk_counter)
         return int(t[0])
 
@@ -497,11 +548,13 @@ class Engine:
         self._temps[slot] = req.sampling.temperature
         self._topks[slot] = req.sampling.top_k
         self._topps[slot] = req.sampling.top_p
+        self._minps[slot] = req.sampling.min_p
+        self._pens[slot] = req.sampling.repetition_penalty
         self._slot_state_dirty = True
         self._host_pos[slot] = plen
         self._cur_tok, self._positions = self._set_slot_state(
             self._cur_tok, self._positions, slot, tok, plen)
-        if self.ec.speculate > 0:
+        if self.ec.speculate > 0 or self.ec.track_history:
             row = np.zeros((self._hist.shape[1],), np.int32)
             row[: plen] = np.asarray(req.prompt, np.int32)
             row[plen] = tok
@@ -512,7 +565,8 @@ class Engine:
     def _maybe_finish(self, req: Request, slot: int) -> None:
         s = req.sampling
         if len(req.tokens) >= s.max_new_tokens or (
-                s.eos_token >= 0 and req.tokens[-1] == s.eos_token):
+                s.eos_token >= 0 and req.tokens[-1] == s.eos_token) or (
+                s.stop_tokens and req.tokens[-1] in s.stop_tokens):
             req.done = True
             if self._slots[slot] is req:  # pipelined bookkeeping runs a block
                 self._slots[slot] = None  # behind dispatch — never clobber a
@@ -523,9 +577,9 @@ class Engine:
     def _spec_ok(self) -> bool:
         if self.ec.speculate <= 0:
             return False
-        if any(self._temps[i] > 0 for i, r in enumerate(self._slots)
-               if r is not None):
-            return False  # stochastic slot active: greedy-only feature
+        if any(self._temps[i] > 0 or self._pens[i] != 1.0
+               for i, r in enumerate(self._slots) if r is not None):
+            return False  # stochastic / penalized slot: greedy-only feature
         bound = self.ec.decode_block * (self.ec.speculate + 1) + 1
         return int(self._host_pos[self._active].max()) + bound < self.ec.max_seq_len
 
@@ -538,6 +592,8 @@ class Engine:
             self._temps_dev = jnp.asarray(self._temps)
             self._topks_dev = jnp.asarray(self._topks)
             self._topps_dev = jnp.asarray(self._topps)
+            self._minps_dev = jnp.asarray(self._minps)
+            self._pens_dev = jnp.asarray(self._pens)
             self._active_dev = jnp.asarray(self._active)
             self._slot_state_dirty = False
         self._blk_counter += 1
@@ -559,15 +615,27 @@ class Engine:
             self._positions = pos
             return ("spec", emit_hist, n_emit), list(self._slots)
         self._host_pos[self._active] += kblk
-        block_fn = _jit_decode_block(self.cfg, kblk, window)
         pos_before = self._positions
-        tok_hist, tok, pos, self.cache = block_fn(
-            self.params, self._cur_tok, self._positions, self.cache,
-            self._temps_dev, self._topks_dev, self._topps_dev,
-            self._key, self._blk_counter, self._active_dev)
+        if self.ec.track_history:
+            # history-carrying variant: repetition penalty + min-p applied
+            # in-scan; the hist buffer is updated in-graph (no outside
+            # append needed)
+            block_fn = _jit_decode_block(self.cfg, kblk, window, rep=True)
+            tok_hist, tok, pos, self.cache, self._hist = block_fn(
+                self.params, self._cur_tok, self._positions, self.cache,
+                self._hist, self._temps_dev, self._topks_dev, self._topps_dev,
+                self._minps_dev, self._pens_dev,
+                self._key, self._blk_counter, self._active_dev)
+        else:
+            block_fn = _jit_decode_block(self.cfg, kblk, window)
+            tok_hist, tok, pos, self.cache = block_fn(
+                self.params, self._cur_tok, self._positions, self.cache,
+                self._temps_dev, self._topks_dev, self._topps_dev,
+                self._minps_dev, self._key, self._blk_counter,
+                self._active_dev)
         self._cur_tok = tok
         self._positions = pos
-        if self.ec.speculate > 0:
+        if self.ec.speculate > 0 and not self.ec.track_history:
             # keep the speculation history current through non-spec ticks
             # (stale gaps would silently zero the drafting hit-rate)
             self._hist = _jit_hist_append()(self._hist, tok_hist, pos_before,

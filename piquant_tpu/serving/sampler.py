@@ -16,8 +16,14 @@ class SamplingParams:
     temperature: float = 0.0   # 0 => greedy
     top_k: int = 0             # 0 => disabled
     top_p: float = 1.0         # 1 => disabled
+    min_p: float = 0.0         # 0 => disabled; keep tokens with
+                               # p >= min_p * p_max (full-softmax probs)
+    repetition_penalty: float = 1.0  # 1 => disabled; HF/CTRL convention:
+                                     # seen tokens' logits l>0 -> l/pen,
+                                     # l<0 -> l*pen (prompt + generated)
     max_new_tokens: int = 128
     eos_token: int = -1        # -1 => never stops on EOS
+    stop_tokens: tuple = ()    # additional stop ids (Llama-3 eot etc.)
 
 
 def sample(logits: Array, params: SamplingParams, key: Optional[Array]) -> Array:
@@ -43,12 +49,34 @@ def sample(logits: Array, params: SamplingParams, key: Optional[Array]) -> Array
 TOPK_CAND = 128  # top-k/top-p candidate window (see sample_batch docstring)
 
 
+def apply_repetition_penalty(
+    logits: Array,     # [B, V]
+    hist: Array,       # [B, S] token history (prompt + generated)
+    hist_len: Array,   # [B] valid entries in hist
+    penalty: Array,    # [B] f32; 1.0 => no-op for that row
+) -> Array:
+    """HF/CTRL repetition penalty: for every token id present in the
+    row's history, logit l -> l/penalty if l > 0 else l*penalty.
+    One [B, V] scatter per call — cheap next to the decode matmuls."""
+    b, v = logits.shape
+    s = hist.shape[1]
+    valid = jnp.arange(s, dtype=jnp.int32)[None, :] < hist_len[:, None]
+    ids = jnp.where(valid, hist, v)  # invalid entries scatter off the end
+    seen = jnp.zeros((b, v + 1), jnp.bool_).at[
+        jnp.arange(b)[:, None], ids].set(True)[:, :v]
+    l = logits.astype(jnp.float32)
+    pen = penalty[:, None]
+    penalized = jnp.where(l > 0, l / pen, l * pen)
+    return jnp.where(seen & (pen != 1.0), penalized, l)
+
+
 def sample_batch(
     logits: Array,       # [B, V]
     temperature: Array,  # [B] f32; <= 0 => greedy for that row
     top_k: Array,        # [B] i32; 0 => disabled (capped at TOPK_CAND)
     top_p: Array,        # [B] f32; >= 1 => disabled
     key: Array,
+    min_p: Optional[Array] = None,  # [B] f32; <= 0 => disabled
 ) -> Array:
     """Per-row sampling params as TRACED arrays -> one compiled variant
     serves every mix of per-slot settings (the continuous-batching engine
@@ -84,10 +112,17 @@ def sample_batch(
     nucleus = (cum - probs) < top_p[:, None]
     keep = keep & (nucleus | (top_p >= 1.0)[:, None])
 
+    restricted = (top_k > 0) | (top_p < 1.0)
+    if min_p is not None:
+        # min-p on the FULL softmax: p(tok) >= min_p * p(argmax).  In
+        # logit space: lt >= lt_max + log(min_p) — no normalizer needed.
+        thresh = cand[:, :1] + jnp.log(jnp.maximum(min_p, 1e-10))[:, None]
+        keep = keep & ((cand >= thresh) | (min_p <= 0.0)[:, None])
+        restricted = restricted | (min_p > 0.0)
+
     masked = jnp.where(keep, cand, -jnp.inf)
     draw_c = jax.random.categorical(jax.random.fold_in(key, 1), masked, axis=-1)
     windowed = jnp.take_along_axis(cand_idx, draw_c[:, None], axis=-1)[:, 0]
 
-    restricted = (top_k > 0) | (top_p < 1.0)
     out = jnp.where(restricted, windowed, full_draw)
     return jnp.where(greedy, arg, out).astype(jnp.int32)

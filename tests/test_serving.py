@@ -428,3 +428,90 @@ def test_engine_mla_chunked_and_windows():
     # on this geometry
     assert got_win == want, (got_win, want)
     assert got_chunk == want, (got_chunk, want)
+
+
+def test_repetition_penalty_greedy_matches_reference(setup):
+    """Greedy decode with repetition_penalty through the engine
+    (track_history + in-scan penalty) must equal a manual loop applying
+    the HF/CTRL rule (seen logit l>0 -> l/pen else l*pen over
+    prompt+generated) — and must differ from the unpenalized stream."""
+    cfg, params = setup
+    prompt = [7, 3, 7, 3, 7, 3]
+    n_new, pen = 10, 1.8
+
+    # oracle
+    cache = M.init_kv_cache(cfg, 1, max_len=128)
+    logits, cache = M.prefill(cfg, params, jnp.asarray([prompt], jnp.int32),
+                              cache)
+    seen = set(prompt)
+    def penalize(lg):
+        lg = np.asarray(lg, np.float64).copy()
+        for t in seen:
+            lg[t] = lg[t] / pen if lg[t] > 0 else lg[t] * pen
+        return lg
+    tok = int(penalize(logits[0]).argmax())
+    want, pos = [], len(prompt)
+    for _ in range(n_new):
+        want.append(tok)
+        seen.add(tok)
+        logits, cache = M.decode_step(cfg, params,
+                                      jnp.asarray([tok], jnp.int32),
+                                      jnp.asarray([pos], jnp.int32), cache)
+        tok = int(penalize(logits[0]).argmax())
+        pos += 1
+
+    eng = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=128,
+                                           decode_block=3,
+                                           track_history=True))
+    eng.submit(Request(rid=0, prompt=prompt, sampling=SamplingParams(
+        max_new_tokens=n_new, repetition_penalty=pen)))
+    got = eng.run()[0].tokens
+    assert got == want
+
+    eng2 = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=128,
+                                            decode_block=3))
+    eng2.submit(Request(rid=0, prompt=prompt,
+                        sampling=SamplingParams(max_new_tokens=n_new)))
+    plain = eng2.run()[0].tokens
+    assert plain != got  # the penalty actually changed the stream
+
+
+def test_repetition_penalty_requires_track_history(setup):
+    cfg, params = setup
+    eng = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=64))
+    with pytest.raises(ValueError, match="track_history"):
+        eng.submit(Request(rid=0, prompt=[1, 2], sampling=SamplingParams(
+            repetition_penalty=1.3)))
+
+
+def test_min_p_restricts_candidates(setup):
+    """min_p=1.0 forces p >= p_max, i.e. only argmax-tied tokens survive —
+    stochastic sampling must then equal greedy."""
+    cfg, params = setup
+    prompt = [5, 9, 2, 4]
+
+    def run(sp):
+        eng = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=64),
+                     rng_seed=3)
+        eng.submit(Request(rid=0, prompt=prompt, sampling=sp))
+        return eng.run()[0].tokens
+
+    greedy = run(SamplingParams(max_new_tokens=8))
+    minp = run(SamplingParams(max_new_tokens=8, temperature=1.0, min_p=1.0))
+    assert minp == greedy
+
+
+def test_stop_tokens(setup):
+    """Generation stops at the first token in stop_tokens."""
+    cfg, params = setup
+    prompt = [5, 9, 2, 4]
+    base_eng = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=64))
+    base_eng.submit(Request(rid=0, prompt=prompt,
+                            sampling=SamplingParams(max_new_tokens=12)))
+    base = base_eng.run()[0].tokens
+    stop = base[4]  # stop at the 5th emitted token
+    eng = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=64))
+    eng.submit(Request(rid=0, prompt=prompt, sampling=SamplingParams(
+        max_new_tokens=12, stop_tokens=(stop,))))
+    got = eng.run()[0].tokens
+    assert got == base[:base.index(stop) + 1]
