@@ -88,8 +88,9 @@ def spec_block(
 ) -> Tuple[Array, Array, Array, Array, Array, object]:
     """Run `n_steps` speculative verify steps in one scan.
 
-    Returns (emit_hist [K, B, G+1], n_emit [K, B], tok, pos, hist, cache):
-    step k emitted emit_hist[k, b, :n_emit[k, b]] tokens for row b."""
+    Returns (emit_hist [K, B, G+1], emit_lp [K, B, G+1] — raw-model
+    log-probs of the emitted tokens — n_emit [K, B], tok, pos, hist,
+    cache): step k emitted emit_hist[k, b, :n_emit[k, b]] tokens."""
     b = tok.shape[0]
     rows = jnp.arange(b)
     garange = jnp.arange(G + 1, dtype=jnp.int32)
@@ -102,6 +103,9 @@ def spec_block(
         logits, cache = _verify_forward(cfg, params, tokens_in,
                                         positions, cache)
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, G+1]
+        lf = logits.astype(jnp.float32)
+        lp = (jnp.take_along_axis(lf, greedy[..., None], -1)[..., 0]
+              - jax.nn.logsumexp(lf, axis=-1))                  # [B, G+1]
         ok = (drafts == greedy[:, :-1])
         n_acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1,
                         dtype=jnp.int32)
@@ -120,8 +124,8 @@ def spec_block(
                       jnp.take_along_axis(hist, pos[:, None], 1)[:, 0]))
         tok = jnp.where(active, next_tok, tok)
         pos = jnp.where(active, new_pos, pos)
-        return (tok, pos, cache, hist), (greedy, n_emit)
+        return (tok, pos, cache, hist), (greedy, lp, n_emit)
 
-    (tok, pos, cache, hist), (emit_hist, n_emit) = jax.lax.scan(
+    (tok, pos, cache, hist), (emit_hist, emit_lp, n_emit) = jax.lax.scan(
         step, (tok, pos, cache, hist), None, length=n_steps)
-    return emit_hist, n_emit, tok, pos, hist, cache
+    return emit_hist, emit_lp, n_emit, tok, pos, hist, cache

@@ -80,6 +80,9 @@ class Request:
     sampling: SamplingParams = SamplingParams()
     # filled by the engine:
     tokens: List[int] = dataclasses.field(default_factory=list)
+    logprobs: List[float] = dataclasses.field(default_factory=list)
+    # raw-model log p(token | context) for every emitted token (pre-
+    # temperature/penalty — the OpenAI-style convention); always populated
     ttft_s: Optional[float] = None
     submitted_at: float = 0.0
     done: bool = False
@@ -136,6 +139,14 @@ class EngineMetrics:
 import functools
 
 
+def _tok_logprob(logits, toks):
+    """log p(tok) under the RAW model distribution ([B, V] f32 logits)."""
+    lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+    chosen = jnp.take_along_axis(logits.astype(jnp.float32),
+                                 toks[:, None].astype(jnp.int32), 1)[:, 0]
+    return chosen - lse
+
+
 def _model_for(cfg):
     """Model module by config type: the engine is model-agnostic over any
     module exposing init_kv_cache / prefill / decode_step with batch at
@@ -163,13 +174,15 @@ def _jit_decode_block(cfg, kblk: int, window: int, rep: bool = False):
                                         attn_window=window)
             toks = sample_batch(logits, temps, topks, topps, k, minps)
             t2 = jnp.where(active, toks, t)
-            return (t2, p + active.astype(jnp.int32), c), t2
+            return (t2, p + active.astype(jnp.int32), c), (
+                t2, _tok_logprob(logits, t2))
 
         # key derivation stays in-graph: the host passes one int per block
         # (bundled with the dispatch — no eager split round-trip)
         keys = jax.random.split(jax.random.fold_in(base_key, blk_idx), kblk)
-        (t, p, cache), tok_hist = jax.lax.scan(step, (tok, pos, cache), keys)
-        return tok_hist, t, p, cache  # [K, B], [B], [B], cache
+        (t, p, cache), (tok_hist, lp_hist) = jax.lax.scan(
+            step, (tok, pos, cache), keys)
+        return tok_hist, lp_hist, t, p, cache  # [K,B], [K,B], [B], [B], cache
 
     def _decode_block_rep(params, tok, pos, cache, hist, temps, topks, topps,
                           minps, pens, base_key, blk_idx, active):
@@ -180,6 +193,7 @@ def _jit_decode_block(cfg, kblk: int, window: int, rep: bool = False):
             logits, c = mod.decode_step(cfg, params, t, p, c,
                                         attn_window=window)
             # history entries [0, p] are valid (h[b, p] == current token)
+            raw = logits
             logits = apply_repetition_penalty(logits, h, p + 1, pens)
             toks = sample_batch(logits, temps, topks, topps, k, minps)
             t2 = jnp.where(active, toks, t)
@@ -187,12 +201,12 @@ def _jit_decode_block(cfg, kblk: int, window: int, rep: bool = False):
             h = h.at[rows, jnp.minimum(p + 1, h.shape[1] - 1)].set(
                 jnp.where(active, t2, jnp.take_along_axis(
                     h, jnp.minimum(p + 1, h.shape[1] - 1)[:, None], 1)[:, 0]))
-            return (t2, p2, c, h), t2
+            return (t2, p2, c, h), (t2, _tok_logprob(raw, t2))
 
         keys = jax.random.split(jax.random.fold_in(base_key, blk_idx), kblk)
-        (t, p, cache, hist), tok_hist = jax.lax.scan(
+        (t, p, cache, hist), (tok_hist, lp_hist) = jax.lax.scan(
             step, (tok, pos, cache, hist), keys)
-        return tok_hist, t, p, cache, hist
+        return tok_hist, lp_hist, t, p, cache, hist
 
     if rep:
         return jax.jit(_decode_block_rep, donate_argnums=(3, 4))
@@ -250,10 +264,11 @@ def _jit_prefill(cfg):
         new_pool = jax.tree.map(insert, pool_cache, cache1)
         # first sampled token honors the repetition penalty over the prompt
         # (the chunked path starts penalizing from the first decode block)
+        raw = last
         last = apply_repetition_penalty(last, tokens, true_len, pen)
         tok = sample_batch(last, temp, topk, topp,
                            jax.random.fold_in(base_key, idx), minp)
-        return tok, new_pool
+        return tok, _tok_logprob(raw, tok), new_pool
 
     return jax.jit(_prefill, donate_argnums=(5,))
 
@@ -299,8 +314,9 @@ def _jit_set_slot_state():
 @functools.lru_cache(maxsize=None)
 def _jit_sample_first():
     def _sample_first(logits, temp, topk, topp, minp, base_key, idx):
-        return sample_batch(logits, temp, topk, topp,
-                            jax.random.fold_in(base_key, idx), minp)
+        tok = sample_batch(logits, temp, topk, topp,
+                           jax.random.fold_in(base_key, idx), minp)
+        return tok, _tok_logprob(logits, tok)
 
     return jax.jit(_sample_first)
 
@@ -395,7 +411,7 @@ class Engine:
                      *minpen, self._key, 0, jnp.zeros((b,), jnp.bool_))
             jax.block_until_ready(out[0])
             if rep:
-                self._hist = out[4]  # donated in; keep the live buffer
+                self._hist = out[5]  # donated in; keep the live buffer
             del scratch_cache, out
 
     # ------------------------------------------------------------------
@@ -491,9 +507,9 @@ class Engine:
                     budget -= 1
             # all chunks done: install the slot cache + first token
             self.cache = self._insert_slot(self.cache, p["fresh"], p["slot"])
-            tok = self._sample(p["last"], p["req"])
+            tok, lp = self._sample(p["last"], p["req"])
             self._record_first_token(p["req"], tok, p["slot"], p["plen"],
-                                     p["t0"])
+                                     p["t0"], lp=lp)
             self._pending_prefill = None
 
     def _admit_one_shot(self, req: Request, slot: int, plen: int,
@@ -510,7 +526,7 @@ class Engine:
         toks = jnp.asarray([padded], jnp.int32)
         sp = req.sampling
         self._blk_counter += 1
-        tok_dev, self.cache = self._prefill(
+        tok_dev, lp_dev, self.cache = self._prefill(
             self.params, toks, jnp.asarray([plen], jnp.int32),
             slot, fresh, self.cache,
             np.asarray([sp.temperature], np.float32),
@@ -522,27 +538,31 @@ class Engine:
         # padded positions wrote scales too, but attention masks beyond
         # `position` ignore them
         tok = int(np.asarray(tok_dev)[0])
-        self._record_first_token(req, tok, slot, plen, t0)
+        self._record_first_token(req, tok, slot, plen, t0,
+                                 lp=float(np.asarray(lp_dev)[0]))
 
-    def _sample(self, logits: Array, req: Request) -> int:
+    def _sample(self, logits: Array, req: Request):
         self._blk_counter += 1
         sp = req.sampling
-        t = self._sample_first(logits,
-                               np.asarray([sp.temperature], np.float32),
-                               np.asarray([sp.top_k], np.int32),
-                               np.asarray([sp.top_p], np.float32),
-                               np.asarray([sp.min_p], np.float32),
-                               self._key, self._blk_counter)
-        return int(t[0])
+        t, lp = self._sample_first(logits,
+                                   np.asarray([sp.temperature], np.float32),
+                                   np.asarray([sp.top_k], np.int32),
+                                   np.asarray([sp.top_p], np.float32),
+                                   np.asarray([sp.min_p], np.float32),
+                                   self._key, self._blk_counter)
+        return int(t[0]), float(lp[0])
 
     def _record_first_token(self, req: Request, tok: int, slot: int,
-                            plen: int, t0: float) -> None:
+                            plen: int, t0: float,
+                            lp: Optional[float] = None) -> None:
         now = time.perf_counter()
         req.ttft_s = now - req.submitted_at
         self.metrics.ttfts.append(req.ttft_s)
         self.metrics.prefill_tokens += plen
         self.metrics.prefill_time_s += now - t0
         req.tokens.append(tok)
+        if lp is not None:
+            req.logprobs.append(lp)
         self._slots[slot] = req
         self._active[slot] = True
         self._temps[slot] = req.sampling.temperature
@@ -608,12 +628,13 @@ class Engine:
             # conservative upper bound; _process_block corrects to actuals
             self._host_pos[self._active] += kblk * (g + 1)
             spec_fn = _jit_spec_block(self.cfg, kblk, g)
-            emit_hist, n_emit, tok, pos, self._hist, self.cache = spec_fn(
+            (emit_hist, emit_lp, n_emit, tok, pos, self._hist,
+             self.cache) = spec_fn(
                 self.params, self._cur_tok, self._positions, self.cache,
                 self._hist, self._active_dev)
             self._cur_tok = tok
             self._positions = pos
-            return ("spec", emit_hist, n_emit), list(self._slots)
+            return ("spec", emit_hist, emit_lp, n_emit), list(self._slots)
         self._host_pos[self._active] += kblk
         pos_before = self._positions
         if self.ec.track_history:
@@ -621,14 +642,14 @@ class Engine:
             # in-scan; the hist buffer is updated in-graph (no outside
             # append needed)
             block_fn = _jit_decode_block(self.cfg, kblk, window, rep=True)
-            tok_hist, tok, pos, self.cache, self._hist = block_fn(
+            tok_hist, lp_hist, tok, pos, self.cache, self._hist = block_fn(
                 self.params, self._cur_tok, self._positions, self.cache,
                 self._hist, self._temps_dev, self._topks_dev, self._topps_dev,
                 self._minps_dev, self._pens_dev,
                 self._key, self._blk_counter, self._active_dev)
         else:
             block_fn = _jit_decode_block(self.cfg, kblk, window)
-            tok_hist, tok, pos, self.cache = block_fn(
+            tok_hist, lp_hist, tok, pos, self.cache = block_fn(
                 self.params, self._cur_tok, self._positions, self.cache,
                 self._temps_dev, self._topks_dev, self._topps_dev,
                 self._minps_dev, self._key, self._blk_counter,
@@ -640,22 +661,24 @@ class Engine:
             # (stale gaps would silently zero the drafting hit-rate)
             self._hist = _jit_hist_append()(self._hist, tok_hist, pos_before,
                                             self._active_dev)
-        return ("norm", tok_hist), list(self._slots)
+        return ("norm", tok_hist, lp_hist), list(self._slots)
 
     def _process_block(self, payload, slots_snapshot) -> None:
         """Fetch a previously dispatched block's tokens and do bookkeeping.
         Runs one block BEHIND dispatch so the host readback latency overlaps
         the next block's device compute."""
         if payload[0] == "spec":
-            _, emit_hist, n_emit = payload
+            _, emit_hist, emit_lp, n_emit = payload
             emits = np.asarray(emit_hist)   # [K, B, G+1]
+            lps = np.asarray(emit_lp)       # [K, B, G+1]
             counts = np.asarray(n_emit)     # [K, B]
             for step in range(emits.shape[0]):
                 for i, req in enumerate(slots_snapshot):
                     if req is None or req.done:
                         continue
-                    for t in emits[step, i, : counts[step, i]]:
-                        req.tokens.append(int(t))
+                    for j in range(counts[step, i]):
+                        req.tokens.append(int(emits[step, i, j]))
+                        req.logprobs.append(float(lps[step, i, j]))
                         self.metrics.decode_tokens += 1
                         self._maybe_finish(req, i)
                         if req.done:
@@ -665,10 +688,12 @@ class Engine:
                                           - int(counts[step, i]))
             return
         toks_np = np.asarray(payload[1])  # [K, B]
+        lps_np = np.asarray(payload[2])   # [K, B]
         for step in range(toks_np.shape[0]):
             for i, req in enumerate(slots_snapshot):
                 if req is not None and not req.done:
                     req.tokens.append(int(toks_np[step, i]))
+                    req.logprobs.append(float(lps_np[step, i]))
                     self.metrics.decode_tokens += 1
                     self._maybe_finish(req, i)
 

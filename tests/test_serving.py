@@ -515,3 +515,46 @@ def test_stop_tokens(setup):
         max_new_tokens=12, stop_tokens=(stop,))))
     got = eng.run()[0].tokens
     assert got == base[:base.index(stop) + 1]
+
+
+def test_logprobs_match_reference(setup):
+    """Every emitted token carries its raw-model log-probability; values
+    must match log_softmax of the reference decode logits at the chosen
+    tokens, and the speculative path must report the same numbers as
+    normal decode for greedy requests."""
+    cfg, params = setup
+    prompt = [5, 9, 2, 4, 9, 2]
+    n_new = 8
+
+    # reference: manual loop
+    cache = M.init_kv_cache(cfg, 1, max_len=128)
+    logits, cache = M.prefill(cfg, params, jnp.asarray([prompt], jnp.int32),
+                              cache)
+    def lp_of(lg, t):
+        lg = np.asarray(lg, np.float64)
+        return float(lg[t] - np.log(np.exp(lg - lg.max()).sum()) - lg.max())
+    tok = int(logits.argmax(-1)[0])
+    want_lp, pos = [lp_of(logits[0], tok)], len(prompt)
+    for _ in range(n_new - 1):
+        logits, cache = M.decode_step(cfg, params,
+                                      jnp.asarray([tok], jnp.int32),
+                                      jnp.asarray([pos], jnp.int32), cache)
+        tok = int(logits.argmax(-1)[0])
+        want_lp.append(lp_of(logits[0], tok))
+        pos += 1
+
+    def run(**ekw):
+        eng = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=128,
+                                               decode_block=3, **ekw))
+        eng.submit(Request(rid=0, prompt=prompt,
+                           sampling=SamplingParams(max_new_tokens=n_new)))
+        r = eng.run()[0]
+        assert len(r.logprobs) == len(r.tokens) == n_new
+        return r.logprobs
+
+    got = run()
+    np.testing.assert_allclose(got, want_lp, atol=5e-3)
+    got_spec = run(speculate=3)
+    np.testing.assert_allclose(got_spec, want_lp, atol=5e-3)
+    got_rep = run(track_history=True)
+    np.testing.assert_allclose(got_rep, want_lp, atol=5e-3)
