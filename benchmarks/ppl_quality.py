@@ -112,6 +112,21 @@ def main(steps: int = 400):
         print(f"{name:24s} ppl: {ppl:.4f}  (delta {ppl-base:+.4f}) [{status}]",
               flush=True)
 
+    # --- AWQ: activation-aware scaling folded into the norms (quant/awq) -
+    from piquant_tpu.quant.awq import awq_quantize_params
+
+    calib = jnp.asarray(
+        np.stack([corpus[s:s + 256]
+                  for s in rng.integers(0, corpus.size - 256, 8)]), jnp.int32)
+    for name, bits, gs in [("int4-g32 + AWQ", 4, 32),
+                           ("int2-g32 + AWQ", 2, 32),
+                           ("int2 channelwise + AWQ", 2, None)]:
+        qp = awq_quantize_params(cfg, params, calib, bits, group_size=gs)
+        ppl = perplexity(cfg, qp, eval_toks, window=512, stride=256)
+        status = "PASS" if ppl - base <= 0.1 else "above-0.1"
+        print(f"{name:24s} ppl: {ppl:.4f}  (delta {ppl-base:+.4f}) [{status}]",
+              flush=True)
+
     # --- QAT recovery for INT2: continue training THROUGH the 2-bit
     # fake-quant (STE) so the weights adapt to the code grid ---------------
     from piquant_tpu.quant.qat import fake_quant_model_weights
