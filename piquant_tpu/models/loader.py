@@ -373,8 +373,21 @@ def params_from_state_dict(state_dict: Dict[str, Any], cfg: LlamaConfig) -> Dict
 
 
 def load_from_hf(model_or_path, dtype=jnp.bfloat16,
-                 quantize_bits: Optional[int] = None) -> Tuple[LlamaConfig, Dict]:
-    """Load from a transformers model instance or a local path."""
+                 quantize_bits: Optional[int] = None,
+                 *,
+                 group_size: Optional[int] = None,
+                 method: str = "rtn",
+                 calib_tokens=None) -> Tuple[LlamaConfig, Dict]:
+    """Load from a transformers model instance or a local path.
+
+    `method` selects the weight quantizer when `quantize_bits` is set:
+      "rtn"       round-to-nearest (default; no calibration needed)
+      "awq"       activation-aware norm-folded scaling (quant/awq.py)
+      "gptq"      Hessian-compensated rounding (quant/gptq.py)
+      "awq+gptq"  AWQ fold first, then GPTQ on the scaled weights —
+                  the recommended INT2/INT3 recipe
+    awq/gptq need `calib_tokens` ([B, T] int token ids) and a dense
+    (non-MoE) model."""
     if isinstance(model_or_path, str):
         from transformers import AutoModelForCausalLM
 
@@ -382,7 +395,26 @@ def load_from_hf(model_or_path, dtype=jnp.bfloat16,
     cfg = config_from_hf(model_or_path.config, dtype)
     params = params_from_state_dict(model_or_path.state_dict(), cfg)
     if quantize_bits is not None:
+        if method not in ("rtn", "awq", "gptq", "awq+gptq"):
+            raise ValueError(f"unknown quantization method {method!r}")
+        if method != "rtn" and calib_tokens is None:
+            raise ValueError(f"method={method!r} needs calib_tokens")
         from piquant_tpu.models.llama import quantize_params
 
-        params = quantize_params(params, bits=quantize_bits)
+        if "awq" in method:
+            from piquant_tpu.quant.awq import (apply_awq_scales,
+                                               collect_activation_stats)
+
+            stats = collect_activation_stats(cfg, params, calib_tokens)
+            params = apply_awq_scales(cfg, params, stats, quantize_bits,
+                                      group_size=group_size)
+        if "gptq" in method:
+            from piquant_tpu.quant.gptq import gptq_quantize_params
+
+            params = gptq_quantize_params(cfg, params, calib_tokens,
+                                          quantize_bits,
+                                          group_size=group_size)
+        else:
+            params = quantize_params(params, bits=quantize_bits,
+                                     group_size=group_size)
     return cfg, params

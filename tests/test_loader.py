@@ -514,3 +514,40 @@ def test_gemma3_loader_matches_transformers():
                             jnp.full((2,), 11, jnp.int32), cache)
     rel = np.abs(np.asarray(step) - want[:, -1]).max() / np.abs(want[:, -1]).max()
     assert rel < 0.08, rel
+
+
+def test_load_from_hf_quant_methods():
+    """loader method= dispatch: rtn / awq / gptq / awq+gptq all produce a
+    servable quantized pytree from a HF model; calibration validation."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from piquant_tpu.models.loader import load_from_hf
+    from piquant_tpu.models import llama as M
+
+    torch.manual_seed(55)
+    conf = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5, pad_token_id=0,
+        attn_implementation="eager", tie_word_embeddings=False)
+    model = transformers.LlamaForCausalLM(conf)
+    model.eval()
+    rng = np.random.default_rng(56)
+    calib = rng.integers(0, 128, (2, 24))
+    toks = jnp.asarray(rng.integers(0, 128, (1, 8)), jnp.int32)
+
+    with torch.no_grad():
+        want = model(torch.tensor(np.asarray(toks))).logits.numpy()
+
+    for method in ("rtn", "awq", "gptq", "awq+gptq"):
+        cfg, params = load_from_hf(model, dtype=jnp.float32, quantize_bits=4,
+                                   group_size=32, method=method,
+                                   calib_tokens=calib)
+        got, _ = M.forward(cfg, params, toks)
+        rel = np.abs(np.asarray(got) - want).max() / np.abs(want).max()
+        assert rel < 0.15, (method, rel)  # int4-g32 stays close to float
+
+    with pytest.raises(ValueError, match="calib_tokens"):
+        load_from_hf(model, quantize_bits=4, method="gptq")
+    with pytest.raises(ValueError, match="unknown"):
+        load_from_hf(model, quantize_bits=4, method="hqq")
