@@ -159,6 +159,10 @@ class LlamaConfig:
                                      # LARGE-M (prefill) matmuls — 1.85x MXU
                                      # rate; small ppl cost (see
                                      # benchmarks/ppl_quality.py)
+    kv_bits: int = 8                 # KV-cache code width: 8 (default) or
+                                     # 4 (int4 codes — half the cache bytes
+                                     # and read traffic; per-(pos, head)
+                                     # symmetric-scale quality cost)
     act_quant_decode: bool = False   # int8 activations at EVERY M, incl.
                                      # decode.  Pays off for INT2 weights
                                      # (int8-plane kernel: 710 vs 380 GB/s
@@ -854,8 +858,8 @@ def _attention(
         cache = kv_cache_append_stacked(cache, layer_idx, k, v, positions,
                                         contiguous_start=kv_write_start)
     elif pending is not None:
-        kc_s, ks_s = _quantize_sym(k)   # [B, Hkv, 1, D] / [B, Hkv, 1, 1]
-        vc_s, vs_s = _quantize_sym(v)
+        kc_s, ks_s = _quantize_sym(k, cfg.kv_bits)  # [B,Hkv,1,D] / [B,Hkv,1,1]
+        vc_s, vs_s = _quantize_sym(v, cfg.kv_bits)
         pending.append((kc_s, ks_s, vc_s, vs_s))
     if cache is not None and not attend_in_layer:
         import os as _os
@@ -863,6 +867,7 @@ def _attention(
         if (t == 1 and pending is None and jax.default_backend() == "tpu"
                 and cfg.attn_softcap is None and snk is None
                 and cfg.sliding_window is None and cfg.chunk_window is None
+                and cfg.kv_bits == 8
                 and _os.environ.get("PIQUANT_TPU_PALLAS_ATTN", "0") == "1"):
             # flash-decoding Pallas kernel (ops/pallas/attention.py).
             # OFF by default: the XLA int8-cache path below measured
@@ -1288,7 +1293,8 @@ def forward(
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: Optional[int] = None) -> KVCache:
     """Stacked per-layer KVCache: leaves have a leading n_layers axis."""
     ml = max_len or cfg.max_seq_len
-    one = kv_cache_init(batch, cfg.n_kv_heads, ml, cfg.head_dim)
+    one = kv_cache_init(batch, cfg.n_kv_heads, ml, cfg.head_dim,
+                        bits=cfg.kv_bits)
     return jax.tree.map(lambda a: jnp.stack([a] * cfg.n_layers), one)
 
 

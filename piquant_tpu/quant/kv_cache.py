@@ -30,6 +30,10 @@ _EPS = 1e-8
 _QMAX = 127.0
 
 
+def _cache_bits(cache: "KVCache") -> int:
+    return 4 if cache.k_codes.dtype == jnp.int4 else 8
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class KVCache:
@@ -51,22 +55,30 @@ class KVCache:
         return self.k_codes.shape[2]
 
 
-def kv_cache_init(batch: int, n_kv_heads: int, max_len: int, head_dim: int) -> KVCache:
+def kv_cache_init(batch: int, n_kv_heads: int, max_len: int, head_dim: int,
+                  bits: int = 8) -> KVCache:
+    """bits=4 stores int4 codes (XLA packs them in HBM — half the cache
+    bytes/traffic of int8 at a per-(position, head) symmetric-scale
+    quality cost; an opt-in memory/long-context knob)."""
+    if bits not in (4, 8):
+        raise ValueError("KV cache bits must be 4 or 8")
+    dt = jnp.int4 if bits == 4 else jnp.int8
     return KVCache(
-        k_codes=jnp.zeros((batch, n_kv_heads, max_len, head_dim), jnp.int8),
-        v_codes=jnp.zeros((batch, n_kv_heads, max_len, head_dim), jnp.int8),
+        k_codes=jnp.zeros((batch, n_kv_heads, max_len, head_dim), dt),
+        v_codes=jnp.zeros((batch, n_kv_heads, max_len, head_dim), dt),
         k_scale=jnp.zeros((batch, n_kv_heads, max_len, 1), jnp.float32),
         v_scale=jnp.zeros((batch, n_kv_heads, max_len, 1), jnp.float32),
         length=jnp.zeros((batch,), jnp.int32),
     )
 
 
-def _quantize_sym(x: Array) -> Tuple[Array, Array]:
-    """Symmetric int8 quantization along the last axis (per token+head)."""
+def _quantize_sym(x: Array, bits: int = 8) -> Tuple[Array, Array]:
+    """Symmetric quantization along the last axis (per token+head)."""
+    qmax = _QMAX if bits == 8 else 7.0
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, _EPS) / _QMAX
-    codes = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -_QMAX, _QMAX)
-    return codes.astype(jnp.int8), scale
+    scale = jnp.maximum(amax, _EPS) / qmax
+    codes = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -qmax, qmax)
+    return codes.astype(jnp.int4 if bits == 4 else jnp.int8), scale
 
 
 def kv_cache_append(
@@ -76,8 +88,8 @@ def kv_cache_append(
     positions: Array,  # [B, T] int32 absolute positions to write
 ) -> KVCache:
     """Quantize new K/V on the fly and scatter them at `positions`."""
-    kc, ks = _quantize_sym(k_new)
-    vc, vs = _quantize_sym(v_new)
+    kc, ks = _quantize_sym(k_new, _cache_bits(cache))
+    vc, vs = _quantize_sym(v_new, _cache_bits(cache))
 
     b = jnp.arange(cache.k_codes.shape[0])[:, None, None]
     h = jnp.arange(cache.k_codes.shape[1])[None, :, None]
@@ -110,8 +122,8 @@ def kv_cache_append_stacked(
     restack, so XLA aliases the update in place inside a decode loop instead
     of copying the whole multi-GB cache every step (measured: the restack
     pattern cost several ms/step on 8B decode)."""
-    kc, ks = _quantize_sym(k_new)
-    vc, vs = _quantize_sym(v_new)
+    kc, ks = _quantize_sym(k_new, _cache_bits(cache))
+    vc, vs = _quantize_sym(v_new, _cache_bits(cache))
 
     new_len = jnp.maximum(cache.length[layer], positions.max(axis=-1) + 1)
     new_len = jnp.minimum(new_len, cache.k_codes.shape[3])
@@ -179,8 +191,10 @@ def kv_cache_append_stacked_batch(
     new_len = jnp.maximum(cache.length, positions.max(axis=-1)[None] + 1)
     new_len = jnp.minimum(new_len, cache.k_codes.shape[3])
     return KVCache(
-        k_codes=cache.k_codes.at[l, b, h, p].set(k_codes),
-        v_codes=cache.v_codes.at[l, b, h, p].set(v_codes),
+        k_codes=cache.k_codes.at[l, b, h, p].set(
+            k_codes.astype(cache.k_codes.dtype)),
+        v_codes=cache.v_codes.at[l, b, h, p].set(
+            v_codes.astype(cache.v_codes.dtype)),
         k_scale=cache.k_scale.at[l, b, h, p].set(k_scale),
         v_scale=cache.v_scale.at[l, b, h, p].set(v_scale),
         length=new_len,

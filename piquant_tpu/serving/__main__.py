@@ -31,6 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="random-weight model preset instead of --model")
     ap.add_argument("--bits", type=int, default=4, choices=[2, 4, 8],
                     help="weight quantization bits (default 4)")
+    ap.add_argument("--kv-bits", type=int, default=8, choices=[4, 8],
+                    help="KV-cache code width (4: half the cache bytes)")
     ap.add_argument("--mlp-bits", type=int, default=None, choices=[2, 4, 8],
                     help="mixed precision: quantize w1/w2/w3 at this width "
                          "(attention keeps --bits)")
@@ -130,6 +132,8 @@ def main(argv=None) -> int:
                                        group_size=args.group_size,
                                        overrides=_mlp_overrides(args))
 
+    if args.kv_bits != 8 and hasattr(cfg, "kv_bits"):
+        cfg = dataclasses.replace(cfg, kv_bits=args.kv_bits)
     if args.act_quant_prefill and hasattr(cfg, "act_quant_prefill"):
         cfg = dataclasses.replace(cfg, act_quant_prefill=True)
     if args.act_quant_decode and hasattr(cfg, "act_quant_decode"):

@@ -265,3 +265,34 @@ def test_all_presets_construct_with_valid_geometry():
             assert cfg.sliding_window or cfg.chunk_window, name
         if cfg.nope_pattern:
             assert cfg.n_layers % cfg.nope_pattern == 0, name
+
+
+def test_int4_kv_cache_decode_consistency():
+    """kv_bits=4 halves cache storage (int4 codes) at a bounded decode
+    accuracy cost; the deferred-append split softmax and the engine run
+    unchanged through the narrower cache."""
+    import dataclasses
+    from piquant_tpu.models import llama as M
+    from piquant_tpu.serving import Engine, EngineConfig, Request, SamplingParams
+
+    cfg8 = M.LlamaConfig.tiny(dtype=jnp.float32)
+    cfg4 = dataclasses.replace(cfg8, kv_bits=4)
+    params = M.quantize_params(M.init_params(cfg8, jax.random.key(2)), bits=8)
+    rng = np.random.default_rng(SEED + 7)
+    toks = jnp.asarray(rng.integers(0, cfg8.vocab_size, (2, 9)), jnp.int32)
+    full, _ = M.forward(cfg8, params, toks)
+
+    cache = M.init_kv_cache(cfg4, 2, max_len=16)
+    assert cache.k_codes.dtype == jnp.int4
+    _, cache = M.forward(cfg4, params, toks[:, :-1], cache=cache,
+                         attend_in_layer=True, kv_write_start=jnp.int32(0))
+    lg, cache = M.decode_step(cfg4, params, toks[:, -1],
+                              jnp.full((2,), 8, jnp.int32), cache)
+    want = np.asarray(full[:, -1])
+    rel = np.abs(np.asarray(lg) - want).max() / np.abs(want).max()
+    assert rel < 0.15, rel  # int4 codes: coarser than int8 but bounded
+
+    eng = Engine(cfg4, params, EngineConfig(batch_slots=2, max_seq_len=64))
+    eng.submit(Request(rid=0, prompt=[4, 5, 6, 7],
+                       sampling=SamplingParams(max_new_tokens=6)))
+    assert len(eng.run()[0].tokens) == 6
