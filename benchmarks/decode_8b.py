@@ -28,9 +28,12 @@ def main(batch=8, ctx=1024, max_len=2048):
     import os
     bits = int(os.environ.get("PIQUANT_BITS", "4"))
     cfg = M.LlamaConfig.llama3_8b()
+    import dataclasses
     if os.environ.get("PIQUANT_AQ_DECODE", "0") == "1":
-        import dataclasses
         cfg = dataclasses.replace(cfg, act_quant_decode=True)
+    kvb = int(os.environ.get("PIQUANT_KV_BITS", "8"))
+    if kvb != 8:
+        cfg = dataclasses.replace(cfg, kv_bits=kvb)
     print(f"building INT{bits} 8B params (batch={batch}, ctx={ctx})...", flush=True)
     gs = int(os.environ.get("PIQUANT_GS", "0")) or None
     params = M.random_quantized_params(cfg, jax.random.key(0), bits=bits,
