@@ -101,6 +101,7 @@ class MLAConfig:
     # _mlp completes token outputs.  Shared experts stay replicated.
     ep_axis: Optional[str] = None
     yarn: Optional[YarnParams] = None
+    kv_bits: int = 8  # latent-cache code width: 8 (default) or 4
 
     @property
     def qk_head_dim(self) -> int:
@@ -163,9 +164,10 @@ class LatentKVCache:
 
 
 def init_latent_cache(cfg: MLAConfig, batch: int, max_len: int) -> LatentKVCache:
+    cdt = jnp.int4 if cfg.kv_bits == 4 else jnp.int8
     return LatentKVCache(
         c_codes=jnp.zeros((cfg.n_layers, batch, max_len, cfg.kv_lora_rank),
-                          jnp.int8),
+                          cdt),
         c_scale=jnp.ones((cfg.n_layers, batch, max_len, 1), jnp.float32),
         k_pe=jnp.zeros((cfg.n_layers, batch, max_len, cfg.qk_rope_head_dim),
                        jnp.bfloat16),
@@ -175,12 +177,15 @@ def init_latent_cache(cfg: MLAConfig, batch: int, max_len: int) -> LatentKVCache
     )
 
 
-def _quantize_latent(c: Array) -> Tuple[Array, Array]:
-    """Per-token symmetric INT8 (same scheme as quant/kv_cache.py)."""
+def _quantize_latent(c: Array, bits: int = 8) -> Tuple[Array, Array]:
+    """Per-token symmetric INT8/INT4 (same scheme as quant/kv_cache.py;
+    bits=4 halves the latent-cache bytes on top of MLA's compression)."""
+    qmax = 127.0 if bits == 8 else 7.0
     cf = c.astype(jnp.float32)
     amax = jnp.max(jnp.abs(cf), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    codes = jnp.clip(jnp.round(cf / scale), -127, 127).astype(jnp.int8)
+    scale = jnp.maximum(amax, 1e-8) / qmax
+    codes = jnp.clip(jnp.round(cf / scale), -qmax, qmax).astype(
+        jnp.int8 if bits == 8 else jnp.int4)
     return codes, scale
 
 
@@ -508,7 +513,7 @@ def forward(
         x = x + _mlp(cfg, layer, rms_norm(x, layer["mlp_norm"], cfg.rms_eps))
 
         if cache is not None:
-            codes, cscale = _quantize_latent(c)
+            codes, cscale = _quantize_latent(c, cfg.kv_bits)
             cache = LatentKVCache(
                 c_codes=jax.lax.dynamic_update_slice(
                     cache.c_codes, codes[None], (li, 0, 0, 0)),
@@ -583,7 +588,7 @@ def forward_chunk(
         hx = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
         q_nope, q_pe = _project_q(cfg, layer, hx, cos, sin)      # [B,H,T,*]
         c_new, kpe_new = _project_latent(cfg, layer, hx, cos, sin)  # [B,T,*]
-        codes, cscale = _quantize_latent(c_new)
+        codes, cscale = _quantize_latent(c_new, cfg.kv_bits)
 
         def dus(buf, upd):
             return jax.lax.dynamic_update_slice(
@@ -655,7 +660,7 @@ def decode_step(
         c_new, kpe_new = _project_latent(cfg, layer, hx, cos, sin)  # [B,1,*]
 
         # append current position to the latent cache
-        codes, cscale = _quantize_latent(c_new)
+        codes, cscale = _quantize_latent(c_new, cfg.kv_bits)
 
         def put(buf, upd):
             return jax.vmap(
@@ -738,7 +743,7 @@ def forward_verify(
         hx = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
         q_nope, q_pe = _project_q(cfg, layer, hx, cos, sin)      # [B,H,T,*]
         c_new, kpe_new = _project_latent(cfg, layer, hx, cos, sin)  # [B,T,*]
-        codes, cscale = _quantize_latent(c_new)
+        codes, cscale = _quantize_latent(c_new, cfg.kv_bits)
 
         def put(buf, upd):
             return jax.vmap(

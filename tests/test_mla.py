@@ -474,3 +474,32 @@ def test_mla_moe_expert_parallel_matches_single():
 
         got = np.asarray(run(stacked, rest, x))
         np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_mla_int4_latent_cache():
+    """kv_bits=4 on the latent cache: int4 codes, bounded decode error,
+    engine-servable."""
+    import dataclasses
+    from piquant_tpu.serving import Engine, EngineConfig, Request, SamplingParams
+
+    cfg = L.MLAConfig.tiny(dtype=jnp.float32)
+    cfg4 = dataclasses.replace(cfg, kv_bits=4)
+    params = L.init_params(cfg, jax.random.key(9))
+    rng = np.random.default_rng(SEED + 61)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 9)), jnp.int32)
+    full, _ = L.forward(cfg, params, toks)
+
+    cache = L.init_latent_cache(cfg4, 2, max_len=16)
+    assert cache.c_codes.dtype == jnp.int4
+    _, cache = L.forward(cfg4, params, toks[:, :-1], cache=cache)
+    lg, _ = L.decode_step(cfg4, params, toks[:, -1],
+                          jnp.full((2,), 8, jnp.int32), cache)
+    want = np.asarray(full[:, -1])
+    rel = np.abs(np.asarray(lg) - want).max() / np.abs(want).max()
+    assert rel < 0.15, rel
+
+    eng = Engine(cfg4, L.quantize_params(params, bits=8),
+                 EngineConfig(batch_slots=1, max_seq_len=48))
+    eng.submit(Request(rid=0, prompt=[1, 2, 3],
+                       sampling=SamplingParams(max_new_tokens=4)))
+    assert len(eng.run()[0].tokens) == 4
