@@ -85,7 +85,7 @@ def spec_block(
     active: Array,     # [B] bool
     n_steps: int,
     G: int,
-) -> Tuple[Array, Array, Array, Array, Array, object]:
+) -> Tuple[Array, Array, Array, Array, Array, Array, object]:
     """Run `n_steps` speculative verify steps in one scan.
 
     Returns (emit_hist [K, B, G+1], emit_lp [K, B, G+1] — raw-model

@@ -163,6 +163,11 @@ def gptq_quantize_linear(
             wf[i + 1:] -= np.outer(hinv[i, i + 1:], err)
 
     codes = codes[inv_perm]
+    if group_size is None:
+        # channelwise convention: scale/zp are [1, N] (quant/linear.py) —
+        # fuse_layer_projections and TP interleaving index axis 1
+        scale = scale.reshape(1, -1)
+        zp = zp.reshape(1, -1)
     cj = jnp.asarray(codes)
     if bits == 2:
         data = pack_split_quarter(cj)

@@ -158,7 +158,11 @@ def _model_for(cfg):
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_decode_block(cfg, kblk: int, window: int, rep: bool = False):
+def _jit_decode_block(cfg, kblk: int, window: int, rep: bool):
+    # NOTE: always call with ALL FOUR positional args — functools.lru_cache
+    # keys (a, b, c) and (a, b, c, rep=False) separately, and a key miss
+    # returns a fresh jit wrapper whose executable cache is cold (warmup
+    # would then not warm anything).
     """One compiled block per (config, block size, attention-window bucket):
     attention reads only the live cache prefix [0, window) instead of
     max_seq_len — decode cache traffic tracks actual context length.
@@ -313,10 +317,13 @@ def _jit_set_slot_state():
 
 @functools.lru_cache(maxsize=None)
 def _jit_sample_first():
-    def _sample_first(logits, temp, topk, topp, minp, base_key, idx):
+    def _sample_first(logits, prompt_row, plen, temp, topk, topp, minp, pen,
+                      base_key, idx):
+        raw = logits
+        logits = apply_repetition_penalty(logits, prompt_row, plen, pen)
         tok = sample_batch(logits, temp, topk, topp,
                            jax.random.fold_in(base_key, idx), minp)
-        return tok, _tok_logprob(logits, tok)
+        return tok, _tok_logprob(raw, tok)
 
     return jax.jit(_sample_first)
 
@@ -398,7 +405,7 @@ class Engine:
         for w in sorted(set(tuple(self.ec.attn_windows)
                             + (self.ec.max_seq_len,))):
             rep = bool(self.ec.track_history)
-            fn = _jit_decode_block(self.cfg, self.ec.decode_block, w, rep=rep)
+            fn = _jit_decode_block(self.cfg, self.ec.decode_block, w, rep)
             scratch_cache = self._model.init_kv_cache(self.cfg, b,
                                             max_len=self.ec.max_seq_len)
             hist_args = (self._hist,) if rep else ()
@@ -544,11 +551,18 @@ class Engine:
     def _sample(self, logits: Array, req: Request):
         self._blk_counter += 1
         sp = req.sampling
-        t, lp = self._sample_first(logits,
+        # fixed-shape prompt row so the chunked path's first token honors
+        # the repetition penalty without a per-length recompile
+        row = np.zeros((1, self.ec.max_seq_len), np.int32)
+        row[0, : len(req.prompt)] = np.asarray(req.prompt, np.int32)
+        t, lp = self._sample_first(logits, jnp.asarray(row),
+                                   np.asarray([len(req.prompt)], np.int32),
                                    np.asarray([sp.temperature], np.float32),
                                    np.asarray([sp.top_k], np.int32),
                                    np.asarray([sp.top_p], np.float32),
                                    np.asarray([sp.min_p], np.float32),
+                                   np.asarray([sp.repetition_penalty],
+                                              np.float32),
                                    self._key, self._blk_counter)
         return int(t[0]), float(lp[0])
 
@@ -641,14 +655,14 @@ class Engine:
             # history-carrying variant: repetition penalty + min-p applied
             # in-scan; the hist buffer is updated in-graph (no outside
             # append needed)
-            block_fn = _jit_decode_block(self.cfg, kblk, window, rep=True)
+            block_fn = _jit_decode_block(self.cfg, kblk, window, True)
             tok_hist, lp_hist, tok, pos, self.cache, self._hist = block_fn(
                 self.params, self._cur_tok, self._positions, self.cache,
                 self._hist, self._temps_dev, self._topks_dev, self._topps_dev,
                 self._minps_dev, self._pens_dev,
                 self._key, self._blk_counter, self._active_dev)
         else:
-            block_fn = _jit_decode_block(self.cfg, kblk, window)
+            block_fn = _jit_decode_block(self.cfg, kblk, window, False)
             tok_hist, lp_hist, tok, pos, self.cache = block_fn(
                 self.params, self._cur_tok, self._positions, self.cache,
                 self._temps_dev, self._topks_dev, self._topps_dev,

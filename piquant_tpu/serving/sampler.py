@@ -26,12 +26,27 @@ class SamplingParams:
     stop_tokens: tuple = ()    # additional stop ids (Llama-3 eot etc.)
 
 
-def sample(logits: Array, params: SamplingParams, key: Optional[Array]) -> Array:
+def sample(logits: Array, params: SamplingParams, key: Optional[Array],
+           history: Optional[Array] = None) -> Array:
     """logits [B, V] -> tokens [B] (static params => one compiled variant
-    per distinct SamplingParams, like the kernel dispatch elsewhere)."""
+    per distinct SamplingParams, like the kernel dispatch elsewhere).
+    `history` [B, S] token ids is required when repetition_penalty != 1
+    (the stateless API has no implicit context)."""
+    if params.repetition_penalty != 1.0:
+        if history is None:
+            raise ValueError("repetition_penalty needs `history` token ids")
+        b = logits.shape[0]
+        logits = apply_repetition_penalty(
+            logits, jnp.asarray(history, jnp.int32),
+            jnp.full((b,), history.shape[-1], jnp.int32),
+            jnp.full((b,), params.repetition_penalty, jnp.float32))
     if params.temperature <= 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     l = logits.astype(jnp.float32) / params.temperature
+    if params.min_p > 0.0:
+        thresh = (jnp.max(l, axis=-1, keepdims=True)
+                  + jnp.log(jnp.maximum(params.min_p, 1e-10)))
+        l = jnp.where(l < thresh, -jnp.inf, l)
     if params.top_k > 0:
         kth = jnp.sort(l, axis=-1)[:, -params.top_k][:, None]
         l = jnp.where(l < kth, -jnp.inf, l)

@@ -558,3 +558,46 @@ def test_logprobs_match_reference(setup):
     np.testing.assert_allclose(got_spec, want_lp, atol=5e-3)
     got_rep = run(track_history=True)
     np.testing.assert_allclose(got_rep, want_lp, atol=5e-3)
+
+
+def test_repetition_penalty_chunked_prefill_first_token(setup):
+    """The chunked-prefill path must apply the repetition penalty to the
+    FIRST sampled token too (it goes through _sample_first, not
+    _jit_prefill) — same greedy stream as the one-shot path."""
+    cfg, params = setup
+    prompt = [7, 3, 7, 3, 7, 3, 7, 3]
+
+    def run(chunk):
+        eng = Engine(cfg, params, EngineConfig(
+            batch_slots=1, max_seq_len=128, decode_block=3,
+            track_history=True, prefill_chunk=chunk))
+        eng.submit(Request(rid=0, prompt=prompt, sampling=SamplingParams(
+            max_new_tokens=8, repetition_penalty=1.8)))
+        return eng.run()[0].tokens
+
+    # one-shot vs chunked: identical penalized greedy streams (the chunked
+    # cache holds int8-readback KV — logits differ at float-noise level,
+    # but the first token sees the same penalty mask)
+    assert run(None)[0] == run(4)[0]
+
+
+def test_single_shot_sample_min_p_and_penalty():
+    from piquant_tpu.serving.sampler import sample
+
+    rng = np.random.default_rng(SEED + 41)
+    logits = jnp.asarray(rng.normal(0, 1, (2, 32)), jnp.float32)
+    # min_p=1.0 restricts to the argmax even at temperature
+    t = sample(logits, SamplingParams(temperature=1.0, min_p=1.0),
+               jax.random.key(0))
+    np.testing.assert_array_equal(np.asarray(t),
+                                  np.asarray(logits.argmax(-1)))
+    # penalty without history: explicit error, not silent ignore
+    with pytest.raises(ValueError, match="history"):
+        sample(logits, SamplingParams(temperature=1.0,
+                                      repetition_penalty=1.5),
+               jax.random.key(0))
+    # with history: the penalized token loses a near-tie
+    lg = jnp.zeros((1, 8)).at[0, 3].set(1.0).at[0, 5].set(0.95)
+    hist = jnp.asarray([[3, 3, 3]], jnp.int32)
+    t = sample(lg, SamplingParams(repetition_penalty=2.0), None, history=hist)
+    assert int(t[0]) == 5
