@@ -726,6 +726,15 @@ class Engine:
         Pipelined: each iteration admits, dispatches decode block N, then
         fetches/bookkeeps block N-1 — the token readback (a full host/relay
         round-trip) overlaps the next block's device compute."""
+        for _ in self.run_stream():
+            pass
+        return [r for r in self._all if r.done]
+
+    def run_stream(self):
+        """Generator form of run(): yields (request, new_token) pairs as
+        each block's tokens are read back, in emission order — the hook
+        for token streaming.  Same pipelined schedule as run(); consuming
+        the generator drives the engine."""
         pending = None
         while (pending is not None or self._queue
                or any(r is not None for r in self._slots)
@@ -740,7 +749,31 @@ class Engine:
             if any(r is not None for r in self._slots):
                 nxt = self._dispatch_block()
             if pending is not None:
+                before = {id(r): len(r.tokens) for r in self._all}
                 self._process_block(*pending)
-            self.metrics.decode_time_s += time.perf_counter() - t0
+                self.metrics.decode_time_s += time.perf_counter() - t0
+                for r in self._all:
+                    for tok in r.tokens[before.get(id(r), 0):]:
+                        yield r, tok
+            else:
+                self.metrics.decode_time_s += time.perf_counter() - t0
             pending = nxt
-        return [r for r in self._all if r.done]
+
+    def cancel(self, rid: int) -> bool:
+        """Cancel a request by id.  Queued requests are dropped; an
+        in-flight request is marked done and its slot freed at the next
+        bookkeeping tick (tokens already emitted are kept).  Returns
+        False if the id is unknown or already finished."""
+        for i, req in enumerate(list(self._queue)):
+            if req.rid == rid:
+                del self._queue[i]
+                req.done = True
+                return True
+        for i, req in enumerate(self._slots):
+            if req is not None and req.rid == rid and not req.done:
+                req.done = True
+                self._slots[i] = None
+                self._active[i] = False
+                self._slot_state_dirty = True
+                return True
+        return False

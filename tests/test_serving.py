@@ -601,3 +601,53 @@ def test_single_shot_sample_min_p_and_penalty():
     hist = jnp.asarray([[3, 3, 3]], jnp.int32)
     t = sample(lg, SamplingParams(repetition_penalty=2.0), None, history=hist)
     assert int(t[0]) == 5
+
+
+def test_run_stream_yields_tokens_in_order(setup):
+    """run_stream() must yield every emitted (request, token) pair, in
+    per-request order, and produce the same final streams as run()."""
+    cfg, params = setup
+    prompts = [[5, 9, 2], [4, 4, 4, 4]]
+
+    eng = Engine(cfg, params, EngineConfig(batch_slots=2, max_seq_len=64,
+                                           decode_block=3))
+    for i, p in enumerate(prompts):
+        eng.submit(Request(rid=i, prompt=p,
+                           sampling=SamplingParams(max_new_tokens=7)))
+    streamed = {0: [], 1: []}
+    for req, tok in eng.run_stream():
+        streamed[req.rid].append(tok)
+
+    eng2 = Engine(cfg, params, EngineConfig(batch_slots=2, max_seq_len=64,
+                                            decode_block=3))
+    for i, p in enumerate(prompts):
+        eng2.submit(Request(rid=i, prompt=p,
+                            sampling=SamplingParams(max_new_tokens=7)))
+    batch = {r.rid: r.tokens for r in eng2.run()}
+    # the first token is emitted at admission (before any stream tick)
+    for rid in (0, 1):
+        assert batch[rid][1:] == streamed[rid] or batch[rid] == streamed[rid]
+
+
+def test_cancel_request(setup):
+    cfg, params = setup
+    eng = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=64,
+                                           decode_block=2))
+    eng.submit(Request(rid=0, prompt=[1, 2, 3],
+                       sampling=SamplingParams(max_new_tokens=40)))
+    eng.submit(Request(rid=1, prompt=[4, 5],
+                       sampling=SamplingParams(max_new_tokens=4)))
+    # cancel the queued request before it is admitted
+    assert eng.cancel(1)
+    # cancel the in-flight request after a few streamed tokens
+    seen = 0
+    for req, tok in eng.run_stream():
+        if req.rid == 0:
+            seen += 1
+            if seen == 4:
+                assert eng.cancel(0)
+    out = {r.rid: r for r in eng._all}
+    assert out[0].done and 4 <= len(out[0].tokens) < 40
+    assert out[1].done and out[1].tokens == []
+    assert not eng.cancel(0)  # already finished
+    assert not eng.cancel(99)
