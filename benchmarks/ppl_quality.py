@@ -13,13 +13,21 @@ whose ppl is far from both 1.0 (memorized) and vocab-size (random).
 Usage: python benchmarks/ppl_quality.py [steps]
 """
 
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
+# CPU proxy by design (tiny model; determinism > throughput).  Both settings
+# are required: the shell env alone does not stop the axon plugin from
+# blocking at import when the relay is down (NOTES.md session-5).
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import numpy as np
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/piquant_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -127,6 +135,30 @@ def main(steps: int = 400):
         print(f"{name:24s} ppl: {ppl:.4f}  (delta {ppl-base:+.4f}) [{status}]",
               flush=True)
 
+    # --- GPTQ: Hessian-compensated rounding (quant/gptq.py) --------------
+    from piquant_tpu.quant.awq import apply_awq_scales, collect_activation_stats
+    from piquant_tpu.quant.gptq import gptq_quantize_params
+
+    from piquant_tpu.quant.rotate import rotate_params
+
+    rot_params = rotate_params(cfg, params)
+    for name, bits, gs, use_awq, use_rot in [
+            ("int4-g32 + GPTQ", 4, 32, False, False),
+            ("int2-g32 + GPTQ", 2, 32, False, False),
+            ("int2-g32 + AWQ + GPTQ", 2, 32, True, False),
+            ("int4-g32 + ROT + GPTQ", 4, 32, False, True),
+            ("int2-g32 + ROT + GPTQ", 2, 32, False, True),
+    ]:
+        p_in = rot_params if use_rot else params
+        if use_awq:
+            stats = collect_activation_stats(cfg, params, calib)
+            p_in = apply_awq_scales(cfg, params, stats, bits, group_size=gs)
+        qp = gptq_quantize_params(cfg, p_in, calib, bits, group_size=gs)
+        ppl = perplexity(cfg, qp, eval_toks, window=512, stride=256)
+        status = "PASS" if ppl - base <= 0.1 else "above-0.1"
+        print(f"{name:24s} ppl: {ppl:.4f}  (delta {ppl-base:+.4f}) [{status}]",
+              flush=True)
+
     # --- QAT recovery for INT2: continue training THROUGH the 2-bit
     # fake-quant (STE) so the weights adapt to the code grid ---------------
     from piquant_tpu.quant.qat import fake_quant_model_weights
@@ -154,6 +186,13 @@ def main(steps: int = 400):
     ppl = perplexity(cfg, q2, eval_toks, window=512, stride=256)
     print(f"{'int2 gs=32 + QAT':24s} ppl: {ppl:.4f}  (delta {ppl-base:+.4f}) "
           f"[QAT recovery vs naive]", flush=True)
+
+    # QAT adapts the float weights to the RTN grid; GPTQ then replaces the
+    # final rounding with Hessian-compensated rounding — the two compose.
+    q3 = gptq_quantize_params(cfg, qat_params, calib, 2, group_size=32)
+    ppl = perplexity(cfg, q3, eval_toks, window=512, stride=256)
+    print(f"{'int2-g32 + QAT + GPTQ':24s} ppl: {ppl:.4f}  "
+          f"(delta {ppl-base:+.4f}) [compose]", flush=True)
 
 
 if __name__ == "__main__":

@@ -386,6 +386,10 @@ def load_from_hf(model_or_path, dtype=jnp.bfloat16,
       "gptq"      Hessian-compensated rounding (quant/gptq.py)
       "awq+gptq"  AWQ fold first, then GPTQ on the scaled weights —
                   the recommended INT2/INT3 recipe
+      "rotate"    QuaRot-style orthogonal residual-stream rotation
+                  (quant/rotate.py) absorbed offline — composable as a
+                  prefix, e.g. "rotate+gptq" (no calibration needed for
+                  the rotation itself)
     awq/gptq need `calib_tokens` ([B, T] int token ids) and a dense
     (non-MoE) model."""
     if isinstance(model_or_path, str):
@@ -395,20 +399,28 @@ def load_from_hf(model_or_path, dtype=jnp.bfloat16,
     cfg = config_from_hf(model_or_path.config, dtype)
     params = params_from_state_dict(model_or_path.state_dict(), cfg)
     if quantize_bits is not None:
-        if method not in ("rtn", "awq", "gptq", "awq+gptq"):
+        steps = method.split("+")
+        if (not steps or len(set(steps)) != len(steps)
+                or any(s not in ("rtn", "rotate", "awq", "gptq")
+                       for s in steps)
+                or ("rtn" in steps and len(steps) > 1 + ("rotate" in steps))):
             raise ValueError(f"unknown quantization method {method!r}")
-        if method != "rtn" and calib_tokens is None:
+        if ("awq" in steps or "gptq" in steps) and calib_tokens is None:
             raise ValueError(f"method={method!r} needs calib_tokens")
         from piquant_tpu.models.llama import quantize_params
 
-        if "awq" in method:
+        if "rotate" in steps:
+            from piquant_tpu.quant.rotate import rotate_params
+
+            params = rotate_params(cfg, params)
+        if "awq" in steps:
             from piquant_tpu.quant.awq import (apply_awq_scales,
                                                collect_activation_stats)
 
             stats = collect_activation_stats(cfg, params, calib_tokens)
             params = apply_awq_scales(cfg, params, stats, quantize_bits,
                                       group_size=group_size)
-        if "gptq" in method:
+        if "gptq" in steps:
             from piquant_tpu.quant.gptq import gptq_quantize_params
 
             params = gptq_quantize_params(cfg, params, calib_tokens,

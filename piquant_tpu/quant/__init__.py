@@ -11,6 +11,11 @@ from piquant_tpu.quant.linear import (  # noqa: F401
     wire_to_split_half,
     split_half_to_wire,
 )
+from piquant_tpu.quant.rotate import (  # noqa: F401
+    fold_norms,
+    rotate_params,
+    rotation_matrix,
+)
 from piquant_tpu.quant.kv_cache import (  # noqa: F401
     KVCache,
     kv_cache_init,
