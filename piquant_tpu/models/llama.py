@@ -1052,7 +1052,6 @@ def _moe_ragged_try(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
     if (env == "0" or cfg.ep_axis is not None
             or cfg.moe_bias or cfg.moe_clamp_swiglu or cfg.moe_input_scaled
             or not hasattr(w1s, "bits") or w1s.bits not in (2, 4, 8)
-            or w1s.group_size is not None
             or ntok < 32      # decode: weight traffic dominates, dense is fine
             or cfg.act_quant_decode or cfg.act_quant_prefill
             or (jax.default_backend() != "tpu" and env != "force")):

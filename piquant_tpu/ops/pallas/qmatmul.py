@@ -136,14 +136,72 @@ def _wq_ragged_kernel(m: int, k: int, n: int, e: int, bm: int, bn: int,
     )
 
 
+@lru_cache(maxsize=None)
+def _wq_ragged_grouped_kernel(m: int, k: int, n: int, e: int, g: int,
+                              bm: int, bn: int, bits: int, out_dtype: str):
+    """Grouped-scale variant of `_wq_ragged_kernel` (DeepSeek/Mixtral-g32
+    MoE prefill).  The per-group zero-point no longer folds into one rank-1
+    correction, so dequantize in-register to bf16 (the `_w4_grouped_kernel`
+    W4A16 numerics: codes are exact in bf16, the scale multiply rounds once)
+    and run one plain dot per plane.  Prefill is MXU-bound at these M, so
+    the in-register expand is hidden behind the dots.  Plane p covers code
+    rows [p*K/planes, (p+1)*K/planes) — the natural split-half/quarter
+    order — so its groups are the contiguous slice [p*g/planes, ...)."""
+    odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
+    planes = {2: 4, 4: 2, 8: 1}[bits]
+    mask = (1 << bits) - 1
+    rp = k // planes          # code rows per plane == packed byte rows
+    gp = g // planes          # groups per plane
+    gs = k // g
+
+    def kern(be_ref, x_ref, b_ref, s_ref, z_ref, o_ref):
+        del be_ref  # consumed by the index_maps
+        b = b_ref[0].astype(jnp.int32)            # (rp, bn)
+        x = x_ref[:]
+        s = s_ref[0]                              # (g, bn) f32
+        z = z_ref[0]
+
+        def expand(a):  # (gp, bn) -> (rp, bn): repeat each group row gs x
+            return jnp.broadcast_to(a[:, None, :], (gp, gs, bn)).reshape(rp, bn)
+
+        acc = jnp.zeros((x.shape[0], bn), jnp.float32)
+        for p in range(planes):
+            codes = ((b >> (bits * p)) & mask).astype(jnp.bfloat16)
+            sg = expand(s[p * gp:(p + 1) * gp].astype(jnp.bfloat16))
+            zg = expand(z[p * gp:(p + 1) * gp].astype(jnp.bfloat16))
+            acc += jnp.dot(x[:, p * rp:(p + 1) * rp], (codes - zg) * sg,
+                           preferred_element_type=jnp.float32)
+        o_ref[:] = acc.astype(odt)
+
+    # (j, i) grid order: same DMA-elision rationale as _wq_ragged_kernel
+    grid = (n // bn, m // bm)
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda j, i, be: (i, 0)),
+                pl.BlockSpec((1, rp, bn), lambda j, i, be: (be[i], 0, j)),
+                pl.BlockSpec((1, g, bn), lambda j, i, be: (be[i], 0, j)),
+                pl.BlockSpec((1, g, bn), lambda j, i, be: (be[i], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda j, i, be: (i, j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), odt),
+    )
+
+
 def wq_ragged_matmul(x_sorted: Array, stack, block_expert: Array,
                      out_dtype=jnp.bfloat16) -> Optional[Array]:
     """x_sorted [M, K] @ per-block expert of `stack` -> [M, N].
 
     M must be a multiple of the routing block (block_expert.shape[0] * bm
-    == M).  Channelwise INT2/INT4/INT8 expert stacks."""
-    if stack.bits not in (2, 4, 8) or stack.group_size is not None:
+    == M).  Channelwise or grouped INT2/INT4/INT8 expert stacks."""
+    if stack.bits not in (2, 4, 8):
         return None
+    if stack.group_size is not None:
+        return _wq_ragged_grouped(x_sorted, stack, block_expert, out_dtype)
     m, k = x_sorted.shape
     e, rows, n = stack.data.shape
     if m % block_expert.shape[0]:
@@ -164,6 +222,36 @@ def wq_ragged_matmul(x_sorted: Array, stack, block_expert: Array,
                              "bf16" if out_dtype == jnp.bfloat16 else "f32")
     return kern(block_expert.astype(jnp.int32),
                 xb, stack.data.reshape(e, rows, n), scale, zs, xsum)
+
+
+def _wq_ragged_grouped(x_sorted: Array, stack, block_expert: Array,
+                       out_dtype) -> Optional[Array]:
+    m, k = x_sorted.shape
+    e, rows, n = stack.data.shape
+    gs = stack.group_size
+    planes = {2: 4, 4: 2, 8: 1}[stack.bits]
+    g = k // gs
+    if (m % block_expert.shape[0] or k % gs
+            or (k // planes) % gs            # groups straddle a plane edge
+            or stack.scale.shape != (e, g, n)
+            or rows != k // planes):
+        return None
+    bm = m // block_expert.shape[0]
+    # per grid step: packed (rows, bn) + two f32 (g, bn) side blocks; keep
+    # the combined weight-side block under the same cap as the channelwise
+    # path so double-buffered x still fits scoped VMEM
+    bn = next((c for c in BN_CANDIDATES
+               if n % c == 0
+               and (rows + 8 * g) * c <= W_BLOCK_VMEM_LIMIT), None)
+    if bn is None:
+        return None
+    scale = stack.scale.astype(jnp.float32)
+    zp = stack.zero_point.astype(jnp.float32)
+    kern = _wq_ragged_grouped_kernel(
+        m, k, n, e, g, bm, bn, stack.bits,
+        "bf16" if out_dtype == jnp.bfloat16 else "f32")
+    return kern(block_expert.astype(jnp.int32),
+                x_sorted.astype(jnp.bfloat16), stack.data, scale, zp)
 
 
 # back-compat name (the kernel grew INT2/INT8 support)

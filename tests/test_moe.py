@@ -257,8 +257,11 @@ def test_moe_expert_parallel_quantized_matches_single():
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("bits", [2, 4, 8])
-def test_moe_ragged_matches_dense(bits):
+@pytest.mark.parametrize("bits,group_size", [
+    (2, None), (4, None), (8, None),   # channelwise: analytic zp fold
+    (2, 32), (4, 32),                  # grouped: in-register dequant kernel
+])
+def test_moe_ragged_matches_dense(bits, group_size):
     """The grouped (megablocks-style) ragged path must match the
     dense-all-experts path on identical inputs (same routing, same
     quantized weights) — interpret mode exercises the Pallas kernel on CPU."""
@@ -271,7 +274,7 @@ def test_moe_ragged_matches_dense(bits):
     # 128-lane N tiles
     cfg = M.LlamaConfig.tiny(n_experts=4, moe_top_k=2)
     params = M.quantize_params(M.init_params(cfg, jax.random.key(3)),
-                               bits=bits)
+                               bits=bits, group_size=group_size)
     layer = params["layers"][0]
     x = jax.random.normal(jax.random.key(4), (2, 32, cfg.d_model),
                           cfg.dtype) * 0.5
