@@ -93,3 +93,159 @@ def make_train_step(
         return params, opt_state, loss
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# ZeRO-sharded optimizer (stage 1/2)
+# ---------------------------------------------------------------------------
+
+_ZERO_PAD = 1024  # per-leaf flat pad quantum: dp * lane tile, and a multiple
+                  # of opt8's 256-element blocks so blockwise moment state
+                  # slices cleanly along the shard boundary
+
+
+def _zero_flatten(leaf: Array, dp: int) -> Array:
+    flat = leaf.reshape(-1).astype(jnp.float32)
+    pad = (-flat.size) % (dp * _ZERO_PAD)
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    return flat
+
+
+def _zero_state_spec(state, dp: int, dp_axis: str):
+    """Sharding spec for an optimizer-state pytree built over flat padded
+    params: 1-D dp-divisible leaves shard over dp (moments, blockwise
+    scales), everything else (step counts) replicates.  Covers every
+    ELEMENTWISE optax transform — adam/adamw/sgd/piquant_tpu.quant.opt8 —
+    whose state leaves are parallel to the (flat) params or scalar."""
+    def spec(a):
+        if (hasattr(a, "ndim") and a.ndim == 1 and a.size
+                and a.size % dp == 0):
+            return P(dp_axis)
+        return P()
+    return jax.tree.map(spec, state)
+
+
+def make_zero_train_step(
+    loss_fn: Callable[[Any, Any], Array],
+    optimizer,                               # ELEMENTWISE optax transform
+    mesh,
+    dp_axis: str = "dp",
+    grad_wire: Optional[str] = "uint8",      # None = exact f32 psum_scatter
+    round_mode: str = "stochastic",
+    param_wire: Optional[str] = None,        # quantize the param all-gather
+                                             # (replicas become q(master);
+                                             # masters stay exact f32)
+) -> Tuple[Callable, Callable]:
+    """ZeRO-1/2: optimizer state and gradient reduction sharded over
+    `dp_axis` (Rajbhandari et al., 2019), on the quantized ring wire.
+
+    Per leaf (flattened + padded): gradients ride ONE quantized
+    reduce-scatter (bits/32 of the f32 all-reduce traffic — the
+    dequantize-ADD ring the reference built its ADD store op for,
+    include/piquant.hpp:28-33); each device applies the optimizer to its
+    1/dp shard of (params, moments); updated shards return via ring
+    all-gather.  Optimizer state lives ONLY as shards: with
+    quant/opt8.adam8bit that is 2.06/dp bytes per parameter — 0.26
+    B/param on a dp=8 pod slice vs 8 for replicated f32 Adam.
+
+    Scope: dp-axis sharding of replicated params (the FSDP-on-dp
+    case).  Stage-3 (param sharding) on TPU is GSPMD's job: annotate the
+    param pytree with `jax.sharding` and pjit materializes gather/compute
+    overlap — no manual schedule beats the compiler there.
+
+    Returns `(init_fn, step_fn)`:
+        state = init_fn(params)
+        params, state, loss = step_fn(params, state, batch, key)
+
+    The optimizer must be elementwise (its state leaves parallel to the
+    flat params, plus scalars) — cross-leaf couplings like
+    clip_by_global_norm would see per-shard norms.
+    """
+    import optax
+    from jax.sharding import NamedSharding
+
+    from piquant_tpu.parallel.collectives import (
+        quantized_all_gather,
+        quantized_reduce_scatter,
+    )
+
+    dp = mesh.shape[dp_axis]
+
+    def init_fn(params):
+        flat = jax.tree.map(lambda l: _zero_flatten(l, dp), params)
+        shapes = jax.eval_shape(optimizer.init, flat)
+        spec = _zero_state_spec(shapes, dp, dp_axis)
+        shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), spec)
+        # jit-with-out-shardings: moments materialize directly as shards —
+        # the full-size state never exists unsharded on any one device
+        return jax.jit(optimizer.init, out_shardings=shardings)(flat)
+
+    def step_fn(params, state, batch, key=None):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+
+        leaves, treedef = jax.tree.flatten(params)
+        gleaves = jax.tree.leaves(grads)
+        pflat = [_zero_flatten(l, dp) for l in leaves]
+        gflat = [_zero_flatten(g, dp) for g in gleaves]
+        use_keys = key is not None
+        kflat = (list(jax.random.split(key, len(pflat))) if use_keys
+                 else None)
+
+        state_spec = _zero_state_spec(state, dp, dp_axis)
+
+        def body(pfs, gfs, st, ks):
+            d = jax.lax.axis_index(dp_axis)
+            keys = ks if ks is not None else [None] * len(gfs)
+            shards = []
+            for g, k in zip(gfs, keys):
+                if grad_wire is None:
+                    shards.append(jax.lax.psum_scatter(
+                        g, dp_axis, scatter_dimension=0, tiled=True) / dp)
+                else:
+                    shards.append(quantized_reduce_scatter(
+                        g, dp_axis, grad_wire, round_mode, key=k) / dp)
+            # quantized RS leaves device d holding chunk (d+1) mod dp;
+            # exact psum_scatter delivers chunk d
+            own = d if grad_wire is None else (d + 1) % dp
+            s_of = [g.size // dp for g in gfs]
+            pshards = [jax.lax.dynamic_slice(p, (own * s,), (s,))
+                       for p, s in zip(pfs, s_of)]
+            gtree = jax.tree.unflatten(treedef, shards)
+            ptree = jax.tree.unflatten(treedef, pshards)
+            upd, st2 = optimizer.update(gtree, st, ptree)
+            new_shards = jax.tree.leaves(optax.apply_updates(ptree, upd))
+
+            def gather(x, k):
+                if param_wire is None:
+                    full = jax.lax.all_gather(x, dp_axis, tiled=False)
+                else:
+                    full = quantized_all_gather(
+                        x, dp_axis, param_wire, "nearest", key=k
+                    ).reshape(dp, -1)
+                if grad_wire is not None:   # undo the +1 ring rotation
+                    full = jnp.roll(full, 1, axis=0)
+                return full.reshape(-1)
+
+            return [gather(x, k) for x, k in zip(new_shards, keys)], st2
+
+        if use_keys:
+            pfs2, state2 = shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(), state_spec, P()),
+                out_specs=(P(), state_spec),
+                check_vma=False,
+            )(pflat, gflat, state, kflat)
+        else:
+            pfs2, state2 = shard_map(
+                lambda a, b, c: body(a, b, c, None), mesh=mesh,
+                in_specs=(P(), P(), state_spec),
+                out_specs=(P(), state_spec),
+                check_vma=False,
+            )(pflat, gflat, state)
+
+        new_leaves = [f[: l.size].reshape(l.shape).astype(l.dtype)
+                      for f, l in zip(pfs2, leaves)]
+        return jax.tree.unflatten(treedef, new_leaves), state2, loss
+
+    return init_fn, step_fn
