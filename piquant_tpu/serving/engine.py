@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from collections import deque
+from collections import OrderedDict, deque
 from typing import Dict, List, Optional
 
 import jax
@@ -71,6 +71,16 @@ class EngineConfig:
     # the (INT8) cache — ONE compiled prefill shape regardless of prompt
     # length, and the scheduler can interleave other work between chunks.
     # Chunks after the first read back quantized K/V (tiny quality cost).
+    prefix_cache: int = 0
+    # Max pinned KV prefixes (0 = off; requires prefill_chunk).  A prompt
+    # starting with a pooled prefix seeds its slot cache from the pool and
+    # prefills only the suffix — the vLLM-style system-prompt reuse.  Seed
+    # entries with Engine.preseed_prefix(tokens); prefix_cache_auto captures
+    # every admitted prompt (LRU).  Each entry holds one max_seq_len slot of
+    # quantized KV.  Safe by construction: chunks append their own KV before
+    # attending, so any stale pooled positions past the matched length are
+    # overwritten before they are ever read.
+    prefix_cache_auto: bool = False
 
 
 @dataclasses.dataclass
@@ -94,6 +104,8 @@ class EngineMetrics:
     decode_time_s: float = 0.0
     prefill_tokens: int = 0
     prefill_time_s: float = 0.0
+    prefix_hits: int = 0
+    prefix_tokens_saved: int = 0
     ttfts: List[float] = dataclasses.field(default_factory=list)
 
     @property
@@ -118,6 +130,8 @@ class EngineMetrics:
             "p50_ttft_ms": round(self.p50_ttft_ms(), 2),
             "p99_ttft_ms": round(self.p99_ttft_ms(), 2),
             "requests": len(self.ttfts),
+            "prefix_hits": self.prefix_hits,
+            "prefix_tokens_saved": self.prefix_tokens_saved,
         }
 
     def emit(self, path: str) -> None:
@@ -354,6 +368,12 @@ class Engine:
             raise ValueError(
                 f"prefill_chunk={econfig.prefill_chunk} exceeds "
                 f"max_seq_len={econfig.max_seq_len}")
+        if econfig.prefix_cache and not econfig.prefill_chunk:
+            raise ValueError("prefix_cache requires prefill_chunk (the "
+                             "suffix resumes through the chunked path)")
+        # token-tuple -> (1-slot cache pytree, effective prefix length);
+        # insertion order doubles as LRU order
+        self._prefix_pool: "OrderedDict[tuple, tuple]" = OrderedDict()
         self.cache = self._model.init_kv_cache(cfg, b,
                                                max_len=econfig.max_seq_len)
         self._cur_tok = jnp.zeros((b,), jnp.int32)
@@ -444,6 +464,54 @@ class Engine:
                 return i
         return None
 
+    # ------------------------------------------------------------------
+    # prefix caching (vLLM-style system-prompt KV reuse)
+    # ------------------------------------------------------------------
+    def preseed_prefix(self, tokens: List[int]) -> int:
+        """Prefill `tokens` once and pin their KV in the prefix pool; every
+        later prompt starting with them skips that prefill work.  Only
+        complete prefill_chunk multiples are cached (a partial tail chunk
+        would write pad-token KV the suffix does not overwrite before
+        reading).  Returns the cached effective length."""
+        if not self.ec.prefix_cache:
+            raise ValueError("prefix_cache is 0: enable it in EngineConfig")
+        c = self.ec.prefill_chunk
+        # complete chunks only, and leave >= one chunk of room for a suffix
+        eff = min(len(tokens) // c, (self.ec.max_seq_len - c) // c) * c
+        if eff <= 0:
+            return 0
+        fresh = self._model.init_kv_cache(self.cfg, 1,
+                                          max_len=self.ec.max_seq_len)
+        for s in range(0, eff, c):
+            chunk = list(tokens[s:s + c])
+            _, fresh = self._prefill_chunk(
+                self.params, jnp.asarray([chunk], jnp.int32),
+                jnp.asarray([s], jnp.int32),
+                jnp.asarray([0], jnp.int32), fresh)
+        self._pool_put(tuple(tokens[:eff]), fresh, eff)
+        return eff
+
+    def _pool_put(self, key: tuple, cache, eff: int) -> None:
+        pool = self._prefix_pool
+        if key in pool:
+            pool.move_to_end(key)
+            return
+        while len(pool) >= self.ec.prefix_cache:
+            pool.popitem(last=False)           # evict least-recently-used
+        pool[key] = (cache, eff)
+
+    def _match_prefix(self, prompt: List[int]):
+        """Longest pooled prefix of `prompt` -> (key, cache, eff) or None."""
+        best = None
+        for key, (cache, eff) in self._prefix_pool.items():
+            if (len(key) <= len(prompt)
+                    and (best is None or eff > best[2])
+                    and list(key) == prompt[:len(key)]):
+                best = (key, cache, eff)
+        if best is not None:
+            self._prefix_pool.move_to_end(best[0])
+        return best
+
     def _admit(self, max_chunks: Optional[int] = None) -> None:
         """Admit queued requests into free slots.
 
@@ -481,17 +549,31 @@ class Engine:
                 # re-processes a few already-prefilled tokens: forward is
                 # deterministic and positions are absolute, so it rewrites
                 # identical KV values — correctness is unchanged.
-                starts = list(range(0, plen, c))
+                # prefix-cache hit: seed the slot cache from the pool and
+                # prefill only the suffix.  The pool entry is COPIED — the
+                # chunk chain donates its cache buffers.
+                m0 = 0
+                fresh = None
+                if self.ec.prefix_cache:
+                    hit = self._match_prefix(req.prompt)
+                    if hit is not None:
+                        _, pcache, eff = hit
+                        m0 = min(eff, plen - 1)
+                        fresh = jax.tree.map(lambda a: a.copy(), pcache)
+                        self.metrics.prefix_hits += 1
+                        self.metrics.prefix_tokens_saved += m0
+                if fresh is None:
+                    # per-admission buffer (the shared template would be
+                    # consumed by the first donating chunk)
+                    fresh = self._model.init_kv_cache(
+                        self.cfg, 1, max_len=self.ec.max_seq_len)
+                starts = list(range(m0, plen, c))
                 if starts[-1] + c > self.ec.max_seq_len:
                     starts[-1] = self.ec.max_seq_len - c
                 self._pending_prefill = {
                     "req": req, "slot": slot, "plen": plen, "t0": t0,
                     "starts": starts, "j": 0, "last": None,
-                    # chunked path donates the cache through the chunk chain,
-                    # so it needs a per-admission buffer (the shared template
-                    # would be consumed by the first chunk)
-                    "fresh": self._model.init_kv_cache(self.cfg, 1,
-                                             max_len=self.ec.max_seq_len),
+                    "fresh": fresh,
                 }
 
             p = self._pending_prefill
@@ -513,6 +595,15 @@ class Engine:
                 if budget is not None:
                     budget -= 1
             # all chunks done: install the slot cache + first token
+            if self.ec.prefix_cache and self.ec.prefix_cache_auto:
+                # capture this prompt's complete-chunk prefix for reuse;
+                # p["fresh"] is not donated past this point, so no copy —
+                # seeding copies OUT of the pool instead
+                ceff = min(p["plen"] // c,
+                           (self.ec.max_seq_len - c) // c) * c
+                if ceff > 0:
+                    self._pool_put(tuple(p["req"].prompt[:ceff]),
+                                   p["fresh"], ceff)
             self.cache = self._insert_slot(self.cache, p["fresh"], p["slot"])
             tok, lp = self._sample(p["last"], p["req"])
             self._record_first_token(p["req"], tok, p["slot"], p["plen"],

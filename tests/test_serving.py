@@ -651,3 +651,82 @@ def test_cancel_request(setup):
     assert out[1].done and out[1].tokens == []
     assert not eng.cancel(0)  # already finished
     assert not eng.cancel(99)
+
+
+# ---------------------------------------------------------------------------
+# prefix caching (EngineConfig.prefix_cache)
+# ---------------------------------------------------------------------------
+
+def _run_with_prefix(cfg, params, prompts, n_new, *, prefix_cache=0,
+                     auto=False, preseed=None):
+    eng = Engine(cfg, params, EngineConfig(
+        batch_slots=2, max_seq_len=64, prefill_chunk=4,
+        prefix_cache=prefix_cache, prefix_cache_auto=auto))
+    if preseed is not None:
+        eng.preseed_prefix(preseed)
+    for i, p in enumerate(prompts):
+        eng.submit(Request(rid=i, prompt=p,
+                           sampling=SamplingParams(max_new_tokens=n_new)))
+    out = sorted(eng.run(), key=lambda r: r.rid)
+    return out, eng
+
+
+def test_prefix_cache_preseed_identical_tokens(setup):
+    """A preseeded system prompt must not change ANY generated token, and
+    the matching prompts must skip the shared prefill work (metrics)."""
+    cfg, params = setup
+    sys_prompt = [7, 3, 9, 1, 5, 2, 8, 6]          # 8 = 2 complete chunks
+    prompts = [sys_prompt + [11, 12, 13],
+               sys_prompt + [4],
+               [9, 9, 9, 2]]                        # no shared prefix
+    base, _ = _run_with_prefix(cfg, params, prompts, 6)
+    got, eng = _run_with_prefix(cfg, params, prompts, 6,
+                                prefix_cache=4, preseed=sys_prompt)
+    for rb, rg in zip(base, got):
+        assert rb.tokens == rg.tokens, (rb.rid, rb.tokens, rg.tokens)
+    assert eng.metrics.prefix_hits == 2
+    assert eng.metrics.prefix_tokens_saved == 16
+
+
+def test_prefix_cache_exact_match(setup):
+    """Prompt == preseeded tokens: everything but the last position is
+    reused and the output still matches the uncached engine."""
+    cfg, params = setup
+    sys_prompt = [7, 3, 9, 1, 5, 2, 8, 6]
+    base, _ = _run_with_prefix(cfg, params, [list(sys_prompt)], 6)
+    got, eng = _run_with_prefix(cfg, params, [list(sys_prompt)], 6,
+                                prefix_cache=2, preseed=sys_prompt)
+    assert base[0].tokens == got[0].tokens
+    assert eng.metrics.prefix_hits == 1
+    assert eng.metrics.prefix_tokens_saved == 7   # plen-1: last pos re-run
+
+
+def test_prefix_cache_auto_capture(setup):
+    """prefix_cache_auto: the second identical prompt hits the pool entry
+    captured from the first admission and generates the same tokens."""
+    cfg, params = setup
+    prompt = [5, 1, 4, 2, 8, 3, 7, 7, 2]
+    base, _ = _run_with_prefix(cfg, params, [list(prompt), list(prompt)], 5)
+    got, eng = _run_with_prefix(cfg, params, [list(prompt), list(prompt)], 5,
+                                prefix_cache=2, auto=True)
+    for rb, rg in zip(base, got):
+        assert rb.tokens == rg.tokens
+    assert eng.metrics.prefix_hits >= 1
+    assert eng.metrics.prefix_tokens_saved >= 8   # 2 complete chunks
+
+
+def test_prefix_cache_lru_eviction(setup):
+    cfg, params = setup
+    eng = Engine(cfg, params, EngineConfig(
+        batch_slots=2, max_seq_len=64, prefill_chunk=4, prefix_cache=1))
+    a, b = [1, 2, 3, 4], [5, 6, 7, 8]
+    eng.preseed_prefix(a)
+    eng.preseed_prefix(b)                 # capacity 1: evicts a
+    assert list(eng._prefix_pool) == [tuple(b)]
+
+
+def test_prefix_cache_requires_chunked(setup):
+    cfg, params = setup
+    with pytest.raises(ValueError, match="prefill_chunk"):
+        Engine(cfg, params, EngineConfig(batch_slots=2, max_seq_len=64,
+                                         prefix_cache=2))
