@@ -730,3 +730,33 @@ def test_prefix_cache_requires_chunked(setup):
     with pytest.raises(ValueError, match="prefill_chunk"):
         Engine(cfg, params, EngineConfig(batch_slots=2, max_seq_len=64,
                                          prefix_cache=2))
+
+
+def test_prefix_cache_mla_model():
+    """The prefix pool is cache-pytree-generic: MLA latent caches reuse
+    pooled prefixes with identical outputs."""
+    from piquant_tpu.models import mla as L
+
+    cfg = L.MLAConfig.tiny(dtype=jnp.float32)
+    params = L.quantize_params(L.init_params(cfg, jax.random.key(SEED % 991)),
+                               bits=8)
+    sysp = [3, 7, 1, 9, 5, 2, 4, 8]
+    prompts = [sysp + [11, 6], sysp + [2]]
+    n_new = 5
+
+    def run(prefix):
+        eng = Engine(cfg, params, EngineConfig(
+            batch_slots=2, max_seq_len=64, prefill_chunk=4,
+            prefix_cache=prefix))
+        if prefix:
+            eng.preseed_prefix(sysp)
+        for i, p in enumerate(prompts):
+            eng.submit(Request(rid=i, prompt=p,
+                               sampling=SamplingParams(max_new_tokens=n_new)))
+        toks = [r.tokens for r in sorted(eng.run(), key=lambda r: r.rid)]
+        return toks, eng
+
+    want, _ = run(0)
+    got, eng = run(4)
+    assert got == want, (got, want)
+    assert eng.metrics.prefix_hits == 2
