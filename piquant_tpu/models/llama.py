@@ -34,7 +34,9 @@ from piquant_tpu.quant.kv_cache import (
     kv_cache_init,
 )
 from piquant_tpu.quant.linear import (
+    ACT_QUANT_MIN_M,
     QuantizedLinear,
+    _quantize_act,
     quantize_linear_weight,
     quantized_matmul,
 )
@@ -1049,11 +1051,18 @@ def _moe_ragged_try(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
     w1s = layer["moe_w1"]
     b, t, d = x.shape
     ntok = b * t
+    # act-quant (W4A8/W2A8) rides the ragged path only for channelwise
+    # 2/4-bit stacks (the int8-dot kernel's domain), matching the dense
+    # path's activation policy ("all" at every M, prefill above the
+    # MXU-bound threshold)
+    want_aq = bool(cfg.act_quant_decode
+                   or (cfg.act_quant_prefill and ntok >= ACT_QUANT_MIN_M))
     if (env == "0" or cfg.ep_axis is not None
             or cfg.moe_bias or cfg.moe_clamp_swiglu or cfg.moe_input_scaled
             or not hasattr(w1s, "bits") or w1s.bits not in (2, 4, 8)
             or ntok < 32      # decode: weight traffic dominates, dense is fine
-            or cfg.act_quant_decode or cfg.act_quant_prefill
+            or ((cfg.act_quant_decode or cfg.act_quant_prefill) and not (
+                want_aq and w1s.bits in (2, 4) and w1s.group_size is None))
             or (jax.default_backend() != "tpu" and env != "force")):
         return None
     from piquant_tpu.ops.pallas import qmatmul as _qmm
@@ -1067,15 +1076,23 @@ def _moe_ragged_try(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
     bmr = 128
     r = _moe.build_ragged_routing(topi, probs, e, bmr)
     xs = _moe.scatter_tokens(x.reshape(ntok, d).astype(cfg.dtype), r)
-    g = _qmm.w4_ragged_matmul(xs, w1s, r.block_expert, cfg.dtype)
-    u = _qmm.w4_ragged_matmul(xs, layer["moe_w3"], r.block_expert, cfg.dtype)
+
+    def mm(v, stack):
+        if want_aq:
+            vq, vs = _quantize_act(v)
+            return _qmm.wq_ragged_matmul_a8(vq, vs, stack, r.block_expert,
+                                            cfg.dtype)
+        return _qmm.w4_ragged_matmul(v, stack, r.block_expert, cfg.dtype)
+
+    g = mm(xs, w1s)
+    u = mm(xs, layer["moe_w3"])
     if g is None or u is None:
         return None
     gf = g.astype(jnp.float32)
     act = (jax.nn.gelu(gf, approximate=True) if cfg.mlp_act == "gelu"
            else jax.nn.silu(gf))
     h = (act * u.astype(jnp.float32)).astype(cfg.dtype)
-    o = _qmm.w4_ragged_matmul(h, layer["moe_w2"], r.block_expert, cfg.dtype)
+    o = mm(h, layer["moe_w2"])
     if o is None:
         return None
     return _moe.combine_tokens(o, r, ntok).reshape(b, t, d)

@@ -224,6 +224,82 @@ def wq_ragged_matmul(x_sorted: Array, stack, block_expert: Array,
                 xb, stack.data.reshape(e, rows, n), scale, zs, xsum)
 
 
+@lru_cache(maxsize=None)
+def _wq_ragged_a8_kernel(m: int, k: int, n: int, e: int, bm: int, bn: int,
+                         bits: int, out_dtype: str):
+    """W4A8/W2A8 ragged MoE kernel: int8 per-token activations against
+    int8-unpacked sub-byte planes, exact int32 MXU accumulation — the
+    1.85x-MXU-rate act-quant path (`_w4a8_kernel`) for expert stacks.
+    Channelwise only: the zero-point folds analytically in the INT domain,
+        xq @ ((c - zp) * s) * xs = ((xq @ c) - zp * sum(xq)) * s * xs.
+    Codes <= 15 fit int8 exactly (bits 2/4; int8 stacks would overflow)."""
+    odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
+    planes = {2: 4, 4: 2}[bits]
+    mask = (1 << bits) - 1
+    rp = k // planes
+
+    def kern(be_ref, xq_ref, xs_ref, xsum_ref, b_ref, s_ref, zs_ref, o_ref):
+        del be_ref
+        b = b_ref[0].astype(jnp.int32)            # (rp, bn)
+        xq = xq_ref[:]
+        acc = jnp.zeros((xq.shape[0], bn), jnp.int32)
+        for p in range(planes):
+            plane = ((b >> (bits * p)) & mask).astype(jnp.int8)
+            acc += jax.lax.dot_general(
+                xq[:, p * rp:(p + 1) * rp], plane, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+        y = (acc.astype(jnp.float32) * s_ref[0]
+             - xsum_ref[:] * zs_ref[0]) * xs_ref[:]
+        o_ref[:] = y.astype(odt)
+
+    grid = (n // bn, m // bm)   # (j, i): same DMA-elision rationale
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda j, i, be: (i, 0)),
+                pl.BlockSpec((bm, 1), lambda j, i, be: (i, 0)),
+                pl.BlockSpec((bm, 1), lambda j, i, be: (i, 0)),
+                pl.BlockSpec((1, rp, bn), lambda j, i, be: (be[i], 0, j)),
+                pl.BlockSpec((1, 1, bn), lambda j, i, be: (be[i], 0, j)),
+                pl.BlockSpec((1, 1, bn), lambda j, i, be: (be[i], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda j, i, be: (i, j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), odt),
+    )
+
+
+def wq_ragged_matmul_a8(xq: Array, xs: Array, stack, block_expert: Array,
+                        out_dtype=jnp.bfloat16) -> Optional[Array]:
+    """Act-quant ragged expert matmul: xq [M, K] int8, xs [M, 1] f32
+    per-token scales, channelwise INT2/INT4 stack.  None if unsupported."""
+    if stack.bits not in (2, 4) or stack.group_size is not None:
+        return None
+    m, k = xq.shape
+    e, rows, n = stack.data.shape
+    planes = {2: 4, 4: 2}[stack.bits]
+    if m % block_expert.shape[0] or rows != k // planes:
+        return None
+    bm = m // block_expert.shape[0]
+    bn = next((c for c in BN_CANDIDATES
+               if n % c == 0 and rows * c <= W_BLOCK_VMEM_LIMIT // 2), None)
+    if bn is None:
+        return None
+    scale = stack.scale.astype(jnp.float32).reshape(e, 1, n)
+    zs = (stack.zero_point.astype(jnp.float32)
+          * stack.scale.astype(jnp.float32)).reshape(e, 1, n)
+    xsum = jnp.sum(xq.astype(jnp.float32), axis=-1, keepdims=True)
+    kern = _wq_ragged_a8_kernel(
+        m, k, n, e, bm, bn, stack.bits,
+        "bf16" if out_dtype == jnp.bfloat16 else "f32")
+    return kern(block_expert.astype(jnp.int32), xq,
+                xs.astype(jnp.float32), xsum,
+                stack.data.reshape(e, rows, n), scale, zs)
+
+
 def _wq_ragged_grouped(x_sorted: Array, stack, block_expert: Array,
                        out_dtype) -> Optional[Array]:
     m, k = x_sorted.shape

@@ -418,3 +418,33 @@ def test_moe_expert_parallel_with_bias_stacks():
 
     got = np.asarray(run(stacked, rest, x))
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("bits", [2, 4])
+def test_moe_ragged_a8_matches_dense(bits):
+    """The act-quant (W4A8/W2A8) ragged path must match the dense path
+    under the SAME activation-quantization policy (act_quant_decode makes
+    both quantize at every M)."""
+    import os
+
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = M.LlamaConfig.tiny(n_experts=4, moe_top_k=2, act_quant_decode=True)
+    params = M.quantize_params(M.init_params(cfg, jax.random.key(5)),
+                               bits=bits)
+    layer = params["layers"][0]
+    x = jax.random.normal(jax.random.key(6), (2, 32, cfg.d_model),
+                          cfg.dtype) * 0.5
+
+    want = np.asarray(M._mlp_moe(cfg, layer, x))  # dense W{bits}A8
+
+    os.environ["PIQUANT_MOE_RAGGED"] = "force"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = M._moe_ragged_try(cfg, layer, x,
+                                    *_routing_of(cfg, layer, x))
+    finally:
+        os.environ["PIQUANT_MOE_RAGGED"] = "1"
+    assert got is not None, "a8 ragged path refused a supported geometry"
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-2, atol=3e-2)
