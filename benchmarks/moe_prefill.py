@@ -29,19 +29,20 @@ from piquant_tpu.quant.linear import QuantizedExpertStack, quantize_linear_weigh
 D_MODEL, D_FF, E, TOPK = 4096, 14336, 8, 2
 
 
-def build(key):
+def build(key, group_size=None):
     from functools import partial
 
     @partial(jax.jit, static_argnums=(1, 2))
     def one(k_, kin, nout):
         return quantize_linear_weight(
-            jax.random.normal(k_, (kin, nout), jnp.float32) * 0.02, bits=4)
+            jax.random.normal(k_, (kin, nout), jnp.float32) * 0.02, bits=4,
+            group_size=group_size)
 
     def stack(k_, kin, nout):
         s = QuantizedExpertStack.stack(
             [one(jax.random.fold_in(k_, i), kin, nout) for i in range(E)])
         jax.block_until_ready(s.data)
-        print(f"  built stack {kin}x{nout}", flush=True)
+        print(f"  built stack {kin}x{nout} gs={group_size}", flush=True)
         return s
 
     layer = {
@@ -110,6 +111,18 @@ def main(ntok=4096):
     os.environ["PIQUANT_MOE_RAGGED"] = "1"
     ragged = bench(cfg, layer, x, "ragged")
     print(f"speedup: {dense/ragged:.2f}x (FLOP bound {E/TOPK:.1f}x)", flush=True)
+
+    if os.environ.get("PIQUANT_MOE_VARIANTS", "all") == "all":
+        # W4A8 ragged: int8 activations, exact int32 MXU dots (1.85x rate)
+        cfg_a8 = dataclasses.replace(cfg, act_quant_prefill=True)
+        a8 = bench(cfg_a8, layer, x, "ragged-a8")
+        print(f"a8 speedup over ragged: {ragged/a8:.2f}x", flush=True)
+
+        # grouped-scale (g32) ragged: in-register dequant kernel
+        layer_g = build(jax.random.key(1), group_size=32)
+        g32 = bench(cfg, layer_g, x, "ragged-g32")
+        print(f"g32 cost over channelwise ragged: {g32/ragged:.2f}x",
+              flush=True)
 
 
 if __name__ == "__main__":
