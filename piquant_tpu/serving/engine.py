@@ -811,6 +811,74 @@ class Engine:
         self.metrics.decode_time_s += time.perf_counter() - t0
 
     # ------------------------------------------------------------------
+    # snapshot / restore (SURVEY §5 failure detection: preemption-safe
+    # serving — the training side's checkpoint-restart counterpart)
+    # ------------------------------------------------------------------
+    _SNAP_HOST = ("_temps", "_topks", "_topps", "_minps", "_pens",
+                  "_host_pos", "_active")
+
+    def snapshot(self) -> dict:
+        """Full engine state as a host pytree: KV caches, per-slot sampler
+        state, in-flight requests, queue, RNG, metrics, prefix pool.
+        Restoring on a fresh Engine (same cfg/params/econfig) resumes
+        generation with IDENTICAL tokens (tested).  Call between scheduler
+        ticks; a mid-admission chunked prefill cannot be snapshotted."""
+        if self._pending_prefill is not None:
+            raise ValueError("snapshot mid-admission: drain the pending "
+                             "chunked prefill first (one _admit() tick)")
+        host = lambda t: jax.tree.map(np.asarray, t)  # noqa: E731
+        state = {
+            "cache": host(self.cache),
+            "cur_tok": np.asarray(self._cur_tok),
+            "positions": np.asarray(self._positions),
+            "key": np.asarray(jax.random.key_data(self._key)),
+            "blk_counter": self._blk_counter,
+            "slots": self._slots, "queue": list(self._queue),
+            "all": self._all, "metrics": self.metrics,
+            "prefix_pool": [(k, host(c), eff)
+                            for k, (c, eff) in self._prefix_pool.items()],
+        }
+        if hasattr(self, "_hist"):
+            state["hist"] = np.asarray(self._hist)
+        for f in self._SNAP_HOST:
+            state[f] = getattr(self, f).copy()
+        return state
+
+    def restore(self, state: dict) -> None:
+        """Load a snapshot() pytree into this (freshly built) engine."""
+        dev = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+        self.cache = dev(state["cache"])
+        self._cur_tok = jnp.asarray(state["cur_tok"])
+        self._positions = jnp.asarray(state["positions"])
+        self._key = jax.random.wrap_key_data(jnp.asarray(state["key"]))
+        self._blk_counter = state["blk_counter"]
+        self._slots = list(state["slots"])
+        self._queue = deque(state["queue"])
+        self._all = list(state["all"])
+        self.metrics = state["metrics"]
+        self._prefix_pool = OrderedDict(
+            (k, (dev(c), eff)) for k, c, eff in state["prefix_pool"])
+        if "hist" in state:
+            self._hist = jnp.asarray(state["hist"])
+        for f in self._SNAP_HOST:
+            setattr(self, f, state[f].copy())
+        self._slot_state_dirty = True  # device mirrors rebuilt lazily
+        self._pending_prefill = None
+
+    def save(self, path: str) -> None:
+        """snapshot() to disk (pickle + raw numpy buffers)."""
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(self.snapshot(), f, protocol=4)
+
+    def load(self, path: str) -> None:
+        import pickle
+
+        with open(path, "rb") as f:
+            self.restore(pickle.load(f))
+
+    # ------------------------------------------------------------------
     def run(self) -> List[Request]:
         """Run until queue and slots drain; returns completed requests.
 

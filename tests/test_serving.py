@@ -760,3 +760,51 @@ def test_prefix_cache_mla_model():
     got, eng = run(4)
     assert got == want, (got, want)
     assert eng.metrics.prefix_hits == 2
+
+
+# ---------------------------------------------------------------------------
+# snapshot / restore (preemption-safe serving)
+# ---------------------------------------------------------------------------
+
+def test_engine_snapshot_restore_identical(setup, tmp_path):
+    """Kill-and-resume: snapshot mid-generation, restore into a FRESH
+    engine, finish — every request's tokens match an uninterrupted run."""
+    cfg, params = setup
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7], [4, 4, 4, 4]]
+    n_new = 8
+
+    def make(reqs=True):
+        eng = Engine(cfg, params, EngineConfig(
+            batch_slots=2, max_seq_len=64, decode_block=4,
+            prefill_chunk=4, prefix_cache=2))
+        if reqs:
+            for i, p in enumerate(prompts):
+                eng.submit(Request(rid=i, prompt=list(p),
+                                   sampling=SamplingParams(
+                                       max_new_tokens=n_new)))
+        return eng
+
+    want = {r.rid: r.tokens for r in make().run()}
+
+    eng = make()
+    eng._admit()
+    eng._step_decode()  # a couple of decode blocks, then "preemption"
+    eng._step_decode()
+    path = str(tmp_path / "engine.pkl")
+    eng.save(path)
+
+    eng2 = make(reqs=False)
+    eng2.load(path)
+    got = {r.rid: r.tokens for r in eng2.run()}
+    assert got == want, (got, want)
+
+
+def test_engine_snapshot_rejects_mid_admission(setup):
+    cfg, params = setup
+    eng = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=64,
+                                           prefill_chunk=4))
+    eng.submit(Request(rid=0, prompt=list(range(1, 12)),
+                       sampling=SamplingParams(max_new_tokens=2)))
+    eng._admit(max_chunks=1)      # chunked prefill left in flight
+    with pytest.raises(ValueError, match="mid-admission"):
+        eng.snapshot()
