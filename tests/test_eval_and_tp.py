@@ -93,3 +93,27 @@ def test_tp_sharded_groupwise_forward(setup):
     got = fwd(sharded, tokens)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_tp_sharded_engine_serving(setup):
+    """The continuous-batching Engine serves TP-sharded params end-to-end
+    (GSPMD propagates the shardings through every jitted engine program);
+    tokens match the unsharded engine exactly."""
+    from piquant_tpu.serving import Engine, EngineConfig, Request, SamplingParams
+
+    cfg, params = setup
+    qparams = M.quantize_params(params, bits=4)
+    prompts = [[1, 2, 3, 4, 5], [9, 8, 7]]
+
+    def run(p):
+        eng = Engine(cfg, p, EngineConfig(batch_slots=2, max_seq_len=64,
+                                          decode_block=4))
+        for i, pr in enumerate(prompts):
+            eng.submit(Request(rid=i, prompt=list(pr),
+                               sampling=SamplingParams(max_new_tokens=6)))
+        return {r.rid: r.tokens for r in eng.run()}
+
+    want = run(qparams)
+    mesh = make_mesh([("tp", 4)], devices=jax.devices()[:4])
+    got = run(M.shard_params(qparams, mesh, "tp"))
+    assert got == want, (got, want)
