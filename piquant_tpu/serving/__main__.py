@@ -70,13 +70,36 @@ def build_parser() -> argparse.ArgumentParser:
                     help="run a synthetic N-request load benchmark and print "
                          "engine metrics JSON")
     ap.add_argument("--metrics-out", help="append engine metrics JSON line here")
+    ap.add_argument("--serve", type=int, metavar="PORT", default=None,
+                    help="start the HTTP front-end (serving/server.py: "
+                         "/v1/completions with SSE streaming, /v1/metrics) "
+                         "on this port and block")
     return ap
+
+
+def _mlp_overrides(args):
+    """--mlp-bits/--mlp-group-size -> quantize_params `overrides` for the
+    MLP projections (the ~75%-of-layer-bytes mixed-precision knob:
+    attn-int4 + mlp-int2-g32 was +2.06 ppl vs +3.57 all-int2 on the
+    proxy).  None = uniform quantization."""
+    if args.mlp_bits is None and args.mlp_group_size is None:
+        return None
+    bits = args.mlp_bits if args.mlp_bits is not None else args.bits
+    gs = args.mlp_group_size
+    return {k: (bits, gs) for k in ("w1", "w3", "w2")}
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    import os
+
     import jax
 
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor an explicit platform choice at the CONFIG level too: the
+        # env var alone does not stop a registered remote-TPU plugin from
+        # blocking at first backend use when its relay is down (NOTES.md)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_compilation_cache_dir", "/tmp/piquant_tpu_jax_cache")
     import numpy as np
 
@@ -151,6 +174,20 @@ def main(argv=None) -> int:
                         repetition_penalty=args.repetition_penalty,
                         max_new_tokens=args.max_new,
                         eos_token=eos if eos is not None else -1)
+
+    if args.serve is not None:
+        from piquant_tpu.serving import EngineServer
+
+        srv = EngineServer(eng, host="0.0.0.0", port=args.serve)
+        srv.start()
+        print(f"serving on http://{srv.host}:{srv.port} "
+              f"(POST /v1/completions, GET /v1/metrics)", flush=True)
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            srv.stop()
+        return 0
 
     if args.benchmark:
         rng = np.random.default_rng(7)

@@ -109,3 +109,39 @@ def test_bad_request_rejected(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(server, {"prompt": "not token ids"})
     assert ei.value.code == 400
+
+
+# ---------------------------------------------------------------------------
+# CLI (__main__) regression coverage
+# ---------------------------------------------------------------------------
+
+def test_cli_mlp_overrides_helper():
+    """Regression: the CLI referenced _mlp_overrides without defining it —
+    every non-preset quantize path (incl. `--random tiny`) crashed with
+    NameError since the mixed-precision flags landed."""
+    from piquant_tpu.serving.__main__ import _mlp_overrides, build_parser
+
+    ap = build_parser()
+    a = ap.parse_args(["--random", "tiny"])
+    assert _mlp_overrides(a) is None
+    a = ap.parse_args(["--random", "tiny", "--mlp-bits", "2",
+                       "--mlp-group-size", "32"])
+    assert _mlp_overrides(a) == {"w1": (2, 32), "w3": (2, 32), "w2": (2, 32)}
+    a = ap.parse_args(["--random", "tiny", "--bits", "4",
+                       "--mlp-group-size", "64"])
+    assert _mlp_overrides(a) == {"w1": (4, 64), "w3": (4, 64), "w2": (4, 64)}
+
+
+def test_cli_benchmark_tiny_smoke(capsys):
+    """End-to-end CLI run on the tiny preset (the path the NameError
+    broke): benchmark mode prints a metrics JSON line."""
+    import json as _json
+
+    from piquant_tpu.serving.__main__ import main
+
+    rc = main(["--random", "tiny", "--benchmark", "2", "--max-seq-len", "128",
+               "--slots", "2", "--max-new", "4", "--mlp-bits", "4"])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    m = _json.loads(line)
+    assert m["completed"] == 2 and m["decode_tokens"] > 0
