@@ -135,6 +135,23 @@ def main(steps: int = 400):
         print(f"{name:24s} ppl: {ppl:.4f}  (delta {ppl-base:+.4f}) [{status}]",
               flush=True)
 
+    # --- auto-mixed precision: planner vs the hand recipe at the SAME
+    # byte budget (quant/mixed.py greedy sensitivity knapsack) -------------
+    from piquant_tpu.quant.mixed import plan_bytes, plan_mixed_precision
+
+    hand = {}
+    for li in range(cfg.n_layers):
+        for k in ("wq", "wk", "wv", "wo"):
+            hand[f"{li}.{k}"] = (4, None)
+        for k in ("w1", "w3", "w2"):
+            hand[f"{li}.{k}"] = (2, 32)
+    budget = plan_bytes(params, hand)
+    plan = plan_mixed_precision(cfg, params, calib, budget)
+    qp = M.quantize_params(params, overrides=plan)
+    ppl = perplexity(cfg, qp, eval_toks, window=512, stride=256)
+    print(f"{'auto-mixed @ hand budget':24s} ppl: {ppl:.4f}  "
+          f"(delta {ppl-base:+.4f}) [vs hand attn4+mlp2 above]", flush=True)
+
     # --- GPTQ: Hessian-compensated rounding (quant/gptq.py) --------------
     from piquant_tpu.quant.awq import apply_awq_scales, collect_activation_stats
     from piquant_tpu.quant.gptq import gptq_quantize_params

@@ -526,11 +526,15 @@ def quantize_params(params: Dict, bits: int = 4, *, channelwise: bool = True,
     `overrides` maps weight names to `(bits, group_size)` (or bare bits)
     for mixed-precision recipes — e.g. the MLP weights (75% of 8B layer
     bytes) at INT2-g32 with attention kept INT4:
-        overrides={"w1": (2, 32), "w3": (2, 32), "w2": (2, 32)}"""
+        overrides={"w1": (2, 32), "w3": (2, 32), "w2": (2, 32)}
+    Per-layer keys `"{layer_idx}.{name}"` (e.g. `"3.w2"`) take precedence
+    over bare names — the granularity quant/mixed.py's auto-planner emits."""
     from piquant_tpu.quant.linear import QuantizedExpertStack
 
-    def cfg_for(k):
-        o = (overrides or {}).get(k)
+    def cfg_for(li, k):
+        o = (overrides or {}).get(f"{li}.{k}")
+        if o is None:
+            o = (overrides or {}).get(k)
         if o is None:
             return bits, group_size
         if isinstance(o, tuple):
@@ -539,16 +543,16 @@ def quantize_params(params: Dict, bits: int = 4, *, channelwise: bool = True,
 
     out = dict(params)
     out["layers"] = []
-    for layer in params["layers"]:
+    for li, layer in enumerate(params["layers"]):
         ql = dict(layer)
         for k in _QUANT_KEYS:
             if k in layer:
-                b, gs = cfg_for(k)
+                b, gs = cfg_for(li, k)
                 ql[k] = quantize_linear_weight(
                     layer[k], b, channelwise=channelwise, group_size=gs)
         for k in _MOE_QUANT_KEYS:
             if k in layer:
-                b, gs = cfg_for(k)
+                b, gs = cfg_for(li, k)
                 ql[k] = QuantizedExpertStack.stack([
                     quantize_linear_weight(layer[k][e], b,
                                            channelwise=channelwise,

@@ -11,6 +11,10 @@ from piquant_tpu.quant.linear import (  # noqa: F401
     wire_to_split_half,
     split_half_to_wire,
 )
+from piquant_tpu.quant.mixed import (  # noqa: F401
+    plan_bytes,
+    plan_mixed_precision,
+)
 from piquant_tpu.quant.rotate import (  # noqa: F401
     fold_norms,
     rotate_params,
