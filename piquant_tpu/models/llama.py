@@ -649,6 +649,9 @@ def fuse_layer_projections(params: Dict, cfg: LlamaConfig, tp: int = 1) -> Dict:
     out = dict(params)
     out["layers"] = []
     for layer in params["layers"]:
+        if any(type(v).__name__ == "LoraLinear" for v in layer.values()):
+            raise ValueError("merge_lora (quant/lora.py) before "
+                             "fuse_layer_projections")
         nl = {k: v for k, v in layer.items()
               if k not in ("wq", "wk", "wv", "w1", "w3")}
         nl["wqkv"] = _interleave_cols([layer["wq"], layer["wk"], layer["wv"]], tp)
@@ -662,6 +665,11 @@ def fuse_layer_projections(params: Dict, cfg: LlamaConfig, tp: int = 1) -> Dict:
 
 
 def _mm(x: Array, w, out_dtype, act_quant: bool = False) -> Array:
+    if type(w).__name__ == "LoraLinear":   # quant/lora.py (lazy: no cycle)
+        y = _mm(x, w.base, out_dtype, act_quant)
+        delta = (x.astype(jnp.float32) @ w.a.astype(jnp.float32)
+                 ) @ w.b.astype(jnp.float32) * w.scaling
+        return (y.astype(jnp.float32) + delta).astype(out_dtype)
     if isinstance(w, QuantizedLinear):
         return quantized_matmul(x, w, out_dtype, act_quant=act_quant)
     return jnp.dot(x.astype(out_dtype), w.astype(out_dtype),

@@ -11,6 +11,13 @@ from piquant_tpu.quant.linear import (  # noqa: F401
     wire_to_split_half,
     split_half_to_wire,
 )
+from piquant_tpu.quant.lora import (  # noqa: F401
+    LoraLinear,
+    add_lora,
+    lora_params,
+    merge_lora,
+    with_lora,
+)
 from piquant_tpu.quant.mixed import (  # noqa: F401
     plan_bytes,
     plan_mixed_precision,

@@ -1,0 +1,145 @@
+"""QLoRA adapters (quant/lora.py): zero-init equivalence, adapter-only
+training on a frozen INT4 base, merge-requantize parity, serving."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from piquant_tpu.models import llama as M
+from piquant_tpu.quant.lora import (LoraLinear, add_lora, lora_params,
+                                    merge_lora, with_lora)
+from piquant_tpu.quant.linear import QuantizedLinear
+
+SEED = 0x9032002
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = M.LlamaConfig.tiny(vocab=64, dtype=jnp.float32)
+    params = M.init_params(cfg, jax.random.key(SEED))
+    qparams = M.quantize_params(params, bits=4, group_size=32)
+    return cfg, qparams
+
+
+def _nll(cfg, p, batch):
+    logits, _ = M.forward(cfg, p, batch[:, :-1], attend_in_layer=True)
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    return -jnp.take_along_axis(lp, batch[:, 1:, None], -1).mean()
+
+
+def _batch(rng):
+    starts = rng.integers(0, 64, 8)
+    steps = rng.integers(1, 5, 8)
+    return jnp.asarray((starts[:, None] + steps[:, None]
+                        * np.arange(25)[None, :]) % 64, jnp.int32)
+
+
+def test_lora_zero_init_is_identity(setup):
+    cfg, qparams = setup
+    toks = jax.random.randint(jax.random.key(1), (2, 12), 0, 64)
+    want, _ = M.forward(cfg, qparams, toks, attend_in_layer=True)
+    pl = add_lora(qparams, rank=4, key=jax.random.key(2))
+    got, _ = M.forward(cfg, pl, toks, attend_in_layer=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_lora_training_frozen_base(setup):
+    """Adapter-only training: loss falls, the packed base bytes are
+    bit-identical before/after, and the trainable pytree is tiny."""
+    cfg, qparams = setup
+    pl = add_lora(qparams, rank=4, key=jax.random.key(3))
+    adapters = lora_params(pl)
+
+    n_train = sum(x.size for x in jax.tree.leaves(adapters))
+    n_base = sum(x.size for x in jax.tree.leaves(qparams))
+    assert n_train < 0.1 * n_base
+
+    rng = np.random.default_rng(5)
+
+    def loss_fn(ad, batch):
+        return _nll(cfg, with_lora(pl, ad), batch)
+
+    opt = optax.adam(3e-3)
+    st = opt.init(adapters)
+
+    @jax.jit
+    def step(ad, st, batch):
+        loss, g = jax.value_and_grad(loss_fn)(ad, batch)
+        upd, st = opt.update(g, st, ad)
+        return optax.apply_updates(ad, upd), st, loss
+
+    batch = _batch(rng)
+    losses = []
+    for _ in range(60):
+        adapters, st, loss = step(adapters, st, batch)
+        losses.append(float(loss))
+    assert losses[-1] < 0.75 * losses[0], losses
+
+    # the frozen base never moved
+    before = jax.tree.leaves(qparams)
+    after = jax.tree.leaves(
+        {"layers": [{k: v.base for k, v in layer.items()
+                     if isinstance(v, LoraLinear)}
+                    for layer in with_lora(pl, adapters)["layers"]]})
+    codes_b = [x for x in before if x.dtype == jnp.uint8]
+    codes_a = [x for x in after if x.dtype == jnp.uint8]
+    assert codes_a and all(
+        bool(jnp.array_equal(a, b))
+        for a, b in zip(codes_a, codes_b[: len(codes_a)]))
+
+    # merging keeps (most of) the training win.  NOTE: on this toy the
+    # trained deltas are comparable to the base weights themselves, so the
+    # re-quantization rounding after the fold is NOT negligible — exact
+    # merge parity is asserted separately with small deltas below.
+    merged = merge_lora(with_lora(pl, adapters))
+    assert isinstance(merged["layers"][0]["wq"], QuantizedLinear)
+    assert float(_nll(cfg, merged, batch)) < 0.9 * losses[0]
+
+
+def test_lora_merge_parity_small_delta(setup):
+    """With deltas small relative to the base weights (the real-QLoRA
+    regime), merge-requantize matches the adapter model closely."""
+    cfg, qparams = setup
+    pl = add_lora(qparams, rank=4, key=jax.random.key(21))
+    # B scaled so delta << one int4-g32 quant step
+    ad = {li: {k: (a, 1e-4 * jax.random.normal(
+                       jax.random.fold_in(jax.random.key(22), li),
+                       b.shape, b.dtype))
+               for k, (a, b) in sub.items()}
+          for li, sub in lora_params(pl).items()}
+    trained = with_lora(pl, ad)
+    merged = merge_lora(trained)
+    toks = jax.random.randint(jax.random.key(23), (2, 12), 0, 64)
+    ya, _ = M.forward(cfg, trained, toks, attend_in_layer=True)
+    ym, _ = M.forward(cfg, merged, toks, attend_in_layer=True)
+    rel = float(jnp.abs(ym - ya).max() / (jnp.abs(ya).max() + 1e-9))
+    assert rel < 0.05, rel
+
+
+def test_lora_engine_serving(setup):
+    """The engine serves adapter models directly (LoraLinear is a pytree);
+    zero-init adapters give tokens identical to the base."""
+    from piquant_tpu.serving import Engine, EngineConfig, Request, SamplingParams
+
+    cfg, qparams = setup
+
+    def run(p):
+        eng = Engine(cfg, p, EngineConfig(batch_slots=2, max_seq_len=64,
+                                          decode_block=4))
+        eng.submit(Request(rid=0, prompt=[1, 2, 3],
+                           sampling=SamplingParams(max_new_tokens=5)))
+        return eng.run()[0].tokens
+
+    base = run(qparams)
+    lora = run(add_lora(qparams, rank=4, key=jax.random.key(9)))
+    assert base == lora
+
+
+def test_lora_fuse_rejected(setup):
+    cfg, qparams = setup
+    pl = add_lora(qparams, rank=2, key=jax.random.key(4))
+    with pytest.raises(ValueError, match="merge_lora"):
+        M.fuse_layer_projections(pl, cfg)
