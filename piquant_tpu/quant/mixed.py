@@ -6,12 +6,20 @@ differ wildly in sensitivity (the proxy's hand recipe — attention INT4 +
 MLP INT2-g32 — already beat all-INT2 by 1.5 ppl).  This module automates
 that choice at per-(layer, projection) granularity:
 
-  1. quantize every projection at the FLOOR config (cheapest candidate);
-  2. for each projection and each upgrade config, measure the calib-NLL
-     gain of upgrading just that one projection (one forward each —
-     interactions are second-order, the standard HAWQ assumption);
-  3. greedily buy the best marginal gain-per-byte upgrades until the
-     byte budget is spent.
+  1. measure each (projection, candidate) DAMAGE: calib-NLL delta vs the
+     float model with only that one projection quantized (one forward
+     each — interactions are second-order, the standard HAWQ assumption;
+     scanning in a floor-quantized context instead drowns the signal in
+     the other projections' noise and misranks badly: +2.69 vs this
+     formulation's +0.81 ppl at the same budget on the trained proxy);
+  2. start everyone at the FLOOR config (cheapest candidate);
+  3. greedily buy the best marginal damage-reduction-per-byte upgrades
+     until the byte budget is spent.
+
+Validated on the 400-step trained proxy (benchmarks/ppl_quality.py):
+auto-mixed at the hand recipe's exact byte budget = +0.81 ppl vs the
+hand recipe's +2.06 (attn4 + mlp2-g32) — 2.5x less damage, zero manual
+tuning.
 
 The plan is an `overrides` dict for `llama.quantize_params` (per-layer
 keys `"{li}.{name}"`), so the runtime kernels are untouched — this is a
@@ -36,17 +44,23 @@ from piquant_tpu.quant.linear import quantize_linear_weight
 
 __all__ = ["plan_mixed_precision", "plan_bytes", "CANDIDATES"]
 
-# (bits, group_size) ladder, cheapest first.  Bytes/weight: packed codes
-# + f32 (scale, zp) per group/channel.
-CANDIDATES: Tuple[Tuple[int, Optional[int]], ...] = ((2, 32), (4, 32),
-                                                     (8, None))
+# (bits, group_size) ladder, cheapest STREAM cost first.  int4 channelwise
+# sits between int2-g32 and int4-g32: grouped scales are real traffic
+# (bf16 s_chunk + zs16 = 4 B per group entry = 1 bit/weight at gs=32), so
+# a ladder without the channelwise rung can never express the
+# attn4-channelwise + mlp2-g32 shape that hand recipes use.
+CANDIDATES: Tuple[Tuple[int, Optional[int]], ...] = (
+    (2, 32), (4, None), (4, 32), (8, None))
 
 
 def _leaf_bytes(shape, bits: int, gs: Optional[int]) -> float:
+    """Decode-path HBM traffic per weight matrix: packed codes + the side
+    streams the kernels actually read (bf16 s_chunk/zs16 for grouped —
+    4 B per group entry; one f32 (scale, zp*scale) row for channelwise)."""
     k, n = shape[-2], shape[-1]
     e = shape[0] if len(shape) == 3 else 1
-    groups = (k // gs) if gs else 1
-    return e * (k * n * bits / 8 + groups * n * 8)
+    side = (k // gs) * n * 4 if gs else n * 8
+    return e * (k * n * bits / 8 + side)
 
 
 def _proj_keys(params) -> List[Tuple[int, str, Tuple[int, ...]]]:
@@ -88,7 +102,9 @@ def plan_mixed_precision(
     Returns an `overrides` dict for `quantize_params` with every
     projection assigned explicitly (per-layer keys).  The floor plan
     (all projections at candidates[0]) must fit the budget."""
-    candidates = sorted(candidates, key=lambda c: c[0])
+    # cheapest-first by per-weight stream cost (codes + side streams)
+    candidates = sorted(candidates,
+                        key=lambda c: c[0] / 8 + (4 / c[1] if c[1] else 0))
     floor = candidates[0]
     keys = _proj_keys(params)
     tokens = jnp.asarray(calib_tokens, jnp.int32)
@@ -108,39 +124,45 @@ def plan_mixed_precision(
                 q = quantize_linear_weight(w, b, group_size=gs)
             levels[(li, k, ci)] = q
 
-    def assemble(assign: Dict[Tuple[int, str], int]):
-        out = dict(params)
-        out["layers"] = []
-        for li, layer in enumerate(params["layers"]):
-            nl = dict(layer)
-            for k in M._QUANT_KEYS + M._MOE_QUANT_KEYS:
-                if k in layer:
-                    nl[k] = levels[(li, k, assign[(li, k)])]
-            out["layers"].append(nl)
-        return out
-
     assign = {(li, k): 0 for li, k, _ in keys}
     spent = plan_bytes(params, {}, floor)
     if spent > budget_bytes:
         raise ValueError(
             f"floor plan needs {spent:.0f} B > budget {budget_bytes:.0f} B")
-    base = _nll(cfg, assemble(assign), tokens)
 
-    # marginal gain of each single-step upgrade, measured from the floor
-    steps = []  # (gain_per_byte, li, k, ci, dbytes, gain)
+    # Sensitivity = DAMAGE vs the float model with only ONE projection
+    # quantized (the HAWQ formulation).  Measuring upgrades from the floor
+    # instead (everything at int2 during the scan) drowns each projection's
+    # signal in the others' noise and misranks badly: on the trained proxy
+    # the floor-context variant landed at +2.69 ppl where the hand recipe
+    # sat at +2.06; this variant beats the hand recipe (see
+    # benchmarks/ppl_quality.py `auto-mixed @ hand budget`).
+    base = _nll(cfg, params, tokens)
+    damage: Dict[Tuple[int, str, int], float] = {}
     for li, k, shape in keys:
-        prev_nll, prev_bytes = base, _leaf_bytes(shape, *candidates[0])
-        for ci in range(1, len(candidates)):
-            trial = dict(assign)
-            trial[(li, k)] = ci
-            nll = _nll(cfg, assemble(trial), tokens)
-            dbytes = _leaf_bytes(shape, *candidates[ci]) - prev_bytes
-            gain = prev_nll - nll
-            steps.append((gain / max(dbytes, 1.0), li, k, ci, dbytes, gain))
-            prev_nll = nll
-            prev_bytes = _leaf_bytes(shape, *candidates[ci])
+        for ci in range(len(candidates)):
+            one = dict(params)
+            one["layers"] = list(params["layers"])
+            nl = dict(params["layers"][li])
+            nl[k] = levels[(li, k, ci)]
+            one["layers"][li] = nl
+            d = max(_nll(cfg, one, tokens) - base, 0.0)
+            if ci:  # enforce monotone damage: more bits never hurts the
+                    # greedy's step gains (measurement noise otherwise
+                    # strands later upgrades behind a negative middle step)
+                d = min(d, damage[(li, k, ci - 1)])
+            damage[(li, k, ci)] = d
         if verbose:
             print(f"  scanned {li}.{k}", flush=True)
+
+    # marginal damage reduction per byte of each single-step upgrade
+    steps = []  # (gain_per_byte, li, k, ci, dbytes, gain)
+    for li, k, shape in keys:
+        for ci in range(1, len(candidates)):
+            dbytes = (_leaf_bytes(shape, *candidates[ci])
+                      - _leaf_bytes(shape, *candidates[ci - 1]))
+            gain = damage[(li, k, ci - 1)] - damage[(li, k, ci)]
+            steps.append((gain / max(dbytes, 1.0), li, k, ci, dbytes, gain))
 
     # greedy: buy the best marginal upgrades first; each projection's
     # steps must be taken in order (ci valid only after ci-1), so sweep
