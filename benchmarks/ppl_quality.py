@@ -102,6 +102,8 @@ def main(steps: int = 400):
         ("int8 channelwise", dict(bits=8), False),
         ("int4 channelwise", dict(bits=4), False),
         ("int4 group-wise gs=32", dict(bits=4, group_size=32), False),
+        ("nf4 group-wise gs=64", dict(bits="nf4", group_size=64), False),
+        ("nf4 group-wise gs=32", dict(bits="nf4", group_size=32), False),
         ("int4 + int8 act (W4A8)", dict(bits=4), True),
         ("int2 group-wise gs=32", dict(bits=2, group_size=32), False),
         ("int2 channelwise", dict(bits=2), False),

@@ -434,15 +434,21 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
         b = b if b is not None else bits
         gs = group_size if (b == bits and group_size
                             and din % group_size == 0) else None
-        rows = {2: din // 4, 4: din // 2}.get(b, din)
+        codebook = "nf4" if b == "nf4" else None
+        nb = 4 if codebook else b
+        rows = {2: din // 4, 4: din // 2}.get(nb, din)
         g = din // gs if gs else 1
         data = jax.random.randint(k_, (rows, dout), 0, 256, jnp.int32).astype(jnp.uint8)
-        scale = jnp.full((g, dout), 2.0 / ((1 << b) - 1) / (din ** 0.5), jnp.float32)
-        zp = jnp.full((g, dout), (1 << (b - 1)), jnp.int32)
+        if codebook:  # absmax scale; zp unused
+            scale = jnp.full((g, dout), 1.0 / (din ** 0.5), jnp.float32)
+            zp = jnp.zeros((g, dout), jnp.int32)
+        else:
+            scale = jnp.full((g, dout), 2.0 / ((1 << b) - 1) / (din ** 0.5), jnp.float32)
+            zp = jnp.full((g, dout), (1 << (b - 1)), jnp.int32)
         from piquant_tpu.quant.linear import with_grouped_cache
         return with_grouped_cache(
-            QuantizedLinear(data=data, scale=scale, zero_point=zp, bits=b,
-                            k=din, group_size=gs))
+            QuantizedLinear(data=data, scale=scale, zero_point=zp, bits=nb,
+                            k=din, group_size=gs, codebook=codebook))
 
     def dense(k_, din, dout, std=0.02):
         return (jax.random.normal(k_, (din, dout), jnp.float32) * std).astype(dt)
@@ -578,14 +584,16 @@ def _concat_qlinear(qls):
     """Concatenate QuantizedLinear weights along N (same K/bits/group)."""
     first = qls[0]
     for q in qls[1:]:
-        if (q.bits, q.k, q.group_size) != (first.bits, first.k, first.group_size):
+        if (q.bits, q.k, q.group_size, q.codebook) != (
+                first.bits, first.k, first.group_size, first.codebook):
             raise ValueError("cannot fuse mismatched quantized linears")
     from piquant_tpu.quant.linear import with_grouped_cache
     return with_grouped_cache(QuantizedLinear(
         data=jnp.concatenate([q.data for q in qls], axis=1),
         scale=jnp.concatenate([q.scale for q in qls], axis=1),
         zero_point=jnp.concatenate([q.zero_point for q in qls], axis=1),
-        bits=first.bits, k=first.k, group_size=first.group_size))
+        bits=first.bits, k=first.k, group_size=first.group_size,
+        codebook=first.codebook))
 
 
 def _interleave_cols(ws, tp: int):
@@ -609,7 +617,8 @@ def _interleave_cols(ws, tp: int):
                     data=w.data[:, st * blk:(st + 1) * blk],
                     scale=w.scale[:, st * blk:(st + 1) * blk],
                     zero_point=w.zero_point[:, st * blk:(st + 1) * blk],
-                    bits=w.bits, k=w.k, group_size=w.group_size))
+                    bits=w.bits, k=w.k, group_size=w.group_size,
+                    codebook=w.codebook))
             else:
                 pieces.append(w[:, st * blk:(st + 1) * blk])
     if isinstance(ws[0], QuantizedLinear):
@@ -1072,6 +1081,7 @@ def _moe_ragged_try(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
     if (env == "0" or cfg.ep_axis is not None
             or cfg.moe_bias or cfg.moe_clamp_swiglu or cfg.moe_input_scaled
             or not hasattr(w1s, "bits") or w1s.bits not in (2, 4, 8)
+            or getattr(w1s, "codebook", None) is not None
             or ntok < 32      # decode: weight traffic dominates, dense is fine
             or ((cfg.act_quant_decode or cfg.act_quant_prefill) and not (
                 want_aq and w1s.bits in (2, 4) and w1s.group_size is None))
@@ -1128,7 +1138,8 @@ def _moe_dense(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
                                    zero_point=st.zero_point, bits=st.bits,
                                    k=st.k, group_size=st.group_size,
                                    s_chunk=getattr(st, "s_chunk", None),
-                                   zs16=getattr(st, "zs16", None))
+                                   zs16=getattr(st, "zs16", None),
+                                   codebook=getattr(st, "codebook", None))
         return st  # float [K, N] slice
 
     def body(y, per):
@@ -1440,14 +1451,16 @@ def shard_params(params: Dict, mesh, tp_axis: str = "tp",
                     zero_point=put(w.zero_point, P(None, tp_axis)),
                     bits=w.bits, k=w.k, group_size=w.group_size,
                     s_chunk=putq(w.s_chunk, P(None, tp_axis)),
-                    zs16=putq(w.zs16, P(None, tp_axis)))
+                    zs16=putq(w.zs16, P(None, tp_axis)),
+                    codebook=w.codebook)
             return QuantizedLinear(
                 data=put(w.data, P(tp_axis, None)),
                 scale=put(w.scale, P(None, None)),
                 zero_point=put(w.zero_point, P(None, None)),
                 bits=w.bits, k=w.k, group_size=w.group_size,
                 s_chunk=putq(w.s_chunk, P(None, None)),
-                zs16=putq(w.zs16, P(None, None)))
+                zs16=putq(w.zs16, P(None, None)),
+                codebook=w.codebook)
         return put(w, P(None, tp_axis) if kind == "col" else P(tp_axis, None))
 
     out = {
@@ -1481,7 +1494,8 @@ def shard_params(params: Dict, mesh, tp_axis: str = "tp",
                         data=put(w.data, espec),
                         scale=put(w.scale, espec),
                         zero_point=put(w.zero_point, espec),
-                        bits=w.bits, k=w.k, group_size=w.group_size)
+                        bits=w.bits, k=w.k, group_size=w.group_size,
+                        codebook=w.codebook)
                 else:
                     nl[k] = put(w, espec)
         if "fused_tp" in layer:

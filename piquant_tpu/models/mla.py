@@ -431,7 +431,8 @@ def _mlp(cfg: MLAConfig, layer: Dict, x: Array) -> Array:
                                    zero_point=st.zero_point, bits=st.bits,
                                    k=st.k, group_size=st.group_size,
                                    s_chunk=getattr(st, "s_chunk", None),
-                                   zs16=getattr(st, "zs16", None))
+                                   zs16=getattr(st, "zs16", None),
+                                   codebook=getattr(st, "codebook", None))
         return st
 
     w1s = layer["moe_w1"]
@@ -931,14 +932,20 @@ def random_quantized_params(cfg: MLAConfig, key: Array, bits: int = 4,
 
     def qlin(k_, din, dout, b=None):
         b = b if b is not None else bits
-        rows = {2: din // 4, 4: din // 2}.get(b, din)
+        codebook = "nf4" if b == "nf4" else None
+        nb = 4 if codebook else b
+        rows = {2: din // 4, 4: din // 2}.get(nb, din)
         data = jax.random.randint(k_, (rows, dout), 0, 256,
                                   jnp.int32).astype(jnp.uint8)
-        scale = jnp.full((1, dout), 2.0 / ((1 << b) - 1) / (din ** 0.5),
-                         jnp.float32)
-        zp = jnp.full((1, dout), 1 << (b - 1), jnp.int32)
+        if codebook:
+            scale = jnp.full((1, dout), 1.0 / (din ** 0.5), jnp.float32)
+            zp = jnp.zeros((1, dout), jnp.int32)
+        else:
+            scale = jnp.full((1, dout), 2.0 / ((1 << b) - 1) / (din ** 0.5),
+                             jnp.float32)
+            zp = jnp.full((1, dout), 1 << (b - 1), jnp.int32)
         return QuantizedLinear(data=data, scale=scale, zero_point=zp,
-                               bits=b, k=din)
+                               bits=nb, k=din, codebook=codebook)
 
     def dense(k_, din, dout, std=0.02):
         return (jax.random.normal(k_, (din, dout), jnp.float32) * std

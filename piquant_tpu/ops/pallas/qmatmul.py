@@ -702,6 +702,117 @@ def wg_grouped_matmul(x2: Array, ql, mp: int, out_dtype=jnp.bfloat16,
     return kfun(x3, ql.data, ql.s_chunk, ql.zs16, xg, xs)
 
 
+def _lut_decode(c, codebook: str):
+    """int32 codes in [0, 15] -> bf16 codebook values, as a 15-deep
+    vectorized select chain (VPU-friendly; Pallas TPU has no gather).
+    bf16 rounding of the irrational NF4 entries is a <=0.4% rel
+    perturbation — same W-A16 numerics as the grouped affine kernel's
+    bf16 scale multiply."""
+    from piquant_tpu.quant.linear import CODEBOOKS
+
+    lut = CODEBOOKS[codebook]
+    v = jnp.full(c.shape, lut[-1], jnp.bfloat16)
+    for i in range(len(lut) - 2, -1, -1):
+        v = jnp.where(c == i, jnp.bfloat16(lut[i]), v)
+    return v
+
+
+@lru_cache(maxsize=None)
+def _nf4_kernel(m: int, k: int, n: int, g: int, bm: int, bn: int,
+                codebook: str, out_dtype: str):
+    """Fused LUT-dequant + matmul for codebook (NF4) weights.
+
+    Same packed split-half stream as `_w4_kernel`, but the code planes go
+    through the 16-entry codebook instead of an affine map.  Channelwise
+    (g == 0) applies the absmax scale POST-dot (x @ (v * s_n) =
+    (x @ v) * s_n — one rank-1 rescale, codes ride the MXU raw);
+    group-wise pre-scales the bf16 value planes like `_w4_grouped_kernel`.
+    No zero-point fold exists for a non-uniform grid (the codebook is not
+    an affine function of the code), hence the separate kernel."""
+    odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
+    kh = k // 2
+
+    def kern_chan(x_ref, b_ref, s_ref, o_ref):
+        b = b_ref[:].astype(jnp.int32)
+        lo = _lut_decode(b & 15, codebook)
+        hi = _lut_decode(b >> 4, codebook)
+        x = x_ref[:]
+        acc = jnp.dot(x[:, :kh], lo, preferred_element_type=jnp.float32)
+        acc += jnp.dot(x[:, kh:], hi, preferred_element_type=jnp.float32)
+        o_ref[:] = (acc * s_ref[:]).astype(odt)
+
+    def kern_grouped(x_ref, b_ref, s_ref, o_ref):
+        g2 = g // 2
+        gs = k // g
+
+        def expand(a):  # (g2, bn) -> (kh, bn)
+            return jnp.broadcast_to(a[:, None, :], (g2, gs, a.shape[-1])
+                                    ).reshape(kh, a.shape[-1])
+
+        b = b_ref[:].astype(jnp.int32)
+        s = s_ref[:].astype(jnp.bfloat16)
+        w_lo = _lut_decode(b & 15, codebook) * expand(s[:g2])
+        w_hi = _lut_decode(b >> 4, codebook) * expand(s[g2:])
+        x = x_ref[:]
+        acc = jnp.dot(x[:, :kh], w_lo, preferred_element_type=jnp.float32)
+        acc += jnp.dot(x[:, kh:], w_hi, preferred_element_type=jnp.float32)
+        o_ref[:] = acc.astype(odt)
+
+    grid = (pl.cdiv(m, bm), n // bn)
+    return pl.pallas_call(
+        kern_grouped if g else kern_chan,
+        out_shape=jax.ShapeDtypeStruct((m, n), odt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(g, 1), bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+    )
+
+
+def nf4_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
+    """x [..., K] @ NF4-packed weight -> [..., N]; None if no fast path
+    (caller falls back to the XLA LUT path)."""
+    k, n = ql.k, ql.n
+    if n % 128 or k % 256:
+        return None
+    if ql.group_size is not None:
+        if (k // 2) % ql.group_size or ql.group_size % 8:
+            return None
+    bn = next((c for c in BN_CANDIDATES
+               if n % c == 0 and (k // 2) * c <= W_BLOCK_VMEM_LIMIT), None)
+    if bn is None:
+        return None
+    lead = x.shape[:-1]
+    m = 1
+    for s in lead:
+        m *= s
+    if m > M_MAX:
+        return None
+    x2 = x.reshape(m, k).astype(jnp.bfloat16)
+    bm = max(16, m + (-m % 16))
+    if bm * k * 2 > XK_VMEM_LIMIT:
+        return None
+    mp = m + (-m % bm)
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    oname = ("bf16" if jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16)
+             else "f32")
+    g = (k // ql.group_size) if ql.group_size is not None else 0
+    scale = (ql.scale.astype(jnp.float32) if g
+             else jnp.broadcast_to(
+                 ql.scale.astype(jnp.float32).reshape(1, -1), (1, n)))
+    kfun = _nf4_kernel(mp, k, n, g, bm, bn, ql.codebook, oname)
+    y = kfun(x2, ql.data, scale)
+    if mp != m:
+        y = y[:m]
+    return y.reshape(*lead, n).astype(out_dtype)
+
+
 @lru_cache(maxsize=None)
 def _w2_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
     """INT2 split-quarter (quant/linear.py pack_split_quarter): four 2-bit
@@ -858,6 +969,8 @@ def _w8_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
 
 def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
     """x [..., K] @ packed weight -> [..., N]; None if no fast path."""
+    if getattr(ql, "codebook", None) is not None:
+        return nf4_matmul(x, ql, out_dtype)
     k, n = ql.k, ql.n
     group_size = getattr(ql, "group_size", None)
     if group_size is not None:

@@ -3,7 +3,10 @@ weight-only quantized linears (split-half packed INT4 / INT8) and the INT8
 KV-cache. These sit between the raw ops and the model/serving layers."""
 
 from piquant_tpu.quant.linear import (  # noqa: F401
+    NF4_CODEBOOK,
     QuantizedLinear,
+    codebook_decode,
+    codebook_encode,
     quantize_linear_weight,
     quantized_matmul,
     pack_split_half,

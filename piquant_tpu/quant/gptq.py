@@ -200,6 +200,10 @@ def gptq_quantize_params(
     `llama.quantize_params(params, bits, group_size=...)`; pass
     `hessians` to reuse a previous calibration (e.g. after AWQ scaling
     of the SAME activations' model)."""
+    if not isinstance(bits, int):
+        raise ValueError(
+            f"GPTQ supports affine grids only (bits=2/4/8), got {bits!r}; "
+            "use method='rtn'/'awq' for nf4")
     if hessians is None:
         hessians = collect_hessians(cfg, params, calib_tokens)
     out = dict(params)

@@ -187,6 +187,55 @@ def split_half_to_wire(packed: Array) -> Array:
 
 
 # ---------------------------------------------------------------------------
+# NF4 codebook (non-uniform 4-bit)
+# ---------------------------------------------------------------------------
+
+# The QLoRA NormalFloat-4 codebook (Dettmers et al., arXiv:2305.14314):
+# quantiles of N(0, 1) normalized to [-1, 1], asymmetric around the exact
+# zero at index 7.  Matches bitsandbytes' table bit-for-bit so NF4 weights
+# round-trip with bnb checkpoints.
+NF4_CODEBOOK = (
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0)
+
+CODEBOOKS = {"nf4": NF4_CODEBOOK}
+
+
+def codebook_lut(codebook: str, dtype=jnp.float32) -> Array:
+    return jnp.asarray(CODEBOOKS[codebook], dtype)
+
+
+def codebook_encode(normalized: Array, codebook: str) -> Array:
+    """Nearest-codebook-entry indices for values in [-1, 1] (int32 [.., ..]).
+
+    Midpoint thresholds: code = #{i : x > (lut[i] + lut[i+1]) / 2} — exact
+    nearest-neighbour for a sorted codebook, vectorized (no argmin over a
+    16-way broadcast)."""
+    lut = CODEBOOKS[codebook]
+    x = normalized.astype(jnp.float32)
+    code = jnp.zeros(x.shape, jnp.int32)
+    for i in range(len(lut) - 1):
+        code = code + (x > (lut[i] + lut[i + 1]) * 0.5).astype(jnp.int32)
+    return code
+
+
+def codebook_decode(codes: Array, codebook: str,
+                    dtype=jnp.float32) -> Array:
+    """codes int [.., ..] in [0, 15] -> codebook values (gather-free:
+    jnp.take lowers to a gather that is fine on CPU but slow inside TPU
+    loops; the select chain vectorizes everywhere and is what the Pallas
+    kernel uses too)."""
+    lut = CODEBOOKS[codebook]
+    v = jnp.full(codes.shape, lut[-1], dtype)
+    for i in range(len(lut) - 2, -1, -1):
+        v = jnp.where(codes == i, jnp.asarray(lut[i], dtype), v)
+    return v
+
+
+# ---------------------------------------------------------------------------
 # QuantizedLinear
 # ---------------------------------------------------------------------------
 
@@ -204,7 +253,7 @@ class QuantizedLinear:
     data: Array
     scale: Array
     zero_point: Array
-    bits: int          # 4 or 8
+    bits: int          # 2, 4, or 8
     k: int             # logical contraction dim
     group_size: Optional[int] = None
     # kernel-ready grouped side streams (derived, not part of the wire
@@ -212,16 +261,21 @@ class QuantizedLinear:
     # the chunk-grid grouped-INT2 kernel (see _grouped_int2_cache)
     s_chunk: Optional[Array] = None
     zs16: Optional[Array] = None
+    # non-uniform codebook name ("nf4"); None = affine.  Codebook weights
+    # store absmax scales (w = lut[codes] * scale) and a zero zero_point.
+    codebook: Optional[str] = None
 
     def tree_flatten(self):
         return (self.data, self.scale, self.zero_point, self.s_chunk,
-                self.zs16), (self.bits, self.k, self.group_size)
+                self.zs16), (self.bits, self.k, self.group_size,
+                             self.codebook)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         data, scale, zp, s_chunk, zs16 = children
-        bits, k, group_size = aux
-        return cls(data, scale, zp, bits, k, group_size, s_chunk, zs16)
+        bits, k, group_size, codebook = aux
+        return cls(data, scale, zp, bits, k, group_size, s_chunk, zs16,
+                   codebook)
 
     @property
     def n(self) -> int:
@@ -242,6 +296,10 @@ class QuantizedLinear:
         nibble/crumb first) — for handing a quantized weight to a
         pi-quant consumer.  Storage is the natural split-quarter/half
         layout, so only the byte interleave differs."""
+        if self.codebook is not None:
+            raise ValueError(
+                f"{self.codebook} weights have no reference wire ABI "
+                "(pi-quant's formats are affine; include/piquant.h dtypes)")
         if self.bits == 2:
             return split_quarter_to_wire(self.data)
         if self.bits == 4:
@@ -276,7 +334,10 @@ class QuantizedLinear:
         else:
             codes = self.data.astype(jnp.int32)
         s, z = self._expanded_params()
-        w = (codes.astype(jnp.float32) - z) * s
+        if self.codebook is not None:
+            w = codebook_decode(codes, self.codebook) * s
+        else:
+            w = (codes.astype(jnp.float32) - z) * s
         return w.astype(dtype)
 
 
@@ -300,16 +361,19 @@ class QuantizedExpertStack:
     group_size: Optional[int] = None
     s_chunk: Optional[Array] = None   # [E, G, N] — see QuantizedLinear
     zs16: Optional[Array] = None
+    codebook: Optional[str] = None
 
     def tree_flatten(self):
         return (self.data, self.scale, self.zero_point, self.s_chunk,
-                self.zs16), (self.bits, self.k, self.group_size)
+                self.zs16), (self.bits, self.k, self.group_size,
+                             self.codebook)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         data, scale, zp, s_chunk, zs16 = children
-        bits, k, group_size = aux
-        return cls(data, scale, zp, bits, k, group_size, s_chunk, zs16)
+        bits, k, group_size, codebook = aux
+        return cls(data, scale, zp, bits, k, group_size, s_chunk, zs16,
+                   codebook)
 
     @property
     def n_experts(self) -> int:
@@ -326,14 +390,15 @@ class QuantizedExpertStack:
                                s_chunk=(None if self.s_chunk is None
                                         else self.s_chunk[i]),
                                zs16=(None if self.zs16 is None
-                                     else self.zs16[i]))
+                                     else self.zs16[i]),
+                               codebook=self.codebook)
 
     @staticmethod
     def stack(qls: "list[QuantizedLinear]") -> "QuantizedExpertStack":
         q0 = qls[0]
         for q in qls[1:]:
-            if (q.bits, q.k, q.group_size, q.data.shape) != (
-                    q0.bits, q0.k, q0.group_size, q0.data.shape):
+            if (q.bits, q.k, q.group_size, q.data.shape, q.codebook) != (
+                    q0.bits, q0.k, q0.group_size, q0.data.shape, q0.codebook):
                 raise ValueError("experts must share geometry")
         has_cache = all(q.s_chunk is not None for q in qls)
         return QuantizedExpertStack(
@@ -343,14 +408,16 @@ class QuantizedExpertStack:
             bits=q0.bits, k=q0.k, group_size=q0.group_size,
             s_chunk=(jnp.stack([q.s_chunk for q in qls]) if has_cache
                      else None),
-            zs16=(jnp.stack([q.zs16 for q in qls]) if has_cache else None))
+            zs16=(jnp.stack([q.zs16 for q in qls]) if has_cache else None),
+            codebook=q0.codebook)
 
 
 def with_grouped_cache(ql: QuantizedLinear) -> QuantizedLinear:
     """Attach (or refresh) the kernel-ready grouped side streams; no-op for
     channelwise/int4+ weights.  Call after building a grouped-INT2
     QuantizedLinear from parts (concat/slice/random init)."""
-    if ql.bits not in (2, 4) or ql.group_size is None:
+    if (ql.bits not in (2, 4) or ql.group_size is None
+            or ql.codebook is not None):
         return ql
     s_chunk, zs16 = _grouped_cache(ql.scale, ql.zero_point, ql.k,
                                    ql.group_size, ql.bits)
@@ -359,7 +426,7 @@ def with_grouped_cache(ql: QuantizedLinear) -> QuantizedLinear:
 
 def quantize_linear_weight(
     w: Array,
-    bits: int = 4,
+    bits=4,                      # 2 | 4 | 8 | "nf4"
     *,
     channelwise: bool = True,
     group_size: Optional[int] = None,
@@ -373,12 +440,19 @@ def quantize_linear_weight(
     INT4-LLM granularity); same scale/zp derivation math as
     ops.reference.compute_quant_params (reference src/piquant.cpp:222-259),
     vectorized over channels/groups.
+
+    bits="nf4" selects the non-uniform NormalFloat-4 codebook (absmax
+    scaling, QLoRA arXiv:2305.14314) instead of an affine grid — see
+    `_quantize_nf4`.
     """
     if w.ndim != 2:
         raise ValueError("quantize_linear_weight expects a 2-D weight")
     k, n = w.shape
+    if bits == "nf4":
+        return _quantize_nf4(w, group_size=group_size,
+                             channelwise=channelwise)
     if bits not in (2, 4, 8):
-        raise ValueError("bits must be 2, 4, or 8")
+        raise ValueError('bits must be 2, 4, 8, or "nf4"')
     qmin, qmax = 0, (1 << bits) - 1
     wf = w.astype(jnp.float32)
 
@@ -432,6 +506,71 @@ def quantize_linear_weight(
     return QuantizedLinear(data=data, scale=scale, zero_point=zp, bits=bits,
                            k=k, group_size=group_size, s_chunk=s_chunk,
                            zs16=zs16)
+
+
+def _quantize_nf4(w: Array, *, group_size: Optional[int] = None,
+                  channelwise: bool = True) -> QuantizedLinear:
+    """NF4 (NormalFloat-4) weight quantization: absmax scaling + nearest
+    entry of the fixed N(0,1)-quantile codebook (QLoRA, arXiv:2305.14314).
+
+    w = NF4_CODEBOOK[codes] * scale, scale = max|w| per group / channel /
+    tensor.  Non-uniform grids beat affine INT4 on normally-distributed
+    weights (the paper's claim; verified on the proxy in
+    tests/test_nf4.py).  Storage is the same split-half packed layout as
+    affine INT4; zero_point is kept as zeros for pytree-shape parity."""
+    k, n = w.shape
+    wf = w.astype(jnp.float32)
+    if group_size is not None:
+        if k % group_size:
+            raise ValueError(f"K={k} not divisible by group_size={group_size}")
+        g = k // group_size
+        amax = jnp.max(jnp.abs(wf.reshape(g, group_size, n)), axis=1)  # (G,N)
+    else:
+        axis = 0 if channelwise else None
+        amax = jnp.max(jnp.abs(wf), axis=axis, keepdims=True)
+    scale = jnp.where(amax == 0, 1.0, amax).astype(jnp.float32)
+    s_full = (jnp.repeat(scale, group_size, axis=0)
+              if group_size is not None else scale)
+    codes = codebook_encode(wf / s_full, "nf4")
+    return QuantizedLinear(data=pack_split_half(codes), scale=scale,
+                           zero_point=jnp.zeros(scale.shape, jnp.int32),
+                           bits=4, k=k, group_size=group_size,
+                           codebook="nf4")
+
+
+def _matmul_nf4_jnp(x: Array, ql: QuantizedLinear, out_dtype) -> Array:
+    """XLA fallback for codebook (NF4) weights: in-register LUT decode of
+    the split-half planes -> scaled matmul.  No zero-point fold exists for
+    a non-uniform grid, so this is W-A16 numerics like the grouped affine
+    path (dequantized bf16 planes on the MXU)."""
+    kh = ql.k // 2
+    b = ql.data.astype(jnp.int32)
+    lo = codebook_decode(b & 15, ql.codebook)            # (kh, N) f32
+    hi = codebook_decode((b >> 4) & 15, ql.codebook)
+    scale = ql.scale.astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    if ql.group_size is not None:
+        if kh % ql.group_size:
+            # group straddles the plane boundary: general (concat) path
+            s_full = jnp.repeat(scale, ql.group_size, axis=0)
+            w = jnp.concatenate([lo, hi], axis=0) * s_full
+            return jnp.dot(xf, w, preferred_element_type=jnp.float32
+                           ).astype(out_dtype)
+        g = ql.k // ql.group_size
+        g2 = g // 2
+
+        def expand(s):  # (g2, N) -> (kh, N)
+            return jnp.repeat(s, ql.group_size, axis=0)
+
+        w_lo = lo * expand(scale[:g2])
+        w_hi = hi * expand(scale[g2:])
+    else:
+        w_lo = lo * scale
+        w_hi = hi * scale
+    acc = jnp.dot(xf[..., :kh], w_lo, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(xf[..., kh:], w_hi,
+                        preferred_element_type=jnp.float32)
+    return acc.astype(out_dtype)
 
 
 def _matmul_dequant_jnp(x: Array, ql: QuantizedLinear, out_dtype) -> Array:
@@ -534,8 +673,28 @@ def quantized_matmul(
     # weight-stream measured on v5e, ops/pallas/qmatmul.py).
     use_a8 = (bool(act_quant)
               and (ql.group_size is None or ql.s_chunk is not None)
-              and ql.bits in (2, 4)
+              and ql.bits in (2, 4) and ql.codebook is None
               and (act_quant == "all" or m >= ACT_QUANT_MIN_M))
+
+    if ql.codebook is not None:
+        # non-uniform (NF4) weights: no zero-point fold, no int8-plane
+        # path — LUT-decode kernel on TPU, LUT einsum elsewhere
+        if (jax.default_backend() == "tpu"
+                and os.environ.get("PIQUANT_TPU_FORCE_REF", "0") != "1"):
+            try:
+                from piquant_tpu.ops.pallas import qmatmul as _qmm
+
+                res = _qmm.nf4_matmul(x, ql, out_dtype)
+                if res is not None:
+                    return res
+                if m >= ACT_QUANT_MIN_M:
+                    w = ql.dequantize(jnp.bfloat16)
+                    y = jnp.dot(x.astype(jnp.bfloat16), w,
+                                preferred_element_type=jnp.float32)
+                    return y.astype(out_dtype)
+            except ImportError:
+                pass
+        return _matmul_nf4_jnp(x, ql, out_dtype)
 
     if jax.default_backend() == "tpu" and os.environ.get("PIQUANT_TPU_FORCE_REF", "0") != "1":
         try:

@@ -132,7 +132,8 @@ def merge_lora(params: Dict) -> Dict:
             if isinstance(v.base, QuantizedLinear):
                 w = v.base.dequantize(jnp.float32) + delta
                 nl[k] = quantize_linear_weight(
-                    w, v.base.bits, group_size=v.base.group_size)
+                    w, v.base.codebook or v.base.bits,
+                    group_size=v.base.group_size)
             else:
                 nl[k] = (v.base.astype(jnp.float32) + delta
                          ).astype(v.base.dtype)

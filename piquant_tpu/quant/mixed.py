@@ -59,8 +59,9 @@ def _leaf_bytes(shape, bits: int, gs: Optional[int]) -> float:
     4 B per group entry; one f32 (scale, zp*scale) row for channelwise)."""
     k, n = shape[-2], shape[-1]
     e = shape[0] if len(shape) == 3 else 1
+    nbits = 4 if bits == "nf4" else bits   # nf4: 4-bit codes + f32 scales
     side = (k // gs) * n * 4 if gs else n * 8
-    return e * (k * n * bits / 8 + side)
+    return e * (k * n * nbits / 8 + side)
 
 
 def _proj_keys(params) -> List[Tuple[int, str, Tuple[int, ...]]]:

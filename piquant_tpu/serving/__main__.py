@@ -17,6 +17,11 @@ import sys
 import time
 
 
+def _bits_arg(v: str):
+    """--bits value: int width or a codebook name ('nf4')."""
+    return v if v == "nf4" else int(v)
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="python -m piquant_tpu.serving",
                                  description=__doc__,
@@ -29,11 +34,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "qwen3_8b", "qwen3_moe_a3b", "gemma2_9b", "gemma3_12b", "gpt_oss_20b", "llama4_scout",
                              "mla_v2_lite", "mla_tiny", "mla_v2_moe"],
                     help="random-weight model preset instead of --model")
-    ap.add_argument("--bits", type=int, default=4, choices=[2, 4, 8],
-                    help="weight quantization bits (default 4)")
+    ap.add_argument("--bits", type=_bits_arg, default=4,
+                    choices=[2, 4, 8, "nf4"],
+                    help="weight quantization: bits or 'nf4' (default 4)")
     ap.add_argument("--kv-bits", type=int, default=8, choices=[4, 8],
                     help="KV-cache code width (4: half the cache bytes)")
-    ap.add_argument("--mlp-bits", type=int, default=None, choices=[2, 4, 8],
+    ap.add_argument("--mlp-bits", type=_bits_arg, default=None,
+                    choices=[2, 4, 8, "nf4"],
                     help="mixed precision: quantize w1/w2/w3 at this width "
                          "(attention keeps --bits)")
     ap.add_argument("--mlp-group-size", type=int, default=None,

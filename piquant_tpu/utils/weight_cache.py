@@ -38,7 +38,8 @@ def _flatten_with_meta(params) -> Tuple[Dict[str, np.ndarray], list]:
             kind = ("qexperts" if isinstance(node, QuantizedExpertStack)
                     else "qlinear")
             meta.append({"path": path, "kind": kind, "bits": node.bits,
-                         "k": node.k, "group_size": node.group_size})
+                         "k": node.k, "group_size": node.group_size,
+                         "codebook": node.codebook})
         elif isinstance(node, dict):
             meta.append({"path": path, "kind": "dict",
                          "keys": sorted(node.keys())})
@@ -88,8 +89,9 @@ def load_quantized(path: str) -> Any:
             scale = jnp.asarray(data[path + ".scale"])
             zp = jnp.asarray(data[path + ".zp"])
             gs = m.get("group_size")
+            codebook = m.get("codebook")
             s_chunk = zs16 = None
-            if m["bits"] in (2, 4) and gs is not None:
+            if m["bits"] in (2, 4) and gs is not None and codebook is None:
                 # rebuild the kernel-ready grouped side streams (derived
                 # state, cheaper to recompute than to persist)
                 from piquant_tpu.quant.linear import _grouped_cache
@@ -110,6 +112,7 @@ def load_quantized(path: str) -> Any:
                 bits=m["bits"], k=m["k"],
                 group_size=gs,
                 s_chunk=s_chunk, zs16=zs16,
+                codebook=codebook,
             )
         if m["kind"] == "dict":
             return {k: build(f"{path}/{k}") for k in m["keys"]}
