@@ -88,6 +88,10 @@ class Request:
     rid: int
     prompt: List[int]
     sampling: SamplingParams = SamplingParams()
+    guide: Optional[object] = None
+    # guided decoding: a serving.guided.TokenGuide compiled for this
+    # model's vocab — the decode scan masks logits to the grammar and the
+    # request finishes on the guide's EOS (submit() aligns eos_token)
     # filled by the engine:
     tokens: List[int] = dataclasses.field(default_factory=list)
     logprobs: List[float] = dataclasses.field(default_factory=list)
@@ -181,50 +185,64 @@ def _jit_decode_block(cfg, kblk: int, window: int, rep: bool):
     attention reads only the live cache prefix [0, window) instead of
     max_seq_len — decode cache traffic tracks actual context length.
     With rep=True the scan additionally carries the token-history buffer,
-    applies the repetition penalty before sampling, and honors min-p."""
+    applies the repetition penalty before sampling, and honors min-p.
+
+    Guided decoding rides every variant: the scan carries one int32 DFA
+    state per slot (`gstate`), gathers `gmask[gstate]` to -inf the
+    grammar-disallowed logits before sampling, and advances
+    `gstate = gtrans[gstate, tok]` after (serving/guided.py).  Unguided
+    slots point at row 0 of the trivial allow-all table, so the cost is
+    two [B]-row gathers per step — noise next to the lm_head matmul.
+    Logprobs stay RAW-model (pre-penalty, pre-mask)."""
     mod = _model_for(cfg)
 
     def _decode_block(params, tok, pos, cache, temps, topks, topps, minps,
-                      base_key, blk_idx, active):
+                      base_key, blk_idx, active, gmask, gtrans, gstate):
         def step(carry, k):
-            t, p, c = carry
+            t, p, c, gs = carry
             logits, c = mod.decode_step(cfg, params, t, p, c,
                                         attn_window=window)
+            raw = logits
+            logits = jnp.where(gmask[gs], logits.astype(jnp.float32), -1e30)
             toks = sample_batch(logits, temps, topks, topps, k, minps)
             t2 = jnp.where(active, toks, t)
-            return (t2, p + active.astype(jnp.int32), c), (
-                t2, _tok_logprob(logits, t2))
+            gs = jnp.where(active, gtrans[gs, t2], gs)
+            return (t2, p + active.astype(jnp.int32), c, gs), (
+                t2, _tok_logprob(raw, t2))
 
         # key derivation stays in-graph: the host passes one int per block
         # (bundled with the dispatch — no eager split round-trip)
         keys = jax.random.split(jax.random.fold_in(base_key, blk_idx), kblk)
-        (t, p, cache), (tok_hist, lp_hist) = jax.lax.scan(
-            step, (tok, pos, cache), keys)
-        return tok_hist, lp_hist, t, p, cache  # [K,B], [K,B], [B], [B], cache
+        (t, p, cache, gstate), (tok_hist, lp_hist) = jax.lax.scan(
+            step, (tok, pos, cache, gstate), keys)
+        return tok_hist, lp_hist, t, p, cache, gstate
 
     def _decode_block_rep(params, tok, pos, cache, hist, temps, topks, topps,
-                          minps, pens, base_key, blk_idx, active):
+                          minps, pens, base_key, blk_idx, active,
+                          gmask, gtrans, gstate):
         rows = jnp.arange(tok.shape[0])
 
         def step(carry, k):
-            t, p, c, h = carry
+            t, p, c, h, gs = carry
             logits, c = mod.decode_step(cfg, params, t, p, c,
                                         attn_window=window)
             # history entries [0, p] are valid (h[b, p] == current token)
             raw = logits
             logits = apply_repetition_penalty(logits, h, p + 1, pens)
+            logits = jnp.where(gmask[gs], logits.astype(jnp.float32), -1e30)
             toks = sample_batch(logits, temps, topks, topps, k, minps)
             t2 = jnp.where(active, toks, t)
+            gs = jnp.where(active, gtrans[gs, t2], gs)
             p2 = p + active.astype(jnp.int32)
             h = h.at[rows, jnp.minimum(p + 1, h.shape[1] - 1)].set(
                 jnp.where(active, t2, jnp.take_along_axis(
                     h, jnp.minimum(p + 1, h.shape[1] - 1)[:, None], 1)[:, 0]))
-            return (t2, p2, c, h), (t2, _tok_logprob(raw, t2))
+            return (t2, p2, c, h, gs), (t2, _tok_logprob(raw, t2))
 
         keys = jax.random.split(jax.random.fold_in(base_key, blk_idx), kblk)
-        (t, p, cache, hist), (tok_hist, lp_hist) = jax.lax.scan(
-            step, (tok, pos, cache, hist), keys)
-        return tok_hist, lp_hist, t, p, cache, hist
+        (t, p, cache, hist, gstate), (tok_hist, lp_hist) = jax.lax.scan(
+            step, (tok, pos, cache, hist, gstate), keys)
+        return tok_hist, lp_hist, t, p, cache, hist, gstate
 
     if rep:
         return jax.jit(_decode_block_rep, donate_argnums=(3, 4))
@@ -269,7 +287,7 @@ def _jit_prefill(cfg):
     mod = _model_for(cfg)
 
     def _prefill(params, tokens, true_len, slot, cache, pool_cache,
-                 temp, topk, topp, minp, pen, base_key, idx):
+                 temp, topk, topp, minp, pen, base_key, idx, gmask_row):
         # lm_head projected only at the prompt's true last position (tokens
         # are right-padded) — the full [B,T,V] logits tensor would dominate
         # prefill memory
@@ -284,6 +302,7 @@ def _jit_prefill(cfg):
         # (the chunked path starts penalizing from the first decode block)
         raw = last
         last = apply_repetition_penalty(last, tokens, true_len, pen)
+        last = jnp.where(gmask_row, last.astype(jnp.float32), -1e30)
         tok = sample_batch(last, temp, topk, topp,
                            jax.random.fold_in(base_key, idx), minp)
         return tok, _tok_logprob(raw, tok), new_pool
@@ -332,9 +351,10 @@ def _jit_set_slot_state():
 @functools.lru_cache(maxsize=None)
 def _jit_sample_first():
     def _sample_first(logits, prompt_row, plen, temp, topk, topp, minp, pen,
-                      base_key, idx):
+                      base_key, idx, gmask_row):
         raw = logits
         logits = apply_repetition_penalty(logits, prompt_row, plen, pen)
+        logits = jnp.where(gmask_row, logits.astype(jnp.float32), -1e30)
         tok = sample_batch(logits, temp, topk, topp,
                            jax.random.fold_in(base_key, idx), minp)
         return tok, _tok_logprob(raw, tok)
@@ -392,6 +412,19 @@ class Engine:
         self._pens = np.ones((b,), np.float32)
         self._slot_state_dirty = True  # device mirrors staged lazily
 
+        # guided decoding: all slots' guides share ONE combined table —
+        # each guide's states occupy a contiguous row block (offset via
+        # _ensure_guide), row 0 is the trivial allow-all guide for
+        # unguided slots.  Growing the table (first admission of a new
+        # guide) changes the decode block's arg shape => one recompile.
+        v = cfg.vocab_size
+        self._gmask_np = np.ones((1, v), bool)
+        self._gtrans_np = np.zeros((1, v), np.int32)
+        self._guide_offsets: Dict[int, int] = {}   # id(guide) -> row offset
+        self._gstate = jnp.zeros((b,), jnp.int32)  # device-resident carry
+        self._slot_guided = np.zeros((b,), bool)
+        self._guides_dirty = True                  # device tables staged lazily
+
         # --- jitted device programs (shared, module-level caches) --------
         self._prefill = _jit_prefill(cfg)
         self._prefill_chunk = _jit_prefill_chunk(cfg)
@@ -435,7 +468,9 @@ class Engine:
             out = fn(self.params, self._cur_tok, self._positions,
                      scratch_cache, *hist_args, jnp.zeros((b,), jnp.float32),
                      jnp.zeros((b,), jnp.int32), jnp.ones((b,), jnp.float32),
-                     *minpen, self._key, 0, jnp.zeros((b,), jnp.bool_))
+                     *minpen, self._key, 0, jnp.zeros((b,), jnp.bool_),
+                     jnp.asarray(self._gmask_np), jnp.asarray(self._gtrans_np),
+                     self._gstate)
             jax.block_until_ready(out[0])
             if rep:
                 self._hist = out[5]  # donated in; keep the live buffer
@@ -454,6 +489,18 @@ class Engine:
             raise ValueError(
                 f"request {req.rid}: repetition_penalty needs the device-side "
                 "token history — set EngineConfig.track_history=True")
+        if req.guide is not None:
+            if req.guide.vocab_size != self.cfg.vocab_size:
+                raise ValueError(
+                    f"request {req.rid}: guide vocab {req.guide.vocab_size} "
+                    f"!= model vocab {self.cfg.vocab_size}")
+            # the guide's EOS is what terminates a complete match — align
+            # the stop condition (a fresh SamplingParams: the default
+            # instance is shared across Requests)
+            if req.sampling.eos_token != req.guide.eos_id:
+                req.sampling = dataclasses.replace(
+                    req.sampling, eos_token=req.guide.eos_id)
+            self._ensure_guide(req.guide)
         req.submitted_at = time.perf_counter()
         self._queue.append(req)
         self._all.append(req)
@@ -463,6 +510,30 @@ class Engine:
             if r is None:
                 return i
         return None
+
+    # ------------------------------------------------------------------
+    # guided decoding (serving/guided.py)
+    # ------------------------------------------------------------------
+    def _ensure_guide(self, guide) -> int:
+        """Register a TokenGuide in the combined table; returns its row
+        offset.  Append-only: offsets stay valid for the engine's life."""
+        off = self._guide_offsets.get(id(guide))
+        if off is not None:
+            return off
+        off = self._gmask_np.shape[0]
+        self._gmask_np = np.concatenate([self._gmask_np, guide.mask])
+        self._gtrans_np = np.concatenate(
+            [self._gtrans_np, guide.trans.astype(np.int32) + off])
+        self._guide_offsets[id(guide)] = off
+        self._guides_dirty = True
+        return off
+
+    def _first_mask_row(self, req: Request):
+        """[1, V] bool logits mask for a request's FIRST sampled token
+        (guide start state; all-true when unguided)."""
+        if req.guide is None:
+            return jnp.ones((1, self.cfg.vocab_size), bool)
+        return jnp.asarray(req.guide.mask[0][None])
 
     # ------------------------------------------------------------------
     # prefix caching (vLLM-style system-prompt KV reuse)
@@ -632,7 +703,7 @@ class Engine:
             np.asarray([sp.top_p], np.float32),
             np.asarray([sp.min_p], np.float32),
             np.asarray([sp.repetition_penalty], np.float32),
-            self._key, self._blk_counter)
+            self._key, self._blk_counter, self._first_mask_row(req))
         # padded positions wrote scales too, but attention masks beyond
         # `position` ignore them
         tok = int(np.asarray(tok_dev)[0])
@@ -654,7 +725,8 @@ class Engine:
                                    np.asarray([sp.min_p], np.float32),
                                    np.asarray([sp.repetition_penalty],
                                               np.float32),
-                                   self._key, self._blk_counter)
+                                   self._key, self._blk_counter,
+                                   self._first_mask_row(req))
         return int(t[0]), float(lp[0])
 
     def _record_first_token(self, req: Request, tok: int, slot: int,
@@ -677,6 +749,15 @@ class Engine:
         self._pens[slot] = req.sampling.repetition_penalty
         self._slot_state_dirty = True
         self._host_pos[slot] = plen
+        # guided: absolute DFA row after the first token (start-state
+        # transition is host-side math — the token was read back anyway)
+        if req.guide is not None:
+            off = self._ensure_guide(req.guide)
+            gs = off + int(req.guide.trans[0, tok])
+        else:
+            gs = 0
+        self._gstate = self._gstate.at[slot].set(gs)
+        self._slot_guided[slot] = req.guide is not None
         self._cur_tok, self._positions = self._set_slot_state(
             self._cur_tok, self._positions, slot, tok, plen)
         if self.ec.speculate > 0 or self.ec.track_history:
@@ -696,12 +777,15 @@ class Engine:
             if self._slots[slot] is req:  # pipelined bookkeeping runs a block
                 self._slots[slot] = None  # behind dispatch — never clobber a
                 self._active[slot] = False  # re-admitted slot
+                self._slot_guided[slot] = False
                 self._slot_state_dirty = True
 
 
     def _spec_ok(self) -> bool:
         if self.ec.speculate <= 0:
             return False
+        if self._slot_guided.any():
+            return False  # drafted tokens bypass the grammar mask
         if any(self._temps[i] > 0 or self._pens[i] != 1.0
                for i, r in enumerate(self._slots) if r is not None):
             return False  # stochastic / penalized slot: greedy-only feature
@@ -721,6 +805,10 @@ class Engine:
             self._pens_dev = jnp.asarray(self._pens)
             self._active_dev = jnp.asarray(self._active)
             self._slot_state_dirty = False
+        if self._guides_dirty:
+            self._gmask_dev = jnp.asarray(self._gmask_np)
+            self._gtrans_dev = jnp.asarray(self._gtrans_np)
+            self._guides_dirty = False
         self._blk_counter += 1
         kblk = self.ec.decode_block
         window = self.ec.max_seq_len
@@ -747,18 +835,21 @@ class Engine:
             # in-scan; the hist buffer is updated in-graph (no outside
             # append needed)
             block_fn = _jit_decode_block(self.cfg, kblk, window, True)
-            tok_hist, lp_hist, tok, pos, self.cache, self._hist = block_fn(
+            (tok_hist, lp_hist, tok, pos, self.cache, self._hist,
+             self._gstate) = block_fn(
                 self.params, self._cur_tok, self._positions, self.cache,
                 self._hist, self._temps_dev, self._topks_dev, self._topps_dev,
                 self._minps_dev, self._pens_dev,
-                self._key, self._blk_counter, self._active_dev)
+                self._key, self._blk_counter, self._active_dev,
+                self._gmask_dev, self._gtrans_dev, self._gstate)
         else:
             block_fn = _jit_decode_block(self.cfg, kblk, window, False)
-            tok_hist, lp_hist, tok, pos, self.cache = block_fn(
+            tok_hist, lp_hist, tok, pos, self.cache, self._gstate = block_fn(
                 self.params, self._cur_tok, self._positions, self.cache,
                 self._temps_dev, self._topks_dev, self._topps_dev,
                 self._minps_dev, self._key, self._blk_counter,
-                self._active_dev)
+                self._active_dev, self._gmask_dev, self._gtrans_dev,
+                self._gstate)
         self._cur_tok = tok
         self._positions = pos
         if self.ec.speculate > 0 and not self.ec.track_history:
@@ -815,7 +906,8 @@ class Engine:
     # serving — the training side's checkpoint-restart counterpart)
     # ------------------------------------------------------------------
     _SNAP_HOST = ("_temps", "_topks", "_topps", "_minps", "_pens",
-                  "_host_pos", "_active")
+                  "_host_pos", "_active", "_slot_guided",
+                  "_gmask_np", "_gtrans_np")
 
     def snapshot(self) -> dict:
         """Full engine state as a host pytree: KV caches, per-slot sampler
@@ -840,6 +932,7 @@ class Engine:
         }
         if hasattr(self, "_hist"):
             state["hist"] = np.asarray(self._hist)
+        state["gstate"] = np.asarray(self._gstate)
         for f in self._SNAP_HOST:
             state[f] = getattr(self, f).copy()
         return state
@@ -860,8 +953,24 @@ class Engine:
             (k, (dev(c), eff)) for k, c, eff in state["prefix_pool"])
         if "hist" in state:
             self._hist = jnp.asarray(state["hist"])
+        self._gstate = jnp.asarray(state["gstate"])
         for f in self._SNAP_HOST:
             setattr(self, f, state[f].copy())
+        # combined guide tables restored verbatim; offsets for the restored
+        # guide OBJECTS are re-derived from the in-flight requests so new
+        # admissions of the same guide reuse their rows
+        self._guide_offsets = {}
+        for req in list(self._slots) + list(self._queue):
+            if req is not None and getattr(req, "guide", None) is not None:
+                g = req.guide
+                s = g.mask.shape[0]
+                for off in range(1, self._gmask_np.shape[0] - s + 1):
+                    if ((self._gmask_np[off:off + s] == g.mask).all()
+                            and (self._gtrans_np[off:off + s]
+                                 == g.trans + off).all()):
+                        self._guide_offsets[id(g)] = off
+                        break
+        self._guides_dirty = True
         self._slot_state_dirty = True  # device mirrors rebuilt lazily
         self._pending_prefill = None
 

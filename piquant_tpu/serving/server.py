@@ -17,6 +17,10 @@ Endpoints:
     POST /v1/completions   -> {"id", "tokens", "logprobs", "done"} or
                               SSE chunks `data: {"token": t, ...}` with a
                               final `data: [DONE]` when "stream": true
+                              Optional structured output: "guided_regex"
+                              or "guided_json" (a JSON schema) + "eos"
+                              constrain generation to the grammar
+                              (serving/guided.py; needs a server vocab)
     GET  /v1/metrics       -> EngineMetrics.to_dict()
     GET  /health           -> {"ok": true}
 
@@ -45,8 +49,13 @@ _SENTINEL = object()
 
 class EngineServer:
     def __init__(self, engine: Engine, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, vocab=None):
+        """`vocab` (optional): token id -> decoded string list; enables the
+        guided-decoding request fields (`guided_regex` / `guided_json` +
+        `eos`) — compiled TokenGuides are cached per (pattern, eos)."""
         self.engine = engine
+        self.vocab = vocab
+        self._guide_cache: dict = {}
         self._inbox: "queue.Queue" = queue.Queue()
         self._sinks: dict = {}
         self._cursor: dict = {}
@@ -88,11 +97,13 @@ class EngineServer:
                         top_p=float(body.get("top_p", 1.0)),
                         min_p=float(body.get("min_p", 0.0)),
                         stop_tokens=tuple(body.get("stop", ()) or ()),
+                        eos_token=int(body.get("eos", -1)),
                     )
+                    guide = server._resolve_guide(body)
                 except (KeyError, TypeError, ValueError) as e:
                     return self._json(400, {"error": str(e)})
 
-                rid, sink = server._enqueue(prompt, sp)
+                rid, sink = server._enqueue(prompt, sp, guide)
                 if body.get("stream"):
                     self.send_response(200)
                     self.send_header("Content-Type", "text/event-stream")
@@ -133,13 +144,37 @@ class EngineServer:
         self.host, self.port = self._httpd.server_address[:2]
 
     # ------------------------------------------------------------------
-    def _enqueue(self, prompt, sp) -> tuple:
+    def _resolve_guide(self, body):
+        """`guided_regex` / `guided_json` (+ required `eos`) -> TokenGuide,
+        cached per (pattern, eos) — DFA compilation is one-time."""
+        rx = body.get("guided_regex")
+        js = body.get("guided_json")
+        if rx is None and js is None:
+            return None
+        if self.vocab is None:
+            raise ValueError("guided decoding needs a server-side vocab "
+                             "(EngineServer(..., vocab=id->str list))")
+        eos = int(body.get("eos", -1))
+        if eos < 0:
+            raise ValueError("guided decoding needs an explicit `eos` "
+                             "token id (terminates a complete match)")
+        from piquant_tpu.serving.guided import TokenGuide, json_schema_regex
+
+        if rx is None:
+            rx = json_schema_regex(js)
+        key = (rx, eos)
+        if key not in self._guide_cache:
+            self._guide_cache[key] = TokenGuide.from_regex(
+                rx, self.vocab, eos_id=eos)
+        return self._guide_cache[key]
+
+    def _enqueue(self, prompt, sp, guide=None) -> tuple:
         with self._rid_lock:
             self._rid += 1
             rid = self._rid
         sink: "queue.Queue" = queue.Queue()
-        self._inbox.put((Request(rid=rid, prompt=list(prompt), sampling=sp),
-                         sink))
+        self._inbox.put((Request(rid=rid, prompt=list(prompt), sampling=sp,
+                                 guide=guide), sink))
         self._wake.set()
         return rid, sink
 
