@@ -29,6 +29,7 @@ import numpy as np
 
 from piquant_tpu.models import llama as M
 from piquant_tpu.serving.sampler import (TOPK_CAND, SamplingParams,
+                                         apply_freq_presence,
                                          apply_repetition_penalty,
                                          sample_batch)
 
@@ -218,8 +219,8 @@ def _jit_decode_block(cfg, kblk: int, window: int, rep: bool):
         return tok_hist, lp_hist, t, p, cache, gstate
 
     def _decode_block_rep(params, tok, pos, cache, hist, temps, topks, topps,
-                          minps, pens, base_key, blk_idx, active,
-                          gmask, gtrans, gstate):
+                          minps, pens, freqs, press, plens, bias,
+                          base_key, blk_idx, active, gmask, gtrans, gstate):
         rows = jnp.arange(tok.shape[0])
 
         def step(carry, k):
@@ -229,6 +230,9 @@ def _jit_decode_block(cfg, kblk: int, window: int, rep: bool):
             # history entries [0, p] are valid (h[b, p] == current token)
             raw = logits
             logits = apply_repetition_penalty(logits, h, p + 1, pens)
+            logits = apply_freq_presence(logits, h, plens, p + 1,
+                                         freqs, press)
+            logits = logits + bias
             logits = jnp.where(gmask[gs], logits.astype(jnp.float32), -1e30)
             toks = sample_batch(logits, temps, topks, topps, k, minps)
             t2 = jnp.where(active, toks, t)
@@ -287,7 +291,8 @@ def _jit_prefill(cfg):
     mod = _model_for(cfg)
 
     def _prefill(params, tokens, true_len, slot, cache, pool_cache,
-                 temp, topk, topp, minp, pen, base_key, idx, gmask_row):
+                 temp, topk, topp, minp, pen, base_key, idx, gmask_row,
+                 bias_row):
         # lm_head projected only at the prompt's true last position (tokens
         # are right-padded) — the full [B,T,V] logits tensor would dominate
         # prefill memory
@@ -302,6 +307,7 @@ def _jit_prefill(cfg):
         # (the chunked path starts penalizing from the first decode block)
         raw = last
         last = apply_repetition_penalty(last, tokens, true_len, pen)
+        last = last + bias_row
         last = jnp.where(gmask_row, last.astype(jnp.float32), -1e30)
         tok = sample_batch(last, temp, topk, topp,
                            jax.random.fold_in(base_key, idx), minp)
@@ -351,9 +357,10 @@ def _jit_set_slot_state():
 @functools.lru_cache(maxsize=None)
 def _jit_sample_first():
     def _sample_first(logits, prompt_row, plen, temp, topk, topp, minp, pen,
-                      base_key, idx, gmask_row):
+                      base_key, idx, gmask_row, bias_row):
         raw = logits
         logits = apply_repetition_penalty(logits, prompt_row, plen, pen)
+        logits = logits + bias_row
         logits = jnp.where(gmask_row, logits.astype(jnp.float32), -1e30)
         tok = sample_batch(logits, temp, topk, topp,
                            jax.random.fold_in(base_key, idx), minp)
@@ -410,6 +417,11 @@ class Engine:
         self._topps = np.ones((b,), np.float32)
         self._minps = np.zeros((b,), np.float32)
         self._pens = np.ones((b,), np.float32)
+        self._freqs = np.zeros((b,), np.float32)   # OpenAI freq penalty
+        self._press = np.zeros((b,), np.float32)   # OpenAI presence penalty
+        self._plens = np.zeros((b,), np.int32)     # prompt lens (gen-only
+                                                   # penalty window)
+        self._bias_np = np.zeros((b, cfg.vocab_size), np.float32)
         self._slot_state_dirty = True  # device mirrors staged lazily
 
         # guided decoding: all slots' guides share ONE combined table —
@@ -463,8 +475,12 @@ class Engine:
                                             max_len=self.ec.max_seq_len)
             hist_args = (self._hist,) if rep else ()
             minpen = ((jnp.zeros((b,), jnp.float32),
-                       jnp.ones((b,), jnp.float32)) if rep
-                      else (jnp.zeros((b,), jnp.float32),))
+                       jnp.ones((b,), jnp.float32),
+                       jnp.zeros((b,), jnp.float32),
+                       jnp.zeros((b,), jnp.float32),
+                       jnp.zeros((b,), jnp.int32),
+                       jnp.zeros((b, self.cfg.vocab_size), jnp.float32))
+                      if rep else (jnp.zeros((b,), jnp.float32),))
             out = fn(self.params, self._cur_tok, self._positions,
                      scratch_cache, *hist_args, jnp.zeros((b,), jnp.float32),
                      jnp.zeros((b,), jnp.int32), jnp.ones((b,), jnp.float32),
@@ -485,10 +501,19 @@ class Engine:
                 f"request {req.rid}: top_k={req.sampling.top_k} exceeds the "
                 f"sampler candidate window ({TOPK_CAND}); sampling would "
                 f"silently use a narrower candidate set (sampler.TOPK_CAND)")
-        if req.sampling.repetition_penalty != 1.0 and not self.ec.track_history:
+        if not self.ec.track_history and (
+                req.sampling.repetition_penalty != 1.0
+                or req.sampling.frequency_penalty != 0.0
+                or req.sampling.presence_penalty != 0.0
+                or req.sampling.logit_bias):
             raise ValueError(
-                f"request {req.rid}: repetition_penalty needs the device-side "
-                "token history — set EngineConfig.track_history=True")
+                f"request {req.rid}: repetition/frequency/presence penalties "
+                "and logit_bias need the device-side token history — set "
+                "EngineConfig.track_history=True")
+        for t, _ in req.sampling.logit_bias:
+            if not 0 <= t < self.cfg.vocab_size:
+                raise ValueError(f"request {req.rid}: logit_bias token {t} "
+                                 f"outside vocab {self.cfg.vocab_size}")
         if req.guide is not None:
             if req.guide.vocab_size != self.cfg.vocab_size:
                 raise ValueError(
@@ -534,6 +559,12 @@ class Engine:
         if req.guide is None:
             return jnp.ones((1, self.cfg.vocab_size), bool)
         return jnp.asarray(req.guide.mask[0][None])
+
+    def _first_bias_row(self, req: Request):
+        row = np.zeros((1, self.cfg.vocab_size), np.float32)
+        for t, bv in req.sampling.logit_bias:
+            row[0, t] = bv
+        return jnp.asarray(row)
 
     # ------------------------------------------------------------------
     # prefix caching (vLLM-style system-prompt KV reuse)
@@ -703,7 +734,8 @@ class Engine:
             np.asarray([sp.top_p], np.float32),
             np.asarray([sp.min_p], np.float32),
             np.asarray([sp.repetition_penalty], np.float32),
-            self._key, self._blk_counter, self._first_mask_row(req))
+            self._key, self._blk_counter, self._first_mask_row(req),
+            self._first_bias_row(req))
         # padded positions wrote scales too, but attention masks beyond
         # `position` ignore them
         tok = int(np.asarray(tok_dev)[0])
@@ -726,7 +758,8 @@ class Engine:
                                    np.asarray([sp.repetition_penalty],
                                               np.float32),
                                    self._key, self._blk_counter,
-                                   self._first_mask_row(req))
+                                   self._first_mask_row(req),
+                                   self._first_bias_row(req))
         return int(t[0]), float(lp[0])
 
     def _record_first_token(self, req: Request, tok: int, slot: int,
@@ -747,6 +780,12 @@ class Engine:
         self._topps[slot] = req.sampling.top_p
         self._minps[slot] = req.sampling.min_p
         self._pens[slot] = req.sampling.repetition_penalty
+        self._freqs[slot] = req.sampling.frequency_penalty
+        self._press[slot] = req.sampling.presence_penalty
+        self._plens[slot] = plen
+        self._bias_np[slot] = 0.0
+        for t, bv in req.sampling.logit_bias:
+            self._bias_np[slot, t] = bv
         self._slot_state_dirty = True
         self._host_pos[slot] = plen
         # guided: absolute DFA row after the first token (start-state
@@ -787,6 +826,8 @@ class Engine:
         if self._slot_guided.any():
             return False  # drafted tokens bypass the grammar mask
         if any(self._temps[i] > 0 or self._pens[i] != 1.0
+               or self._freqs[i] != 0.0 or self._press[i] != 0.0
+               or self._bias_np[i].any()
                for i, r in enumerate(self._slots) if r is not None):
             return False  # stochastic / penalized slot: greedy-only feature
         bound = self.ec.decode_block * (self.ec.speculate + 1) + 1
@@ -803,6 +844,10 @@ class Engine:
             self._topps_dev = jnp.asarray(self._topps)
             self._minps_dev = jnp.asarray(self._minps)
             self._pens_dev = jnp.asarray(self._pens)
+            self._freqs_dev = jnp.asarray(self._freqs)
+            self._press_dev = jnp.asarray(self._press)
+            self._plens_dev = jnp.asarray(self._plens)
+            self._bias_dev = jnp.asarray(self._bias_np)
             self._active_dev = jnp.asarray(self._active)
             self._slot_state_dirty = False
         if self._guides_dirty:
@@ -839,7 +884,8 @@ class Engine:
              self._gstate) = block_fn(
                 self.params, self._cur_tok, self._positions, self.cache,
                 self._hist, self._temps_dev, self._topks_dev, self._topps_dev,
-                self._minps_dev, self._pens_dev,
+                self._minps_dev, self._pens_dev, self._freqs_dev,
+                self._press_dev, self._plens_dev, self._bias_dev,
                 self._key, self._blk_counter, self._active_dev,
                 self._gmask_dev, self._gtrans_dev, self._gstate)
         else:
@@ -906,6 +952,7 @@ class Engine:
     # serving — the training side's checkpoint-restart counterpart)
     # ------------------------------------------------------------------
     _SNAP_HOST = ("_temps", "_topks", "_topps", "_minps", "_pens",
+                  "_freqs", "_press", "_plens", "_bias_np",
                   "_host_pos", "_active", "_slot_guided",
                   "_gmask_np", "_gtrans_np")
 

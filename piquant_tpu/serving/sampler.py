@@ -21,6 +21,12 @@ class SamplingParams:
     repetition_penalty: float = 1.0  # 1 => disabled; HF/CTRL convention:
                                      # seen tokens' logits l>0 -> l/pen,
                                      # l<0 -> l*pen (prompt + generated)
+    frequency_penalty: float = 0.0   # OpenAI-style: l -= fp * count(t)
+                                     # over GENERATED tokens (needs
+                                     # EngineConfig.track_history)
+    presence_penalty: float = 0.0    # l -= pp * [t generated before]
+    logit_bias: tuple = ()           # ((token_id, bias), ...) added to the
+                                     # logits every step (track_history)
     max_new_tokens: int = 128
     eos_token: int = -1        # -1 => never stops on EOS
     stop_tokens: tuple = ()    # additional stop ids (Llama-3 eot etc.)
@@ -83,6 +89,29 @@ def apply_repetition_penalty(
     pen = penalty[:, None]
     penalized = jnp.where(l > 0, l / pen, l * pen)
     return jnp.where(seen & (pen != 1.0), penalized, l)
+
+
+def apply_freq_presence(
+    logits: Array,     # [B, V]
+    hist: Array,       # [B, S] token history (prompt + generated)
+    start: Array,      # [B] first GENERATED index in hist (= prompt len)
+    hist_len: Array,   # [B] valid entries in hist
+    freq: Array,       # [B] f32 frequency penalty (0 => no-op)
+    presence: Array,   # [B] f32 presence penalty (0 => no-op)
+) -> Array:
+    """OpenAI-style penalties over the GENERATED tokens only:
+    l[t] -= freq * count(t) + presence * [count(t) > 0].
+    Counts come from one [B, S] scatter-add into a [B, V+1] buffer —
+    same cost class as apply_repetition_penalty."""
+    b, v = logits.shape
+    s = hist.shape[1]
+    pos = jnp.arange(s, dtype=jnp.int32)[None, :]
+    gen = (pos >= start[:, None]) & (pos < hist_len[:, None])
+    ids = jnp.where(gen, hist, v)  # non-generated entries scatter off-end
+    counts = jnp.zeros((b, v + 1), jnp.float32).at[
+        jnp.arange(b)[:, None], ids].add(1.0)[:, :v]
+    l = logits.astype(jnp.float32)
+    return l - freq[:, None] * counts - presence[:, None] * (counts > 0)
 
 
 def sample_batch(

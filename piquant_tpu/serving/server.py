@@ -98,6 +98,15 @@ class EngineServer:
                         min_p=float(body.get("min_p", 0.0)),
                         stop_tokens=tuple(body.get("stop", ()) or ()),
                         eos_token=int(body.get("eos", -1)),
+                        repetition_penalty=float(
+                            body.get("repetition_penalty", 1.0)),
+                        frequency_penalty=float(
+                            body.get("frequency_penalty", 0.0)),
+                        presence_penalty=float(
+                            body.get("presence_penalty", 0.0)),
+                        logit_bias=tuple(
+                            (int(k), float(v)) for k, v in
+                            dict(body.get("logit_bias", {})).items()),
                     )
                     guide = server._resolve_guide(body)
                 except (KeyError, TypeError, ValueError) as e:
