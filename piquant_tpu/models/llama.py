@@ -671,7 +671,8 @@ def fuse_layer_projections(params: Dict, cfg: LlamaConfig, tp: int = 1) -> Dict:
     out = dict(params)
     out["layers"] = []
     for layer in params["layers"]:
-        if any(type(v).__name__ == "LoraLinear" for v in layer.values()):
+        if any(type(v).__name__ in ("LoraLinear", "MultiLoraLinear")
+               for v in layer.values()):
             raise ValueError("merge_lora (quant/lora.py) before "
                              "fuse_layer_projections")
         nl = {k: v for k, v in layer.items()
@@ -691,6 +692,19 @@ def _mm(x: Array, w, out_dtype, act_quant: bool = False) -> Array:
         y = _mm(x, w.base, out_dtype, act_quant)
         delta = (x.astype(jnp.float32) @ w.a.astype(jnp.float32)
                  ) @ w.b.astype(jnp.float32) * w.scaling
+        return (y.astype(jnp.float32) + delta).astype(out_dtype)
+    if type(w).__name__ == "MultiLoraLinear":
+        # per-batch-row adapter (multi-tenant serving, quant/lora.py):
+        # gather the B selected rank-r factors and run two batched einsums
+        # — reads B*K*r + B*r*N adapter bytes per call, ~2% of the packed
+        # base stream at r=16 on 8B geometry
+        y = _mm(x, w.base, out_dtype, act_quant)
+        a_sel = w.a[w.ids].astype(jnp.float32)          # [B, K, r]
+        b_sel = w.b[w.ids].astype(jnp.float32)          # [B, r, N]
+        s_sel = w.scaling[w.ids].reshape(
+            (w.ids.shape[0],) + (1,) * (x.ndim - 1))
+        d1 = jnp.einsum("b...k,bkr->b...r", x.astype(jnp.float32), a_sel)
+        delta = jnp.einsum("b...r,brn->b...n", d1, b_sel) * s_sel
         return (y.astype(jnp.float32) + delta).astype(out_dtype)
     if isinstance(w, QuantizedLinear):
         return quantized_matmul(x, w, out_dtype, act_quant=act_quant)

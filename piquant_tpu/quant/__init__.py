@@ -16,9 +16,12 @@ from piquant_tpu.quant.linear import (  # noqa: F401
 )
 from piquant_tpu.quant.lora import (  # noqa: F401
     LoraLinear,
+    MultiLoraLinear,
     add_lora,
     lora_params,
     merge_lora,
+    set_adapter_ids,
+    stack_adapters,
     with_lora,
 )
 from piquant_tpu.quant.mixed import (  # noqa: F401

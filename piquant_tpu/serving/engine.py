@@ -93,6 +93,10 @@ class Request:
     # guided decoding: a serving.guided.TokenGuide compiled for this
     # model's vocab — the decode scan masks logits to the grammar and the
     # request finishes on the guide's EOS (submit() aligns eos_token)
+    adapter_id: int = 0
+    # multi-tenant LoRA (quant/lora.MultiLoraLinear params): which stacked
+    # adapter serves this request; 0 = the null adapter by stack_adapters
+    # convention.  Ignored (must stay 0) without multi-LoRA params.
     # filled by the engine:
     tokens: List[int] = dataclasses.field(default_factory=list)
     logprobs: List[float] = dataclasses.field(default_factory=list)
@@ -374,6 +378,20 @@ class Engine:
                  *, rng_seed: int = 0):
         self.cfg = cfg
         self.params = params
+        # multi-tenant LoRA (quant/lora.MultiLoraLinear): per-slot adapter
+        # indices live on the param tree's leaves; _params_decode carries
+        # [batch_slots]-length ids (rebuilt on admission — a pure Python
+        # restructure, weight buffers shared), per-admission prefill trees
+        # carry a single id
+        from piquant_tpu.quant import lora as _lora
+
+        self._lora = _lora
+        self._n_adapters = _lora.n_adapters(params)
+        self._adapters = np.zeros((econfig.batch_slots,), np.int32)
+        self._adapters_dirty = False
+        self._params_decode = (params if self._n_adapters is None
+                               else _lora.set_adapter_ids(
+                                   params, self._adapters))
         if econfig.prefill_pad > econfig.max_seq_len:
             # prompts are padded to a prefill_pad multiple; a pad larger
             # than the cache cannot fit any prompt
@@ -481,7 +499,7 @@ class Engine:
                        jnp.zeros((b,), jnp.int32),
                        jnp.zeros((b, self.cfg.vocab_size), jnp.float32))
                       if rep else (jnp.zeros((b,), jnp.float32),))
-            out = fn(self.params, self._cur_tok, self._positions,
+            out = fn(self._params_decode, self._cur_tok, self._positions,
                      scratch_cache, *hist_args, jnp.zeros((b,), jnp.float32),
                      jnp.zeros((b,), jnp.int32), jnp.ones((b,), jnp.float32),
                      *minpen, self._key, 0, jnp.zeros((b,), jnp.bool_),
@@ -514,6 +532,16 @@ class Engine:
             if not 0 <= t < self.cfg.vocab_size:
                 raise ValueError(f"request {req.rid}: logit_bias token {t} "
                                  f"outside vocab {self.cfg.vocab_size}")
+        if req.adapter_id:
+            if self._n_adapters is None:
+                raise ValueError(
+                    f"request {req.rid}: adapter_id={req.adapter_id} but the "
+                    "params carry no MultiLoraLinear (quant/lora."
+                    "stack_adapters)")
+            if not 0 <= req.adapter_id < self._n_adapters:
+                raise ValueError(
+                    f"request {req.rid}: adapter_id={req.adapter_id} outside "
+                    f"[0, {self._n_adapters})")
         if req.guide is not None:
             if req.guide.vocab_size != self.cfg.vocab_size:
                 raise ValueError(
@@ -560,6 +588,13 @@ class Engine:
             return jnp.ones((1, self.cfg.vocab_size), bool)
         return jnp.asarray(req.guide.mask[0][None])
 
+    def _prefill_params(self, req: Request):
+        """Param tree for this request's prefill: the shared tree, or the
+        multi-LoRA tree with a single-row adapter id."""
+        if self._n_adapters is None:
+            return self.params
+        return self._lora.set_adapter_ids(self.params, [req.adapter_id])
+
     def _first_bias_row(self, req: Request):
         row = np.zeros((1, self.cfg.vocab_size), np.float32)
         for t, bv in req.sampling.logit_bias:
@@ -569,12 +604,14 @@ class Engine:
     # ------------------------------------------------------------------
     # prefix caching (vLLM-style system-prompt KV reuse)
     # ------------------------------------------------------------------
-    def preseed_prefix(self, tokens: List[int]) -> int:
+    def preseed_prefix(self, tokens: List[int], adapter_id: int = 0) -> int:
         """Prefill `tokens` once and pin their KV in the prefix pool; every
         later prompt starting with them skips that prefill work.  Only
         complete prefill_chunk multiples are cached (a partial tail chunk
         would write pad-token KV the suffix does not overwrite before
-        reading).  Returns the cached effective length."""
+        reading).  Pool entries are keyed by (adapter_id, tokens): prefix
+        KV computed under one LoRA adapter is never reused for another.
+        Returns the cached effective length."""
         if not self.ec.prefix_cache:
             raise ValueError("prefix_cache is 0: enable it in EngineConfig")
         c = self.ec.prefill_chunk
@@ -584,13 +621,15 @@ class Engine:
             return 0
         fresh = self._model.init_kv_cache(self.cfg, 1,
                                           max_len=self.ec.max_seq_len)
+        pp = (self.params if self._n_adapters is None
+              else self._lora.set_adapter_ids(self.params, [adapter_id]))
         for s in range(0, eff, c):
             chunk = list(tokens[s:s + c])
             _, fresh = self._prefill_chunk(
-                self.params, jnp.asarray([chunk], jnp.int32),
+                pp, jnp.asarray([chunk], jnp.int32),
                 jnp.asarray([s], jnp.int32),
                 jnp.asarray([0], jnp.int32), fresh)
-        self._pool_put(tuple(tokens[:eff]), fresh, eff)
+        self._pool_put((adapter_id, tuple(tokens[:eff])), fresh, eff)
         return eff
 
     def _pool_put(self, key: tuple, cache, eff: int) -> None:
@@ -602,13 +641,15 @@ class Engine:
             pool.popitem(last=False)           # evict least-recently-used
         pool[key] = (cache, eff)
 
-    def _match_prefix(self, prompt: List[int]):
-        """Longest pooled prefix of `prompt` -> (key, cache, eff) or None."""
+    def _match_prefix(self, prompt: List[int], adapter_id: int = 0):
+        """Longest pooled prefix of `prompt` under the same adapter ->
+        (key, cache, eff) or None."""
         best = None
         for key, (cache, eff) in self._prefix_pool.items():
-            if (len(key) <= len(prompt)
+            aid, toks = key
+            if (aid == adapter_id and len(toks) <= len(prompt)
                     and (best is None or eff > best[2])
-                    and list(key) == prompt[:len(key)]):
+                    and list(toks) == prompt[:len(toks)]):
                 best = (key, cache, eff)
         if best is not None:
             self._prefix_pool.move_to_end(best[0])
@@ -657,7 +698,7 @@ class Engine:
                 m0 = 0
                 fresh = None
                 if self.ec.prefix_cache:
-                    hit = self._match_prefix(req.prompt)
+                    hit = self._match_prefix(req.prompt, req.adapter_id)
                     if hit is not None:
                         _, pcache, eff = hit
                         m0 = min(eff, plen - 1)
@@ -690,7 +731,7 @@ class Engine:
                 lp = jnp.asarray([p["plen"] - 1 - s if is_final else 0],
                                  jnp.int32)
                 p["last"], p["fresh"] = self._prefill_chunk(
-                    self.params,
+                    self._prefill_params(p["req"]),
                     jnp.asarray([chunk], jnp.int32),
                     jnp.asarray([s], jnp.int32), lp, p["fresh"])
                 p["j"] += 1
@@ -704,8 +745,10 @@ class Engine:
                 ceff = min(p["plen"] // c,
                            (self.ec.max_seq_len - c) // c) * c
                 if ceff > 0:
-                    self._pool_put(tuple(p["req"].prompt[:ceff]),
-                                   p["fresh"], ceff)
+                    self._pool_put(
+                        (p["req"].adapter_id,
+                         tuple(p["req"].prompt[:ceff])),
+                        p["fresh"], ceff)
             self.cache = self._insert_slot(self.cache, p["fresh"], p["slot"])
             tok, lp = self._sample(p["last"], p["req"])
             self._record_first_token(p["req"], tok, p["slot"], p["plen"],
@@ -727,7 +770,7 @@ class Engine:
         sp = req.sampling
         self._blk_counter += 1
         tok_dev, lp_dev, self.cache = self._prefill(
-            self.params, toks, jnp.asarray([plen], jnp.int32),
+            self._prefill_params(req), toks, jnp.asarray([plen], jnp.int32),
             slot, fresh, self.cache,
             np.asarray([sp.temperature], np.float32),
             np.asarray([sp.top_k], np.int32),
@@ -797,6 +840,10 @@ class Engine:
             gs = 0
         self._gstate = self._gstate.at[slot].set(gs)
         self._slot_guided[slot] = req.guide is not None
+        if self._n_adapters is not None and (
+                self._adapters[slot] != req.adapter_id):
+            self._adapters[slot] = req.adapter_id
+            self._adapters_dirty = True
         self._cur_tok, self._positions = self._set_slot_state(
             self._cur_tok, self._positions, slot, tok, plen)
         if self.ec.speculate > 0 or self.ec.track_history:
@@ -854,6 +901,10 @@ class Engine:
             self._gmask_dev = jnp.asarray(self._gmask_np)
             self._gtrans_dev = jnp.asarray(self._gtrans_np)
             self._guides_dirty = False
+        if self._adapters_dirty:
+            self._params_decode = self._lora.set_adapter_ids(
+                self.params, self._adapters)
+            self._adapters_dirty = False
         self._blk_counter += 1
         kblk = self.ec.decode_block
         window = self.ec.max_seq_len
@@ -868,8 +919,8 @@ class Engine:
             spec_fn = _jit_spec_block(self.cfg, kblk, g)
             (emit_hist, emit_lp, n_emit, tok, pos, self._hist,
              self.cache) = spec_fn(
-                self.params, self._cur_tok, self._positions, self.cache,
-                self._hist, self._active_dev)
+                self._params_decode, self._cur_tok, self._positions,
+                self.cache, self._hist, self._active_dev)
             self._cur_tok = tok
             self._positions = pos
             return ("spec", emit_hist, emit_lp, n_emit), list(self._slots)
@@ -882,7 +933,8 @@ class Engine:
             block_fn = _jit_decode_block(self.cfg, kblk, window, True)
             (tok_hist, lp_hist, tok, pos, self.cache, self._hist,
              self._gstate) = block_fn(
-                self.params, self._cur_tok, self._positions, self.cache,
+                self._params_decode, self._cur_tok, self._positions,
+                self.cache,
                 self._hist, self._temps_dev, self._topks_dev, self._topps_dev,
                 self._minps_dev, self._pens_dev, self._freqs_dev,
                 self._press_dev, self._plens_dev, self._bias_dev,
@@ -891,7 +943,8 @@ class Engine:
         else:
             block_fn = _jit_decode_block(self.cfg, kblk, window, False)
             tok_hist, lp_hist, tok, pos, self.cache, self._gstate = block_fn(
-                self.params, self._cur_tok, self._positions, self.cache,
+                self._params_decode, self._cur_tok, self._positions,
+                self.cache,
                 self._temps_dev, self._topks_dev, self._topps_dev,
                 self._minps_dev, self._key, self._blk_counter,
                 self._active_dev, self._gmask_dev, self._gtrans_dev,
@@ -953,7 +1006,7 @@ class Engine:
     # ------------------------------------------------------------------
     _SNAP_HOST = ("_temps", "_topks", "_topps", "_minps", "_pens",
                   "_freqs", "_press", "_plens", "_bias_np",
-                  "_host_pos", "_active", "_slot_guided",
+                  "_host_pos", "_active", "_slot_guided", "_adapters",
                   "_gmask_np", "_gtrans_np")
 
     def snapshot(self) -> dict:
@@ -1018,6 +1071,7 @@ class Engine:
                         self._guide_offsets[id(g)] = off
                         break
         self._guides_dirty = True
+        self._adapters_dirty = self._n_adapters is not None
         self._slot_state_dirty = True  # device mirrors rebuilt lazily
         self._pending_prefill = None
 

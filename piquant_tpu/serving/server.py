@@ -109,10 +109,11 @@ class EngineServer:
                             dict(body.get("logit_bias", {})).items()),
                     )
                     guide = server._resolve_guide(body)
+                    adapter = int(body.get("adapter", 0))
                 except (KeyError, TypeError, ValueError) as e:
                     return self._json(400, {"error": str(e)})
 
-                rid, sink = server._enqueue(prompt, sp, guide)
+                rid, sink = server._enqueue(prompt, sp, guide, adapter)
                 if body.get("stream"):
                     self.send_response(200)
                     self.send_header("Content-Type", "text/event-stream")
@@ -177,13 +178,13 @@ class EngineServer:
                 rx, self.vocab, eos_id=eos)
         return self._guide_cache[key]
 
-    def _enqueue(self, prompt, sp, guide=None) -> tuple:
+    def _enqueue(self, prompt, sp, guide=None, adapter=0) -> tuple:
         with self._rid_lock:
             self._rid += 1
             rid = self._rid
         sink: "queue.Queue" = queue.Queue()
         self._inbox.put((Request(rid=rid, prompt=list(prompt), sampling=sp,
-                                 guide=guide), sink))
+                                 guide=guide, adapter_id=adapter), sink))
         self._wake.set()
         return rid, sink
 

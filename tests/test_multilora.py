@@ -1,0 +1,124 @@
+"""Multi-tenant LoRA serving (quant/lora.MultiLoraLinear + engine
+adapter_id): N adapters over one shared packed base, selected per batch
+row.  Contracts: per-row selection equals the single-adapter forward,
+the null adapter equals the bare base, and the engine serves mixed
+adapters in one batch with tokens identical to per-adapter engines."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from piquant_tpu.models import llama as M
+from piquant_tpu.quant.lora import (LoraLinear, add_lora, n_adapters,
+                                    set_adapter_ids, stack_adapters,
+                                    with_lora)
+from piquant_tpu.serving import Engine, EngineConfig, Request, SamplingParams
+
+SEED = 0x510
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = M.LlamaConfig.tiny(vocab=64)
+    base = M.quantize_params(M.init_params(cfg, jax.random.key(SEED)), bits=4)
+    # two "trained" adapters: random non-zero B so deltas actually differ
+    sets = []
+    for i in range(2):
+        lp = add_lora(base, rank=4, key=jax.random.key(100 + i))
+        ad = {li: {k: (a, jax.random.normal(
+            jax.random.fold_in(jax.random.key(200 + i), li), b.shape,
+            jnp.float32) * 0.05)
+            for k, (a, b) in sub.items()}
+            for li, sub in __import__(
+                "piquant_tpu.quant.lora", fromlist=["lora_params"]
+            ).lora_params(lp).items()}
+        sets.append(with_lora(lp, ad))
+    multi = stack_adapters(base, sets)  # 0 = null, 1..2 = adapters
+    return cfg, base, sets, multi
+
+
+def test_per_row_selection_matches_single(setup):
+    cfg, base, sets, multi = setup
+    assert n_adapters(multi) == 3
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, 64, (3, 10)),
+                       jnp.int32)
+    # rows select (null, adapter1, adapter2)
+    p = set_adapter_ids(multi, [0, 1, 2])
+    got, _ = M.forward(cfg, p, toks)
+    got = np.asarray(got)
+    want0, _ = M.forward(cfg, base, toks[:1])
+    want1, _ = M.forward(cfg, sets[0], toks[1:2])
+    want2, _ = M.forward(cfg, sets[1], toks[2:3])
+    np.testing.assert_allclose(got[0], np.asarray(want0)[0], atol=1e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(got[1], np.asarray(want1)[0], atol=1e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(got[2], np.asarray(want2)[0], atol=1e-4,
+                               rtol=1e-4)
+    # the two adapters genuinely differ
+    assert np.abs(got[1] - got[2]).max() > 1e-3
+
+
+def _run_engine(cfg, params, reqs, **ec_kw):
+    eng = Engine(cfg, params, EngineConfig(batch_slots=4, max_seq_len=128,
+                                           decode_block=4, **ec_kw))
+    for r in reqs:
+        eng.submit(r)
+    eng.run()
+    return eng
+
+
+def test_engine_mixed_adapters_match_single_adapter_runs(setup):
+    cfg, base, sets, multi = setup
+    prompts = [[1, 2, 3], [4, 5], [6, 7, 8, 9], [10]]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=12)
+
+    # reference: each request through a single-adapter (or base) engine
+    want = []
+    for i, pr in enumerate(prompts):
+        aid = i % 3
+        ref_params = base if aid == 0 else sets[aid - 1]
+        r = Request(rid=0, prompt=list(pr), sampling=sp)
+        _run_engine(cfg, ref_params, [r])
+        want.append(list(r.tokens))
+
+    reqs = [Request(rid=i, prompt=list(pr), sampling=sp, adapter_id=i % 3)
+            for i, pr in enumerate(prompts)]
+    _run_engine(cfg, multi, reqs)
+    for i, r in enumerate(reqs):
+        assert list(r.tokens) == want[i], (i, r.tokens, want[i])
+
+
+def test_engine_chunked_prefill_with_adapters(setup):
+    cfg, base, sets, multi = setup
+    sp = SamplingParams(temperature=0.0, max_new_tokens=8)
+    r_ref = Request(rid=0, prompt=list(range(1, 20)), sampling=sp)
+    _run_engine(cfg, sets[1], [r_ref])
+
+    r = Request(rid=1, prompt=list(range(1, 20)), sampling=sp, adapter_id=2)
+    _run_engine(cfg, multi, [r], prefill_chunk=8)
+    assert list(r.tokens) == list(r_ref.tokens)
+
+
+def test_engine_validates_adapter_ids(setup):
+    cfg, base, sets, multi = setup
+    eng = Engine(cfg, multi, EngineConfig(batch_slots=1, max_seq_len=64))
+    with pytest.raises(ValueError, match="outside"):
+        eng.submit(Request(rid=0, prompt=[1], adapter_id=7))
+    eng2 = Engine(cfg, base, EngineConfig(batch_slots=1, max_seq_len=64))
+    with pytest.raises(ValueError, match="MultiLoraLinear"):
+        eng2.submit(Request(rid=1, prompt=[1], adapter_id=1))
+
+
+def test_fuse_rejects_multilora(setup):
+    cfg, base, sets, multi = setup
+    with pytest.raises(ValueError, match="merge_lora"):
+        M.fuse_layer_projections(multi, cfg)
+
+
+def test_rank_mismatch_rejected(setup):
+    cfg, base, sets, multi = setup
+    other = add_lora(base, rank=8, key=jax.random.key(9))
+    with pytest.raises(ValueError, match="rank"):
+        stack_adapters(base, [sets[0], other])

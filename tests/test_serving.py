@@ -722,7 +722,7 @@ def test_prefix_cache_lru_eviction(setup):
     a, b = [1, 2, 3, 4], [5, 6, 7, 8]
     eng.preseed_prefix(a)
     eng.preseed_prefix(b)                 # capacity 1: evicts a
-    assert list(eng._prefix_pool) == [tuple(b)]
+    assert list(eng._prefix_pool) == [(0, tuple(b))]  # (adapter_id, tokens)
 
 
 def test_prefix_cache_requires_chunked(setup):
