@@ -26,7 +26,8 @@ from piquant_tpu.models import llama as M
 
 def main(batch=8, ctx=1024, max_len=2048):
     import os
-    bits = int(os.environ.get("PIQUANT_BITS", "4"))
+    raw_bits = os.environ.get("PIQUANT_BITS", "4")
+    bits = raw_bits if raw_bits == "nf4" else int(raw_bits)
     cfg = M.LlamaConfig.llama3_8b()
     import dataclasses
     if os.environ.get("PIQUANT_AQ_DECODE", "0") == "1":
@@ -34,7 +35,8 @@ def main(batch=8, ctx=1024, max_len=2048):
     kvb = int(os.environ.get("PIQUANT_KV_BITS", "8"))
     if kvb != 8:
         cfg = dataclasses.replace(cfg, kv_bits=kvb)
-    print(f"building INT{bits} 8B params (batch={batch}, ctx={ctx})...", flush=True)
+    print(f"building {raw_bits}-bit 8B params (batch={batch}, ctx={ctx})...",
+          flush=True)
     gs = int(os.environ.get("PIQUANT_GS", "0")) or None
     params = M.random_quantized_params(cfg, jax.random.key(0), bits=bits,
                                        lm_head_bits=8, group_size=gs)
