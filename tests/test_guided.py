@@ -272,6 +272,33 @@ def test_server_guided_json(setup):
         srv.stop()
 
 
+def test_engine_guided_mla_model():
+    """Guided decoding is model-agnostic: the MLA engine (latent INT8
+    cache) obeys the grammar too — the mask/transition live at the logits
+    layer, not in the model."""
+    from piquant_tpu.models import mla as L
+
+    cfg = L.MLAConfig.tiny(vocab=64, dtype=jnp.float32)
+    params = L.quantize_params(L.init_params(cfg, jax.random.key(11)),
+                               bits=8)
+    pat = "(ab|cd){1,5}ef"
+    g = TokenGuide.from_regex(pat, VOCAB, eos_id=0)
+    eng = Engine(cfg, params, EngineConfig(batch_slots=2, max_seq_len=64,
+                                           decode_block=4))
+    reqs = [Request(rid=i, prompt=[1 + i, 2], guide=g,
+                    sampling=SamplingParams(temperature=0.8 * i,
+                                            max_new_tokens=16))
+            for i in range(2)]
+    for r in reqs:
+        eng.submit(r)
+    eng.run()
+    d = regex_to_dfa(pat)
+    for r in reqs:
+        txt = _decode(r.tokens[:-1])
+        sid = d.walk(d.start, txt)
+        assert sid != -1 and d.accepting(sid), (r.rid, txt)
+
+
 def test_engine_rejects_vocab_mismatch(setup):
     cfg, params = setup
     g = TokenGuide.from_regex("ab", VOCAB + ["extra"], eos_id=0)

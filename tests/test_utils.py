@@ -70,3 +70,63 @@ def test_weight_cache_group_size_and_experts(tmp_path):
     assert isinstance(st, QuantizedExpertStack) and st.n_experts == 2
     np.testing.assert_array_equal(np.asarray(st.data),
                                   np.asarray(qp["layers"][0]["moe_w1"].data))
+
+
+def test_safetensors_roundtrip_quantized_model():
+    """save_safetensors/load_safetensors: one-file HF-ecosystem container
+    for packed params — bit-exact roundtrip incl. NF4 codebook leaves,
+    bf16 fixup, expert stacks, and rebuilt grouped side streams."""
+    import tempfile, os
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from piquant_tpu.models import llama as M
+    from piquant_tpu.utils.safetensors_io import (load_safetensors,
+                                                  save_safetensors)
+
+    cfg = M.LlamaConfig.tiny(vocab=64, n_experts=2, moe_top_k=1,
+                             dtype=jnp.bfloat16)
+    params = M.quantize_params(M.init_params(cfg, jax.random.key(3)),
+                               bits=4, group_size=32,
+                               overrides={"wq": ("nf4", 32)})
+    with tempfile.TemporaryDirectory() as td:
+        fp = os.path.join(td, "m.safetensors")
+        save_safetensors(fp, params)
+        back = load_safetensors(fp)
+    for li, layer in enumerate(params["layers"]):
+        for k, v in layer.items():
+            b = back["layers"][li][k]
+            if hasattr(v, "data"):
+                np.testing.assert_array_equal(np.asarray(v.data),
+                                              np.asarray(b.data))
+                np.testing.assert_array_equal(np.asarray(v.scale),
+                                              np.asarray(b.scale))
+                assert (v.bits, v.k, v.group_size, v.codebook) == (
+                    b.bits, b.k, b.group_size, b.codebook)
+                if v.s_chunk is not None:
+                    np.testing.assert_array_equal(np.asarray(v.s_chunk),
+                                                  np.asarray(b.s_chunk))
+            else:
+                assert b.dtype == v.dtype
+                np.testing.assert_array_equal(np.asarray(b), np.asarray(v))
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, 64, (2, 8)),
+                       jnp.int32)
+    la, _ = M.forward(cfg, params, toks)
+    lb, _ = M.forward(cfg, back, toks)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_safetensors_rejects_foreign_file():
+    import tempfile, os
+    import numpy as np
+    import pytest as _pytest
+
+    from piquant_tpu.utils.safetensors_io import load_safetensors
+    from safetensors.numpy import save_file
+
+    with tempfile.TemporaryDirectory() as td:
+        fp = os.path.join(td, "x.safetensors")
+        save_file({"w": np.zeros((2, 2), np.float32)}, fp)
+        with _pytest.raises(ValueError, match="piquant_format"):
+            load_safetensors(fp)
