@@ -354,6 +354,53 @@ void minmax_impl(const In* x, int64_t numel, int nthreads, float* out_min,
 
 }  // namespace
 
+// ---- NF4 (non-uniform NormalFloat-4; QLoRA arXiv:2305.14314) ---------------
+// Same codebook as piquant_tpu/quant/linear.py NF4_CODEBOOK (bitsandbytes-
+// compatible).  Wire layout: adjacent-pair nibbles, low nibble first —
+// the uint4 wire ABI with codebook semantics.  scale = absmax of the
+// tensor/group (w = lut[code] * scale).
+
+static const float kNf4Lut[16] = {
+    -1.0f, -0.6961928009986877f, -0.5250730514526367f, -0.39491748809814453f,
+    -0.28444138169288635f, -0.18477343022823334f, -0.09105003625154495f, 0.0f,
+    0.07958029955625534f, 0.16093020141124725f, 0.24611230194568634f,
+    0.33791524171829224f, 0.44070982933044434f, 0.5626170039176941f,
+    0.7229568362236023f, 1.0f};
+
+inline uint8_t nf4_encode_one(float v) {
+  // exact nearest neighbour via midpoint thresholds (sorted codebook)
+  uint8_t c = 0;
+  for (int i = 0; i < 15; ++i)
+    c = static_cast<uint8_t>(c + (v > 0.5f * (kNf4Lut[i] + kNf4Lut[i + 1])));
+  return c;
+}
+
+template <typename In>
+void nf4_quantize_impl(const In* x, uint8_t* out, int64_t numel, float scale,
+                       int nthreads) {
+  const float inv = scale != 0.0f ? 1.0f / scale : 1.0f;
+  parallel_ranges(numel, 2, nthreads, [&](int, int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; i += 2) {
+      uint8_t lo = nf4_encode_one(load_f(x, i) * inv);
+      uint8_t hi = (i + 1 < e)
+                       ? nf4_encode_one(load_f(x, i + 1) * inv)
+                       : 0;  // zeroed tail, like the affine packers
+      out[i / 2] = static_cast<uint8_t>(lo | (hi << 4));
+    }
+  });
+}
+
+template <typename Out>
+void nf4_dequantize_impl(const uint8_t* q, Out* o, int64_t numel, float scale,
+                         ReduceOp ro, int nthreads) {
+  parallel_ranges(numel, 2, nthreads, [&](int, int64_t b, int64_t e) {
+    for (int64_t i = b; i < e; ++i) {
+      int c = (q[i / 2] >> ((i % 2) * 4)) & 0xF;
+      store_f(o, i, kNf4Lut[c] * scale, ro == RO_ADD);
+    }
+  });
+}
+
 extern "C" {
 
 PQH_EXPORT void pqh_quantize(const void* in, int32_t fp_dtype, void* out,
@@ -446,6 +493,40 @@ PQH_EXPORT void pqh_compute_quant_params(const void* in, int32_t fp_dtype,
   *out_zp = static_cast<int64_t>(zp);
 }
 
-PQH_EXPORT int32_t pqh_version() { return 1; }
+PQH_EXPORT void pqh_quantize_nf4(const void* in, int32_t fp_dtype,
+                                 uint8_t* out, int64_t numel, float scale,
+                                 int32_t nthreads) {
+  switch (fp_dtype) {
+    case FP_F32:
+      nf4_quantize_impl(static_cast<const float*>(in), out, numel, scale, nthreads);
+      break;
+    case FP_BF16:
+      nf4_quantize_impl(static_cast<const uint16_t*>(in), out, numel, scale, nthreads);
+      break;
+    case FP_F64:
+      nf4_quantize_impl(static_cast<const double*>(in), out, numel, scale, nthreads);
+      break;
+  }
+}
+
+PQH_EXPORT void pqh_dequantize_nf4(const uint8_t* in, void* out,
+                                   int32_t fp_dtype, int64_t numel,
+                                   float scale, int32_t reduce_op,
+                                   int32_t nthreads) {
+  ReduceOp ro = static_cast<ReduceOp>(reduce_op);
+  switch (fp_dtype) {
+    case FP_F32:
+      nf4_dequantize_impl(in, static_cast<float*>(out), numel, scale, ro, nthreads);
+      break;
+    case FP_BF16:
+      nf4_dequantize_impl(in, static_cast<uint16_t*>(out), numel, scale, ro, nthreads);
+      break;
+    case FP_F64:
+      nf4_dequantize_impl(in, static_cast<double*>(out), numel, scale, ro, nthreads);
+      break;
+  }
+}
+
+PQH_EXPORT int32_t pqh_version() { return 2; }  // v2: + NF4
 
 }  // extern "C"

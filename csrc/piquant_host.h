@@ -68,6 +68,15 @@ void pqh_compute_quant_params(const void* in, int32_t fp_dtype, int64_t numel,
                               int32_t q_dtype, int32_t nthreads,
                               float* out_scale, int64_t* out_zp);
 
+/* NF4 (NormalFloat-4, QLoRA codebook): absmax-scaled non-uniform 4-bit.
+ * Wire: adjacent-pair nibbles (low first, zeroed tail) — the uint4 wire
+ * ABI with codebook semantics.  scale = absmax (w = lut[code] * scale). */
+void pqh_quantize_nf4(const void* in, int32_t fp_dtype, uint8_t* out,
+                      int64_t numel, float scale, int32_t nthreads);
+void pqh_dequantize_nf4(const uint8_t* in, void* out, int32_t fp_dtype,
+                        int64_t numel, float scale, int32_t reduce_op,
+                        int32_t nthreads);
+
 int32_t pqh_version(void);
 
 #ifdef __cplusplus

@@ -79,6 +79,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.pqh_compute_quant_params.argtypes = [
             c.c_void_p, c.c_int32, c.c_int64, c.c_int32, c.c_int32,
             c.POINTER(c.c_float), c.POINTER(c.c_int64)]
+        lib.pqh_quantize_nf4.argtypes = [c.c_void_p, c.c_int32, c.c_void_p,
+                                         c.c_int64, c.c_float, c.c_int32]
+        lib.pqh_dequantize_nf4.argtypes = [c.c_void_p, c.c_void_p, c.c_int32,
+                                           c.c_int64, c.c_float, c.c_int32,
+                                           c.c_int32]
         lib.pqh_version.restype = c.c_int32
         _lib = lib
         return _lib
@@ -179,6 +184,46 @@ class HostContext:
                                  xv.size, _Q_CODES[qdtype], float(scale),
                                  int(zero_point), _ROUND[round_mode],
                                  _REDUCE[reduce_op], seed, self.num_threads)
+        return out
+
+    def quantize_nf4(self, x: np.ndarray, scale: Optional[float] = None
+                     ) -> Tuple[np.ndarray, float]:
+        """NF4 (QLoRA codebook) quantize: absmax scaling, adjacent-nibble
+        wire (low first).  Returns (packed bytes, scale); scale=None
+        derives absmax here."""
+        x = np.ascontiguousarray(x).reshape(-1)
+        fp = _fp_name(x)
+        if scale is None:
+            lo, hi = self.min_max(x)
+            scale = max(abs(lo), abs(hi)) or 1.0
+        xv = x.view(np.uint16) if x.dtype.name == "bfloat16" else x
+        out = np.empty((x.size + 1) // 2, np.uint8)
+        self._lib.pqh_quantize_nf4(self._as_c(xv), _FP_CODES[fp],
+                                   self._as_c(out), x.size, float(scale),
+                                   self.num_threads)
+        return out, float(scale)
+
+    def dequantize_nf4(self, q: np.ndarray, numel: int, scale: float,
+                       out_dtype: str = "f32", reduce_op: str = "set",
+                       out: Optional[np.ndarray] = None) -> np.ndarray:
+        q = np.ascontiguousarray(q).reshape(-1)
+        if q.size != (numel + 1) // 2:
+            raise ValueError(f"packed buffer has {q.size} bytes, numel="
+                             f"{numel} nf4 needs {(numel + 1) // 2}")
+        if out is None:
+            if reduce_op == "add":
+                raise ValueError("reduce_op='add' requires out=")
+            out = np.zeros(numel, _NP_FP[out_dtype])
+        else:
+            out = np.ascontiguousarray(out).reshape(-1)
+            if out.size != numel:
+                raise ValueError("out.size != numel")
+            if out.dtype.name == "bfloat16":
+                out = out.view(np.uint16)
+        self._lib.pqh_dequantize_nf4(self._as_c(q), self._as_c(out),
+                                     _FP_CODES[out_dtype], numel,
+                                     float(scale), _REDUCE[reduce_op],
+                                     self.num_threads)
         return out
 
     def min_max(self, x: np.ndarray) -> Tuple[float, float]:

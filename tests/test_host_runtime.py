@@ -171,3 +171,45 @@ def test_reference_c_abi_ctypes_stochastic():
         frac = q.mean()
         assert 0.45 < frac < 0.55, frac  # ~half round up
     assert not np.array_equal(outs[0], outs[1])  # per-call seeds differ
+
+
+def test_host_nf4_roundtrip_matches_python_codebook():
+    """csrc NF4 vs the Python codebook (quant/linear.py): identical codes
+    (exact nearest-neighbour) and identical dequantized values."""
+    import numpy as np
+
+    from piquant_tpu.quant.linear import (NF4_CODEBOOK, codebook_decode,
+                                          codebook_encode)
+    from piquant_tpu.runtime.host import HostContext, host_available
+
+    if not host_available():
+        import pytest as _p
+        _p.skip("native host runtime unavailable")
+    import jax.numpy as jnp
+
+    ctx = HostContext(num_threads=3)
+    rng = np.random.default_rng(0x4E5)
+    for n in (64, 257):  # even and odd numel (zeroed tail nibble)
+        x = rng.normal(0, 0.5, n).astype(np.float32)
+        packed, scale = ctx.quantize_nf4(x)
+        assert packed.size == (n + 1) // 2 and scale > 0
+        want_codes = np.asarray(codebook_encode(
+            jnp.asarray(x / scale), "nf4"), np.uint8)
+        got_codes = np.zeros(n, np.uint8)
+        got_codes[0::2] = packed[: (n + 1) // 2] & 0xF
+        got_codes[1::2] = (packed[: n // 2] >> 4) & 0xF
+        np.testing.assert_array_equal(got_codes, want_codes)
+        dq = ctx.dequantize_nf4(packed, n, scale)
+        want = np.asarray(codebook_decode(jnp.asarray(want_codes.astype(
+            np.int32)), "nf4")) * scale
+        np.testing.assert_allclose(dq, want, rtol=1e-6)
+        # ADD accumulates
+        acc = np.ones(n, np.float32)
+        ctx.dequantize_nf4(packed, n, scale, reduce_op="add", out=acc)
+        np.testing.assert_allclose(acc, want + 1.0, rtol=1e-6)
+    # bf16 input path
+    import ml_dtypes
+    xb = rng.normal(0, 0.5, 128).astype(ml_dtypes.bfloat16)
+    packed, scale = ctx.quantize_nf4(xb)
+    dq = ctx.dequantize_nf4(packed, 128, scale)
+    assert np.abs(dq - xb.astype(np.float32)).max() <= scale * 0.16
