@@ -531,6 +531,68 @@ def w4a8_matmul(xq: Array, xs: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Ar
 
 
 @lru_cache(maxsize=None)
+def _w8a8_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
+    """W8A8: int8 activations x int8 weight codes with exact i32
+    accumulation (the INT8-weight counterpart of `_w4a8_kernel` — 2x the
+    bf16 MXU rate at prefill).  Codes are stored unsigned (0..255), so the
+    kernel shifts them to int8 as cs = cu - 128 and the caller folds the
+    shift into the zero-point term:
+        x @ (cu - zp) s = (x @ cs) s - (sum x) (zp - 128) s."""
+    odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
+
+    def kern(xq_ref, xs_ref, b_ref, s_ref, zs_ref, xsum_ref, o_ref):
+        cs = (b_ref[:].astype(jnp.int32) - 128).astype(jnp.int8)
+        acc = jax.lax.dot_general(xq_ref[:], cs, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        corr = acc.astype(jnp.float32) * s_ref[:] - xsum_ref[:] * zs_ref[:]
+        o_ref[:] = (corr * xs_ref[:]).astype(odt)
+
+    grid = (pl.cdiv(m, bm), n // bn)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n), odt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+    )
+
+
+def w8a8_matmul(xq: Array, xs: Array, ql, out_dtype=jnp.bfloat16
+                ) -> Optional[Array]:
+    """INT8-weight x int8-activation matmul (channelwise scales); None if
+    no fast path (grouped INT8, odd shapes, or K beyond the single-block
+    VMEM budget — the caller falls back to weight-only/XLA)."""
+    k, n = ql.k, ql.n
+    if ql.group_size is not None or n % 128 or k % 256 or k > 8192:
+        return None
+    m = xq.shape[0]
+    bn = next((c for c in (512, 256)
+               if n % c == 0 and k * c <= 2 * W_BLOCK_VMEM_LIMIT), None)
+    if bn is None:
+        return None
+    bm = 512 if (k <= 4096 and m >= 512) else 256
+    mp = m + (-m % bm)
+    if mp != m:
+        xq = jnp.pad(xq, ((0, mp - m), (0, 0)))
+        xs = jnp.pad(xs, ((0, mp - m), (0, 0)))
+    oname = "bf16" if jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16) else "f32"
+    s = ql.scale.astype(jnp.float32).reshape(1, n)
+    zs = (ql.zero_point.astype(jnp.float32) - 128.0) * s
+    xsum = jnp.sum(xq.astype(jnp.float32), axis=1, keepdims=True)
+    kfun = _w8a8_kernel(mp, k, n, bm, bn, oname)
+    y = kfun(xq, xs.astype(jnp.float32), ql.data, s, zs, xsum)
+    return y[:m] if mp != m else y
+
+
+@lru_cache(maxsize=None)
 def _w4_grouped_kernel(m: int, k: int, n: int, g: int, bm: int, bn: int,
                        out_dtype: str):
     """Group-wise scales (G groups along K): the zero-point no longer folds

@@ -673,7 +673,10 @@ def quantized_matmul(
     # weight-stream measured on v5e, ops/pallas/qmatmul.py).
     use_a8 = (bool(act_quant)
               and (ql.group_size is None or ql.s_chunk is not None)
-              and ql.bits in (2, 4) and ql.codebook is None
+              and ql.bits in (2, 4, 8) and ql.codebook is None
+              # W8A8 pays off only where the matmul is MXU-bound: decode
+              # stays on the weight-only int8 kernel (traffic-bound)
+              and (ql.bits != 8 or m >= ACT_QUANT_MIN_M)
               and (act_quant == "all" or m >= ACT_QUANT_MIN_M))
 
     if ql.codebook is not None:
@@ -702,9 +705,9 @@ def quantized_matmul(
 
             if use_a8:
                 xq, xs = _quantize_act(x.reshape(m, ql.k))
-                res = (_qmm.w2a8_matmul(xq, xs, ql, out_dtype)
-                       if ql.bits == 2 else
-                       _qmm.w4a8_matmul(xq, xs, ql, out_dtype))
+                a8 = {2: _qmm.w2a8_matmul, 4: _qmm.w4a8_matmul,
+                      8: _qmm.w8a8_matmul}[ql.bits]
+                res = a8(xq, xs, ql, out_dtype)
                 if res is not None:
                     return res.reshape(*lead, ql.n).astype(out_dtype)
             res = _qmm.quantized_matmul(x, ql, out_dtype)
@@ -736,6 +739,8 @@ def quantized_matmul(
             codes = jnp.concatenate(
                 [b & 3, (b >> 2) & 3, (b >> 4) & 3, b >> 6],
                 axis=0).astype(jnp.float32)
+        elif ql.bits == 8:
+            codes = b.astype(jnp.float32)
         else:
             codes = jnp.concatenate([b & 15, b >> 4], axis=0).astype(jnp.float32)
         acc = jnp.dot(xq.astype(jnp.float32), codes,
