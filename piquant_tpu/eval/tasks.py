@@ -47,14 +47,15 @@ def _bucket(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024, 2048)) -> int:
     raise ValueError(f"sequence length {n} exceeds the largest pad bucket")
 
 
-def _ll_batch(cfg, params, toks, plens, tlens):
-    """Sum log p(target tokens) for rows of [prompt || target || pad].
+import functools
 
-    toks [B, T] int32; plens/tlens [B]: target positions are
-    [plen, plen + tlen).  Conditioning is strictly causal, so one forward
-    scores the whole continuation."""
 
-    @jax.jit
+@functools.lru_cache(maxsize=None)
+def _jit_ll(cfg):
+    """One jitted scorer per config (shapes specialize per pad bucket x
+    batch inside jit's own cache) — a fresh jit wrapper per call would
+    retrace and recompile the full forward on every batch."""
+
     def run(p, tk, pl, tl):
         logits, _ = M.forward(cfg, p, tk)
         lp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
@@ -66,7 +67,16 @@ def _ll_batch(cfg, params, toks, plens, tlens):
         mask = (pos >= pl[:, None] - 1) & (pos < (pl + tl)[:, None] - 1)
         return jnp.sum(tok_lp * mask, axis=1)
 
-    return run(params, toks, plens, tlens)
+    return jax.jit(run)
+
+
+def _ll_batch(cfg, params, toks, plens, tlens):
+    """Sum log p(target tokens) for rows of [prompt || target || pad].
+
+    toks [B, T] int32; plens/tlens [B]: target positions are
+    [plen, plen + tlen).  Conditioning is strictly causal, so one forward
+    scores the whole continuation."""
+    return _jit_ll(cfg)(params, toks, plens, tlens)
 
 
 def choice_loglikelihoods(cfg, params, prompt: Sequence[int],

@@ -75,7 +75,7 @@ class _TensorInfo:
 # ---------------------------------------------------------------------------
 
 class _Reader:
-    def __init__(self, buf: bytes):
+    def __init__(self, buf):  # any buffer protocol object (mmap/bytes)
         self.b = buf
         self.i = 0
 
@@ -86,7 +86,7 @@ class _Reader:
 
     def string(self) -> str:
         n = self.u("Q")
-        s = self.b[self.i:self.i + n].decode("utf-8")
+        s = bytes(self.b[self.i:self.i + n]).decode("utf-8")
         self.i += n
         return s
 
@@ -116,9 +116,13 @@ def _numel(shape) -> int:
 def read_gguf(path: str) -> Tuple[Dict[str, Any], Dict[str, _TensorInfo],
                                   np.memmap]:
     """Parse header/metadata/tensor directory; returns (metadata, tensors,
-    mmap of the data section)."""
+    mmap of the data section).  The header is parsed THROUGH a memmap —
+    a multi-GB checkpoint is never materialized in RAM (only the pages
+    the parser touches)."""
+    import mmap as _mmap
+
     with open(path, "rb") as f:
-        head = f.read()
+        head = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
     r = _Reader(head)
     if r.u("I") != _MAGIC:
         raise ValueError(f"{path}: not a GGUF file")
@@ -156,6 +160,7 @@ def read_gguf(path: str) -> Tuple[Dict[str, Any], Dict[str, _TensorInfo],
         order.append(ti)
     align = int(meta.get("general.alignment", 32))
     data_start = (r.i + align - 1) // align * align
+    head.close()
     data = np.memmap(path, np.uint8, mode="r", offset=data_start)
     return meta, infos, data
 

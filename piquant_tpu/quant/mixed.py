@@ -103,9 +103,12 @@ def plan_mixed_precision(
     Returns an `overrides` dict for `quantize_params` with every
     projection assigned explicitly (per-layer keys).  The floor plan
     (all projections at candidates[0]) must fit the budget."""
-    # cheapest-first by per-weight stream cost (codes + side streams)
-    candidates = sorted(candidates,
-                        key=lambda c: c[0] / 8 + (4 / c[1] if c[1] else 0))
+    # cheapest-first by per-weight stream cost (codes + side streams);
+    # bits may be the "nf4" codebook name (4-bit codes)
+    candidates = sorted(
+        candidates,
+        key=lambda c: ((4 if c[0] == "nf4" else c[0]) / 8
+                       + (4 / c[1] if c[1] else 0)))
     floor = candidates[0]
     keys = _proj_keys(params)
     tokens = jnp.asarray(calib_tokens, jnp.int32)

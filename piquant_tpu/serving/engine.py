@@ -82,6 +82,13 @@ class EngineConfig:
     # attending, so any stale pooled positions past the matched length are
     # overwritten before they are ever read.
     prefix_cache_auto: bool = False
+    max_guide_states: int = 8192
+    # Ceiling on the combined guided-decoding table (rows = total DFA
+    # states across distinct TokenGuides; the table is [S, V] bool +
+    # [S, V] int32 and grows append-only for the engine's life).  Exceeding
+    # it raises at submit() instead of growing device memory without bound
+    # — callers serving untrusted grammars should also bound their own
+    # guide cache (serving/server.py keeps an LRU).
 
 
 @dataclasses.dataclass
@@ -439,7 +446,12 @@ class Engine:
         self._press = np.zeros((b,), np.float32)   # OpenAI presence penalty
         self._plens = np.zeros((b,), np.int32)     # prompt lens (gen-only
                                                    # penalty window)
+        # the [B, V] logit-bias buffer has its OWN dirty flag: staging it
+        # with the tiny per-slot vectors would re-upload vocab_size*B*4
+        # bytes on every admission even when no request uses logit_bias
         self._bias_np = np.zeros((b, cfg.vocab_size), np.float32)
+        self._bias_dev = jnp.zeros((b, cfg.vocab_size), jnp.float32)
+        self._bias_dirty = False
         self._slot_state_dirty = True  # device mirrors staged lazily
 
         # guided decoding: all slots' guides share ONE combined table —
@@ -573,7 +585,15 @@ class Engine:
         off = self._guide_offsets.get(id(guide))
         if off is not None:
             return off
+        guide.check_complete()  # reject hand-built tables with stuck states
         off = self._gmask_np.shape[0]
+        if off + guide.mask.shape[0] > self.ec.max_guide_states:
+            raise ValueError(
+                f"combined guide table would reach "
+                f"{off + guide.mask.shape[0]} states > "
+                f"EngineConfig.max_guide_states={self.ec.max_guide_states} "
+                "(the table grows append-only per distinct TokenGuide — "
+                "reuse guide objects / bound your guide cache)")
         self._gmask_np = np.concatenate([self._gmask_np, guide.mask])
         self._gtrans_np = np.concatenate(
             [self._gtrans_np, guide.trans.astype(np.int32) + off])
@@ -826,9 +846,11 @@ class Engine:
         self._freqs[slot] = req.sampling.frequency_penalty
         self._press[slot] = req.sampling.presence_penalty
         self._plens[slot] = plen
-        self._bias_np[slot] = 0.0
-        for t, bv in req.sampling.logit_bias:
-            self._bias_np[slot, t] = bv
+        if req.sampling.logit_bias or self._bias_np[slot].any():
+            self._bias_np[slot] = 0.0
+            for t, bv in req.sampling.logit_bias:
+                self._bias_np[slot, t] = bv
+            self._bias_dirty = True
         self._slot_state_dirty = True
         self._host_pos[slot] = plen
         # guided: absolute DFA row after the first token (start-state
@@ -894,9 +916,11 @@ class Engine:
             self._freqs_dev = jnp.asarray(self._freqs)
             self._press_dev = jnp.asarray(self._press)
             self._plens_dev = jnp.asarray(self._plens)
-            self._bias_dev = jnp.asarray(self._bias_np)
             self._active_dev = jnp.asarray(self._active)
             self._slot_state_dirty = False
+        if self._bias_dirty:
+            self._bias_dev = jnp.asarray(self._bias_np)
+            self._bias_dirty = False
         if self._guides_dirty:
             self._gmask_dev = jnp.asarray(self._gmask_np)
             self._gtrans_dev = jnp.asarray(self._gtrans_np)
@@ -1072,6 +1096,7 @@ class Engine:
                         break
         self._guides_dirty = True
         self._adapters_dirty = self._n_adapters is not None
+        self._bias_dirty = True
         self._slot_state_dirty = True  # device mirrors rebuilt lazily
         self._pending_prefill = None
 

@@ -330,9 +330,10 @@ class TokenGuide:
     mask[s, t]  — emitting token t from state s keeps the match alive
     trans[s, t] — resulting state (0 where masked; never read there)
     accept[s]   — the text consumed so far is a complete match
-    EOS is allowed exactly at accepting states (trans: self-loop).  A
-    state where NO token and not EOS is allowed (a grammar dead-end under
-    this tokenizer) force-allows EOS so generation terminates cleanly.
+    EOS is allowed exactly at accepting states (trans: self-loop).
+    Dead-end pruning (from_regex) guarantees every reachable state allows
+    at least one token or EOS — `check_complete()` asserts that invariant
+    for tables built/edited by hand.
     """
 
     mask: np.ndarray      # [S, V] bool
@@ -427,6 +428,16 @@ class TokenGuide:
                          max_states: int = 4096) -> "TokenGuide":
         return cls.from_regex(json_schema_regex(schema), vocab, eos_id,
                               max_states)
+
+    def check_complete(self) -> None:
+        """Assert the no-stuck-state invariant (every state allows a token
+        or EOS) — from_regex guarantees it via dead-end pruning; call this
+        on hand-built/edited tables before serving them."""
+        stuck = ~self.mask.any(axis=1)
+        if stuck.any():
+            raise ValueError(
+                f"guide has stuck states (no token, not accepting): rows "
+                f"{np.flatnonzero(stuck).tolist()[:8]}")
 
     def check(self, token_ids: Sequence[int]) -> bool:
         """Host-side oracle: does this exact token sequence (without EOS)

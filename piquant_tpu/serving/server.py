@@ -49,13 +49,20 @@ _SENTINEL = object()
 
 class EngineServer:
     def __init__(self, engine: Engine, host: str = "127.0.0.1",
-                 port: int = 0, vocab=None):
+                 port: int = 0, vocab=None, max_guides: int = 8):
         """`vocab` (optional): token id -> decoded string list; enables the
         guided-decoding request fields (`guided_regex` / `guided_json` +
-        `eos`) — compiled TokenGuides are cached per (pattern, eos)."""
+        `eos`).  Compiled TokenGuides are cached per (pattern, eos) in an
+        LRU of `max_guides` entries — requests are untrusted, and every
+        DISTINCT pattern costs a DFA compile plus rows in the engine's
+        combined device table (which itself is bounded by
+        EngineConfig.max_guide_states)."""
         self.engine = engine
         self.vocab = vocab
-        self._guide_cache: dict = {}
+        self.max_guides = max_guides
+        from collections import OrderedDict
+
+        self._guide_cache: "OrderedDict" = OrderedDict()
         self._inbox: "queue.Queue" = queue.Queue()
         self._sinks: dict = {}
         self._cursor: dict = {}
@@ -173,10 +180,17 @@ class EngineServer:
         if rx is None:
             rx = json_schema_regex(js)
         key = (rx, eos)
-        if key not in self._guide_cache:
-            self._guide_cache[key] = TokenGuide.from_regex(
-                rx, self.vocab, eos_id=eos)
-        return self._guide_cache[key]
+        if key in self._guide_cache:
+            self._guide_cache.move_to_end(key)
+            return self._guide_cache[key]
+        if len(self._guide_cache) >= self.max_guides:
+            # NOTE: evicting here only bounds HOST compiles; the engine's
+            # combined device table is append-only and enforces its own
+            # max_guide_states ceiling with a clean error
+            self._guide_cache.popitem(last=False)
+        guide = TokenGuide.from_regex(rx, self.vocab, eos_id=eos)
+        self._guide_cache[key] = guide
+        return guide
 
     def _enqueue(self, prompt, sp, guide=None, adapter=0) -> tuple:
         with self._rid_lock:
