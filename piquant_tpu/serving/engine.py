@@ -301,25 +301,28 @@ def _jit_hist_init():
 def _jit_prefill(cfg):
     mod = _model_for(cfg)
 
-    def _prefill(params, tokens, true_len, slot, cache, pool_cache,
-                 temp, topk, topp, minp, pen, base_key, idx, gmask_row,
-                 bias_row):
-        # lm_head projected only at the prompt's true last position (tokens
-        # are right-padded) — the full [B,T,V] logits tensor would dominate
-        # prefill memory
+    def _prefill(params, tokens, true_len, slots, cache, pool_cache,
+                 temp, topk, topp, minp, pen, base_key, idx, gmask_rows,
+                 bias_rows):
+        # BATCHED admission: `tokens` [Bq, T] carries Bq queued prompts of
+        # one pad bucket, prefilled in a single dispatch and inserted into
+        # their `slots` [Bq] — burst arrivals pay one device round-trip
+        # instead of Bq.  lm_head projects only at each prompt's true last
+        # position (the full [Bq, T, V] logits tensor would dominate
+        # prefill memory).
         last, cache1 = mod.prefill(cfg, params, tokens, cache,
                                    last_positions=true_len - 1)
 
         def insert(big, small):
-            return jax.lax.dynamic_update_slice_in_dim(big, small, slot, axis=1)
+            return big.at[:, slots].set(small)
 
         new_pool = jax.tree.map(insert, pool_cache, cache1)
-        # first sampled token honors the repetition penalty over the prompt
+        # first sampled tokens honor the repetition penalty over the prompt
         # (the chunked path starts penalizing from the first decode block)
         raw = last
         last = apply_repetition_penalty(last, tokens, true_len, pen)
-        last = last + bias_row
-        last = jnp.where(gmask_row, last.astype(jnp.float32), -1e30)
+        last = last + bias_rows
+        last = jnp.where(gmask_rows, last.astype(jnp.float32), -1e30)
         tok = sample_batch(last, temp, topk, topp,
                            jax.random.fold_in(base_key, idx), minp)
         return tok, _tok_logprob(raw, tok), new_pool
@@ -477,10 +480,10 @@ class Engine:
             self._hist = jnp.zeros((b, econfig.max_seq_len + econfig.speculate + 2),
                                    jnp.int32)
 
-        # reusable zeroed single-slot cache (immutable; never donated);
-        # lazy: only the one-shot prefill path uses it, and the chunked
-        # path would otherwise strand ~100+ MB of HBM
-        self._fresh_template_cache = None
+        # reusable zeroed admission caches keyed by batch width (immutable;
+        # never donated); lazy: only the one-shot prefill path uses them,
+        # and the chunked path would otherwise strand ~100+ MB of HBM
+        self._fresh_template_cache: Dict[int, object] = {}
 
         if econfig.attn_windows and econfig.warmup_buckets:
             self._warmup_decode_buckets()
@@ -700,7 +703,27 @@ class Engine:
                         f"{req.sampling.max_new_tokens} exceeds max_seq_len "
                         f"{self.ec.max_seq_len}")
                 if not self.ec.prefill_chunk:
-                    self._admit_one_shot(req, slot, plen, t0)
+                    # batched admission: pull further queued requests of
+                    # the SAME pad bucket into the same prefill dispatch
+                    # while free slots last (burst arrivals pay one device
+                    # round-trip, not one each)
+                    batch = [(req, slot, plen, t0)]
+                    pad0 = self._padded_len(plen)
+                    while self._queue:
+                        nxt = self._queue[0]
+                        nplen = len(nxt.prompt)
+                        if (nplen + nxt.sampling.max_new_tokens
+                                > self.ec.max_seq_len):
+                            break  # handled (raised) on its own admission
+                        if self._padded_len(nplen) != pad0:
+                            break
+                        s2 = self._free_slot_excluding(
+                            [b[1] for b in batch])
+                        if s2 is None:
+                            break
+                        self._queue.popleft()
+                        batch.append((nxt, s2, nplen, time.perf_counter()))
+                    self._admit_one_shot(batch)
                     continue
                 c = self.ec.prefill_chunk
                 # Fixed-size chunk starts covering [0, plen).  The final
@@ -775,35 +798,59 @@ class Engine:
                                      p["t0"], lp=lp)
             self._pending_prefill = None
 
-    def _admit_one_shot(self, req: Request, slot: int, plen: int,
-                        t0: float) -> None:
-        if self._fresh_template_cache is None:
-            self._fresh_template_cache = self._model.init_kv_cache(
-                self.cfg, 1, max_len=self.ec.max_seq_len)
-        fresh = self._fresh_template_cache  # never donated by _prefill
-        # cap the bucket pad at max_seq_len: an over-long padded prompt would
-        # fail the prefill shape check (and the DUS append would clamp)
+    def _padded_len(self, plen: int) -> int:
         pad = min(-plen % self.ec.prefill_pad or 0,
                   self.ec.max_seq_len - plen)
-        padded = req.prompt + [0] * pad
-        toks = jnp.asarray([padded], jnp.int32)
-        sp = req.sampling
+        return plen + pad
+
+    def _free_slot_excluding(self, taken) -> Optional[int]:
+        for i, r in enumerate(self._slots):
+            if r is None and i not in taken:
+                return i
+        return None
+
+    def _admit_one_shot(self, batch) -> None:
+        """One prefill dispatch for `batch` = [(req, slot, plen, t0), ...]
+        (all of one pad bucket)."""
+        bq = len(batch)
+        width = self._padded_len(batch[0][2])
+        fresh = self._fresh_template_cache.get(bq)
+        if fresh is None:
+            fresh = self._model.init_kv_cache(self.cfg, bq,
+                                              max_len=self.ec.max_seq_len)
+            self._fresh_template_cache[bq] = fresh  # never donated
+        rows = np.zeros((bq, width), np.int32)
+        for i, (req, _, plen, _) in enumerate(batch):
+            rows[i, :plen] = np.asarray(req.prompt, np.int32)
+        sps = [req.sampling for req, _, _, _ in batch]
+        if self._n_adapters is None:
+            pp = self.params
+        else:
+            pp = self._lora.set_adapter_ids(
+                self.params, [req.adapter_id for req, _, _, _ in batch])
         self._blk_counter += 1
         tok_dev, lp_dev, self.cache = self._prefill(
-            self._prefill_params(req), toks, jnp.asarray([plen], jnp.int32),
-            slot, fresh, self.cache,
-            np.asarray([sp.temperature], np.float32),
-            np.asarray([sp.top_k], np.int32),
-            np.asarray([sp.top_p], np.float32),
-            np.asarray([sp.min_p], np.float32),
-            np.asarray([sp.repetition_penalty], np.float32),
-            self._key, self._blk_counter, self._first_mask_row(req),
-            self._first_bias_row(req))
+            pp, jnp.asarray(rows),
+            jnp.asarray([plen for _, _, plen, _ in batch], jnp.int32),
+            jnp.asarray([slot for _, slot, _, _ in batch], jnp.int32),
+            fresh, self.cache,
+            np.asarray([sp.temperature for sp in sps], np.float32),
+            np.asarray([sp.top_k for sp in sps], np.int32),
+            np.asarray([sp.top_p for sp in sps], np.float32),
+            np.asarray([sp.min_p for sp in sps], np.float32),
+            np.asarray([sp.repetition_penalty for sp in sps], np.float32),
+            self._key, self._blk_counter,
+            jnp.concatenate([self._first_mask_row(req)
+                             for req, _, _, _ in batch]),
+            jnp.concatenate([self._first_bias_row(req)
+                             for req, _, _, _ in batch]))
         # padded positions wrote scales too, but attention masks beyond
         # `position` ignore them
-        tok = int(np.asarray(tok_dev)[0])
-        self._record_first_token(req, tok, slot, plen, t0,
-                                 lp=float(np.asarray(lp_dev)[0]))
+        toks = np.asarray(tok_dev)
+        lps = np.asarray(lp_dev)
+        for i, (req, slot, plen, t0) in enumerate(batch):
+            self._record_first_token(req, int(toks[i]), slot, plen, t0,
+                                     lp=float(lps[i]))
 
     def _sample(self, logits: Array, req: Request):
         self._blk_counter += 1

@@ -808,3 +808,43 @@ def test_engine_snapshot_rejects_mid_admission(setup):
     eng._admit(max_chunks=1)      # chunked prefill left in flight
     with pytest.raises(ValueError, match="mid-admission"):
         eng.snapshot()
+
+
+def test_batched_admission_single_dispatch(setup):
+    """Burst arrivals of one pad bucket prefill in ONE device dispatch
+    (engine._admit_one_shot batching) with identical tokens to
+    sequential admission."""
+    cfg, params = setup
+    rng = np.random.default_rng(SEED + 77)
+    prompts = [list(map(int, rng.integers(1, cfg.vocab_size, 6)))
+               for _ in range(4)]
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+
+    def run(batched):
+        eng = Engine(cfg, params, EngineConfig(batch_slots=4, max_seq_len=64,
+                                               decode_block=4))
+        calls = []
+        orig = eng._prefill
+
+        def spy(*a, **k):
+            calls.append(a[1].shape)   # tokens [Bq, T]
+            return orig(*a, **k)
+
+        eng._prefill = spy
+        reqs = [Request(rid=i, prompt=list(p), sampling=sp)
+                for i, p in enumerate(prompts)]
+        if batched:
+            for r in reqs:
+                eng.submit(r)
+            eng.run()
+        else:
+            for r in reqs:          # sequential: admit+drain one at a time
+                eng.submit(r)
+                eng.run()
+        return [list(r.tokens) for r in reqs], calls
+
+    want, seq_calls = run(batched=False)
+    got, burst_calls = run(batched=True)
+    assert got == want
+    assert len(seq_calls) == 4 and all(s[0] == 1 for s in seq_calls)
+    assert len(burst_calls) == 1 and burst_calls[0][0] == 4  # ONE dispatch
