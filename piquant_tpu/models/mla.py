@@ -274,6 +274,22 @@ def quantize_params(params: Dict, bits: int = 4, *,
 
 
 def _mm(x, w, out_dtype):
+    if type(w).__name__ == "LoraLinear":   # quant/lora.py (lazy: no cycle)
+        y = _mm(x, w.base, out_dtype)
+        delta = (x.astype(jnp.float32) @ w.a.astype(jnp.float32)
+                 ) @ w.b.astype(jnp.float32) * w.scaling
+        return (y.astype(jnp.float32) + delta).astype(out_dtype)
+    if type(w).__name__ == "MultiLoraLinear":
+        # per-batch-row adapter — same math as llama._mm (multi-tenant
+        # LoRA over the MLA projections)
+        y = _mm(x, w.base, out_dtype)
+        a_sel = w.a[w.ids].astype(jnp.float32)
+        b_sel = w.b[w.ids].astype(jnp.float32)
+        s_sel = w.scaling[w.ids].reshape(
+            (w.ids.shape[0],) + (1,) * (x.ndim - 1))
+        d1 = jnp.einsum("b...k,bkr->b...r", x.astype(jnp.float32), a_sel)
+        delta = jnp.einsum("b...r,brn->b...n", d1, b_sel) * s_sel
+        return (y.astype(jnp.float32) + delta).astype(out_dtype)
     if isinstance(w, QuantizedLinear):
         return quantized_matmul(x, w, out_dtype)
     return jnp.dot(x.astype(out_dtype), w.astype(out_dtype),

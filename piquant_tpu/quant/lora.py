@@ -37,6 +37,10 @@ from piquant_tpu.quant.linear import QuantizedLinear, quantize_linear_weight
 Array = jax.Array
 
 LORA_KEYS = ("wq", "wk", "wv", "wo", "w1", "w3", "w2")
+# MLA (models/mla.py) projections that route through _mm and can carry
+# adapters; kv_a/kv_b are EXCLUDED — absorbed decode materializes them
+# into the attention weights, which would silently drop a LoRA delta
+MLA_LORA_KEYS = ("wq", "wq_a", "wq_b", "wo", "w1", "w3", "w2")
 
 __all__ = ["LoraLinear", "MultiLoraLinear", "LORA_KEYS", "add_lora",
            "lora_params", "with_lora", "merge_lora", "stack_adapters",

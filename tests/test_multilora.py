@@ -125,3 +125,56 @@ def test_rank_mismatch_rejected(setup):
     other = add_lora(base, rank=8, key=jax.random.key(9))
     with pytest.raises(ValueError, match="rank"):
         stack_adapters(base, [sets[0], other])
+
+
+def test_mla_multilora_per_row_selection():
+    """Multi-tenant LoRA over the MLA projections (mla._mm): per-row
+    selection equals the single-adapter forward; kv_a/kv_b stay bare
+    (absorbed decode would silently drop their deltas — MLA_LORA_KEYS)."""
+    from piquant_tpu.models import mla as L
+    from piquant_tpu.quant.lora import MLA_LORA_KEYS, lora_params
+
+    cfg = L.MLAConfig.tiny(vocab=64, dtype=jnp.float32)
+    # float base: the INT8 latent-cache scales make quantized-MLA outputs
+    # batch-shape-sensitive at the 5e-3 level (shared per-position scales),
+    # which would mask the per-row adapter property under test
+    base = L.init_params(cfg, jax.random.key(77))
+    lp = add_lora(base, rank=4, key=jax.random.key(78), keys=MLA_LORA_KEYS)
+    ad = {li: {k: (a, jax.random.normal(
+        jax.random.fold_in(jax.random.key(79), li), b.shape,
+        jnp.float32) * 0.05) for k, (a, b) in sub.items()}
+        for li, sub in lora_params(lp).items()}
+    single = with_lora(lp, ad)
+    multi = stack_adapters(base, [single], keys=MLA_LORA_KEYS)
+    assert n_adapters(multi) == 2
+    assert not hasattr(multi["layers"][0].get("kv_b"), "ids")  # excluded
+
+    toks = jnp.asarray(np.random.default_rng(1).integers(0, 64, (2, 9)),
+                       jnp.int32)
+    p = set_adapter_ids(multi, [0, 1])
+    got, _ = L.forward(cfg, p, toks)
+    got = np.asarray(got)
+    w0, _ = L.forward(cfg, base, toks[:1])
+    w1, _ = L.forward(cfg, single, toks[1:2])
+    np.testing.assert_allclose(got[0], np.asarray(w0)[0], atol=1e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(got[1], np.asarray(w1)[0], atol=1e-4,
+                               rtol=1e-4)
+
+    # and through the engine (MLA decode path + absorbed attention)
+    sp = SamplingParams(temperature=0.0, max_new_tokens=6)
+    ra = Request(rid=0, prompt=[1, 2, 3], sampling=sp, adapter_id=1)
+    rb = Request(rid=1, prompt=[1, 2, 3], sampling=sp, adapter_id=0)
+    eng = Engine(cfg, multi, EngineConfig(batch_slots=2, max_seq_len=64,
+                                          decode_block=2))
+    eng.submit(ra); eng.submit(rb); eng.run()
+    r_ref = Request(rid=2, prompt=[1, 2, 3], sampling=sp)
+    eng0 = Engine(cfg, base, EngineConfig(batch_slots=2, max_seq_len=64,
+                                          decode_block=2))
+    eng0.submit(r_ref); eng0.run()
+    assert rb.tokens == r_ref.tokens
+    eng1 = Engine(cfg, single, EngineConfig(batch_slots=2, max_seq_len=64,
+                                            decode_block=2))
+    r1 = Request(rid=3, prompt=[1, 2, 3], sampling=sp)
+    eng1.submit(r1); eng1.run()
+    assert ra.tokens == r1.tokens
