@@ -231,6 +231,7 @@ def _jit_decode_block(cfg, kblk: int, window: int, rep: bool):
 
     def _decode_block_rep(params, tok, pos, cache, hist, temps, topks, topps,
                           minps, pens, freqs, press, plens, bias,
+                          eos_ids, min_news,
                           base_key, blk_idx, active, gmask, gtrans, gstate):
         rows = jnp.arange(tok.shape[0])
 
@@ -244,6 +245,13 @@ def _jit_decode_block(cfg, kblk: int, window: int, rep: bool):
             logits = apply_freq_presence(logits, h, plens, p + 1,
                                          freqs, press)
             logits = logits + bias
+            # min_new_tokens: suppress the slot's EOS while the count of
+            # generated tokens AFTER this step (p + 2 - plen: the first
+            # token was emitted at prefill) would still be under the floor
+            supp = ((p + 2 - plens) <= min_news) & (eos_ids >= 0)
+            logits = logits.astype(jnp.float32).at[
+                rows, jnp.maximum(eos_ids, 0)].add(
+                jnp.where(supp, -1e30, 0.0))
             logits = jnp.where(gmask[gs], logits.astype(jnp.float32), -1e30)
             toks = sample_batch(logits, temps, topks, topps, k, minps)
             t2 = jnp.where(active, toks, t)
@@ -449,6 +457,8 @@ class Engine:
         self._press = np.zeros((b,), np.float32)   # OpenAI presence penalty
         self._plens = np.zeros((b,), np.int32)     # prompt lens (gen-only
                                                    # penalty window)
+        self._eos_ids = np.full((b,), -1, np.int32)
+        self._minnews = np.zeros((b,), np.int32)   # min_new_tokens floors
         # the [B, V] logit-bias buffer has its OWN dirty flag: staging it
         # with the tiny per-slot vectors would re-upload vocab_size*B*4
         # bytes on every admission even when no request uses logit_bias
@@ -512,7 +522,9 @@ class Engine:
                        jnp.zeros((b,), jnp.float32),
                        jnp.zeros((b,), jnp.float32),
                        jnp.zeros((b,), jnp.int32),
-                       jnp.zeros((b, self.cfg.vocab_size), jnp.float32))
+                       jnp.zeros((b, self.cfg.vocab_size), jnp.float32),
+                       jnp.full((b,), -1, jnp.int32),
+                       jnp.zeros((b,), jnp.int32))
                       if rep else (jnp.zeros((b,), jnp.float32),))
             out = fn(self._params_decode, self._cur_tok, self._positions,
                      scratch_cache, *hist_args, jnp.zeros((b,), jnp.float32),
@@ -538,11 +550,16 @@ class Engine:
                 req.sampling.repetition_penalty != 1.0
                 or req.sampling.frequency_penalty != 0.0
                 or req.sampling.presence_penalty != 0.0
+                or req.sampling.min_new_tokens > 0
                 or req.sampling.logit_bias):
             raise ValueError(
-                f"request {req.rid}: repetition/frequency/presence penalties "
-                "and logit_bias need the device-side token history — set "
-                "EngineConfig.track_history=True")
+                f"request {req.rid}: repetition/frequency/presence penalties, "
+                "min_new_tokens, and logit_bias need the device-side token "
+                "history — set EngineConfig.track_history=True")
+        if req.sampling.min_new_tokens > 0 and req.guide is not None:
+            raise ValueError(
+                f"request {req.rid}: min_new_tokens cannot combine with a "
+                "guide (the grammar decides when EOS is legal)")
         for t, _ in req.sampling.logit_bias:
             if not 0 <= t < self.cfg.vocab_size:
                 raise ValueError(f"request {req.rid}: logit_bias token {t} "
@@ -622,6 +639,9 @@ class Engine:
         row = np.zeros((1, self.cfg.vocab_size), np.float32)
         for t, bv in req.sampling.logit_bias:
             row[0, t] = bv
+        # min_new_tokens >= 1 also suppresses EOS as the FIRST token
+        if req.sampling.min_new_tokens > 0 and req.sampling.eos_token >= 0:
+            row[0, req.sampling.eos_token] = -1e30
         return jnp.asarray(row)
 
     # ------------------------------------------------------------------
@@ -893,6 +913,8 @@ class Engine:
         self._freqs[slot] = req.sampling.frequency_penalty
         self._press[slot] = req.sampling.presence_penalty
         self._plens[slot] = plen
+        self._eos_ids[slot] = req.sampling.eos_token
+        self._minnews[slot] = req.sampling.min_new_tokens
         if req.sampling.logit_bias or self._bias_np[slot].any():
             self._bias_np[slot] = 0.0
             for t, bv in req.sampling.logit_bias:
@@ -925,9 +947,20 @@ class Engine:
 
     def _maybe_finish(self, req: Request, slot: int) -> None:
         s = req.sampling
-        if len(req.tokens) >= s.max_new_tokens or (
+        hit_seq = None
+        if s.stop_sequences:
+            for seq in s.stop_sequences:
+                n = len(seq)
+                if n and len(req.tokens) >= n and (
+                        tuple(req.tokens[-n:]) == tuple(seq)):
+                    hit_seq = n
+                    break
+        if len(req.tokens) >= s.max_new_tokens or hit_seq is not None or (
                 s.eos_token >= 0 and req.tokens[-1] == s.eos_token) or (
                 s.stop_tokens and req.tokens[-1] in s.stop_tokens):
+            if hit_seq is not None:  # trim the matched stop suffix
+                del req.tokens[-hit_seq:]
+                del req.logprobs[len(req.tokens):]
             req.done = True
             if self._slots[slot] is req:  # pipelined bookkeeping runs a block
                 self._slots[slot] = None  # behind dispatch — never clobber a
@@ -943,7 +976,7 @@ class Engine:
             return False  # drafted tokens bypass the grammar mask
         if any(self._temps[i] > 0 or self._pens[i] != 1.0
                or self._freqs[i] != 0.0 or self._press[i] != 0.0
-               or self._bias_np[i].any()
+               or self._minnews[i] > 0 or self._bias_np[i].any()
                for i, r in enumerate(self._slots) if r is not None):
             return False  # stochastic / penalized slot: greedy-only feature
         bound = self.ec.decode_block * (self.ec.speculate + 1) + 1
@@ -963,6 +996,8 @@ class Engine:
             self._freqs_dev = jnp.asarray(self._freqs)
             self._press_dev = jnp.asarray(self._press)
             self._plens_dev = jnp.asarray(self._plens)
+            self._eos_dev = jnp.asarray(self._eos_ids)
+            self._minnews_dev = jnp.asarray(self._minnews)
             self._active_dev = jnp.asarray(self._active)
             self._slot_state_dirty = False
         if self._bias_dirty:
@@ -1009,6 +1044,7 @@ class Engine:
                 self._hist, self._temps_dev, self._topks_dev, self._topps_dev,
                 self._minps_dev, self._pens_dev, self._freqs_dev,
                 self._press_dev, self._plens_dev, self._bias_dev,
+                self._eos_dev, self._minnews_dev,
                 self._key, self._blk_counter, self._active_dev,
                 self._gmask_dev, self._gtrans_dev, self._gstate)
         else:
@@ -1077,6 +1113,7 @@ class Engine:
     # ------------------------------------------------------------------
     _SNAP_HOST = ("_temps", "_topks", "_topps", "_minps", "_pens",
                   "_freqs", "_press", "_plens", "_bias_np",
+                  "_eos_ids", "_minnews",
                   "_host_pos", "_active", "_slot_guided", "_adapters",
                   "_gmask_np", "_gtrans_np")
 

@@ -28,8 +28,16 @@ class SamplingParams:
     logit_bias: tuple = ()           # ((token_id, bias), ...) added to the
                                      # logits every step (track_history)
     max_new_tokens: int = 128
+    min_new_tokens: int = 0    # suppress eos_token (logit -inf) until this
+                               # many tokens generated (needs
+                               # EngineConfig.track_history)
     eos_token: int = -1        # -1 => never stops on EOS
     stop_tokens: tuple = ()    # additional stop ids (Llama-3 eot etc.)
+    stop_sequences: tuple = () # multi-token stop suffixes, e.g.
+                               # ((13, 13), (774, 2)): the request finishes
+                               # when its generated tokens END with one;
+                               # the matched suffix is trimmed from
+                               # Request.tokens (host-side check)
 
 
 def sample(logits: Array, params: SamplingParams, key: Optional[Array],

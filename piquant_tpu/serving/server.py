@@ -104,6 +104,10 @@ class EngineServer:
                         top_p=float(body.get("top_p", 1.0)),
                         min_p=float(body.get("min_p", 0.0)),
                         stop_tokens=tuple(body.get("stop", ()) or ()),
+                        stop_sequences=tuple(
+                            tuple(int(t) for t in s)
+                            for s in body.get("stop_sequences", ()) or ()),
+                        min_new_tokens=int(body.get("min_tokens", 0)),
                         eos_token=int(body.get("eos", -1)),
                         repetition_penalty=float(
                             body.get("repetition_penalty", 1.0)),

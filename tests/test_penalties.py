@@ -123,3 +123,54 @@ def test_penalties_require_track_history(setup):
     with pytest.raises(ValueError, match="outside vocab"):
         eng2.submit(Request(rid=2, prompt=[1], sampling=SamplingParams(
             logit_bias=((9999, 1.0),))))
+
+
+def test_min_new_tokens_suppresses_eos(setup):
+    cfg, params = setup
+    # find the natural greedy first token, use it as EOS: without a floor
+    # the request would finish immediately
+    eng0 = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=128,
+                                            decode_block=4,
+                                            track_history=True))
+    r0 = Request(rid=0, prompt=[7, 8], sampling=SamplingParams(
+        temperature=0.0, max_new_tokens=4))
+    eng0.submit(r0)
+    eng0.run()
+    eos = r0.tokens[0]
+    eng1 = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=128,
+                                            decode_block=4,
+                                            track_history=True))
+    r1 = Request(rid=1, prompt=[7, 8], sampling=SamplingParams(
+        temperature=0.0, max_new_tokens=12, eos_token=eos,
+        min_new_tokens=8))
+    eng1.submit(r1)
+    eng1.run()
+    assert len(r1.tokens) >= 8, r1.tokens
+    assert eos not in r1.tokens[:7], r1.tokens  # suppressed below the floor
+
+    # min_new_tokens without track_history is a clean error
+    eng2 = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=64))
+    with pytest.raises(ValueError, match="track_history"):
+        eng2.submit(Request(rid=2, prompt=[1], sampling=SamplingParams(
+            min_new_tokens=2)))
+
+
+def test_stop_sequences_trimmed(setup):
+    cfg, params = setup
+    # run unconstrained, grab a mid-stream bigram as the stop sequence
+    eng0 = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=128,
+                                            decode_block=4))
+    r0 = Request(rid=0, prompt=[3, 4], sampling=SamplingParams(
+        temperature=0.0, max_new_tokens=10))
+    eng0.submit(r0)
+    eng0.run()
+    stop = tuple(r0.tokens[4:6])
+    eng1 = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=128,
+                                            decode_block=4))
+    r1 = Request(rid=1, prompt=[3, 4], sampling=SamplingParams(
+        temperature=0.0, max_new_tokens=10, stop_sequences=(stop,)))
+    eng1.submit(r1)
+    eng1.run()
+    # finished at the stop sequence, suffix trimmed
+    assert r1.tokens == r0.tokens[:4], (r1.tokens, r0.tokens)
+    assert len(r1.logprobs) == len(r1.tokens)
