@@ -56,9 +56,11 @@ _U8, _I8, _U16, _I16, _U32, _I32, _F32, _BOOL, _STR, _ARR, _U64, _I64, _F64 \
 # ggml tensor dtypes (subset)
 GGML_F32, GGML_F16, GGML_Q4_0, GGML_Q4_1 = 0, 1, 2, 3
 GGML_Q8_0 = 8
+GGML_Q4_K, GGML_Q6_K = 12, 14
 GGML_BF16 = 30
 
-_BLOCK = {GGML_Q4_0: (32, 18), GGML_Q4_1: (32, 20), GGML_Q8_0: (32, 34)}
+_BLOCK = {GGML_Q4_0: (32, 18), GGML_Q4_1: (32, 20), GGML_Q8_0: (32, 34),
+          GGML_Q4_K: (256, 144), GGML_Q6_K: (256, 210)}
 
 
 @dataclasses.dataclass
@@ -186,7 +188,87 @@ def decode_tensor(data: np.memmap, ti: _TensorInfo) -> np.ndarray:
         if minv is not None:
             out += np.repeat(minv, 32)[:n]
         return out.reshape(ti.shape)
+    if ti.ggml_type == GGML_Q4_K:
+        return _dequant_q4k(raw).reshape(ti.shape)
+    if ti.ggml_type == GGML_Q6_K:
+        return _dequant_q6k(raw).reshape(ti.shape)
     raise ValueError(f"unsupported ggml type {ti.ggml_type}")
+
+
+# ---------------------------------------------------------------------------
+# K-quants (super-blocks of 256; llama.cpp's Q4_K_M family).  Decoded to
+# float — the dual (d*sc, dmin*m) affine per 32-group has a FLOAT minimum
+# that does not map onto our integer zero-points, so K-quant weights take
+# the dequantize -> (optionally requantize natively) path.  Layout
+# re-derived from the public ggml-quants.c; cross-validated against an
+# independent scalar oracle in tests/test_gguf.py (a llama.cpp-produced
+# file is the remaining external check — none exists in this image).
+# ---------------------------------------------------------------------------
+
+def _q4k_scales(sc12: np.ndarray):
+    """block_q4_K.scales[12] (6-bit packed) -> (sc[8], m[8]) uint8 per
+    32-element sub-block (ggml get_scale_min_k4)."""
+    q = sc12.astype(np.uint8)
+    sc = np.empty((q.shape[0], 8), np.uint8)
+    m = np.empty((q.shape[0], 8), np.uint8)
+    sc[:, :4] = q[:, :4] & 63
+    m[:, :4] = q[:, 4:8] & 63
+    sc[:, 4:] = (q[:, 8:12] & 0xF) | ((q[:, 0:4] >> 6) << 4)
+    m[:, 4:] = (q[:, 8:12] >> 4) | ((q[:, 4:8] >> 6) << 4)
+    return sc, m
+
+
+def _dequant_q4k(raw: np.ndarray) -> np.ndarray:
+    """Q4_K: {f16 d, f16 dmin, u8 scales[12], u8 qs[128]} per 256 elems;
+    y = d*sc[g]*q - dmin*m[g] over 8 sub-blocks g of 32."""
+    blocks = raw.reshape(-1, 144)
+    nb = blocks.shape[0]
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)[:, 0]
+    dmin = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)[:, 0]
+    sc, m = _q4k_scales(blocks[:, 4:16])
+    qs = blocks[:, 16:144]                       # [nb, 128]
+    # group g of 4 (64 elems each): bytes qs[32g:32g+32]; lo nibbles ->
+    # elems [64g, 64g+32) (scale idx 2g), hi -> [64g+32, 64g+64) (2g+1)
+    q4 = qs.reshape(nb, 4, 32)
+    lo = (q4 & 0xF).astype(np.float32)           # [nb, 4, 32]
+    hi = (q4 >> 4).astype(np.float32)
+    codes = np.stack([lo, hi], axis=2).reshape(nb, 8, 32)  # sub-block major
+    scale = d[:, None] * sc.astype(np.float32)   # [nb, 8]
+    off = dmin[:, None] * m.astype(np.float32)
+    y = codes * scale[:, :, None] - off[:, :, None]
+    return y.reshape(-1)
+
+
+def _dequant_q6k(raw: np.ndarray) -> np.ndarray:
+    """Q6_K: {u8 ql[128], u8 qh[64], i8 scales[16], f16 d} per 256 elems;
+    q = ((ql nibble) | (qh 2-bit << 4)) - 32, y = d * scales[sub16] * q."""
+    blocks = raw.reshape(-1, 210)
+    nb = blocks.shape[0]
+    ql = blocks[:, 0:128]
+    qh = blocks[:, 128:192]
+    scales = blocks[:, 192:208].view(np.int8).astype(np.float32)
+    d = blocks[:, 208:210].copy().view(np.float16).astype(np.float32)[:, 0]
+    y = np.empty((nb, 256), np.float32)
+    for half in range(2):                        # two 128-element halves
+        qlh = ql[:, 64 * half:64 * half + 64]
+        qhh = qh[:, 32 * half:32 * half + 32]
+        sch = scales[:, 8 * half:8 * half + 8]
+        l = np.arange(32)
+        is_ = l // 16                            # [32] scale sub-index
+        q1 = ((qlh[:, :32] & 0xF) | (((qhh >> 0) & 3) << 4)).astype(
+            np.int32) - 32
+        q2 = ((qlh[:, 32:] & 0xF) | (((qhh >> 2) & 3) << 4)).astype(
+            np.int32) - 32
+        q3 = ((qlh[:, :32] >> 4) | (((qhh >> 4) & 3) << 4)).astype(
+            np.int32) - 32
+        q4 = ((qlh[:, 32:] >> 4) | (((qhh >> 6) & 3) << 4)).astype(
+            np.int32) - 32
+        base = 128 * half
+        for qv, pos_off, sc_off in ((q1, 0, 0), (q2, 32, 2), (q3, 64, 4),
+                                    (q4, 96, 6)):
+            y[:, base + pos_off:base + pos_off + 32] = (
+                d[:, None] * sch[:, is_ + sc_off] * qv)
+    return y.reshape(-1)
 
 
 def _decode_blocks(raw: np.ndarray, ti: _TensorInfo):

@@ -128,3 +128,115 @@ def test_lm_head_shape_contract(tiny, tmp_path):
     assert p2["lm_head"].shape == (cfg.d_model, cfg.vocab_size)
     np.testing.assert_array_equal(np.asarray(p2["lm_head"]),
                                   np.asarray(params["lm_head"], np.float32))
+
+
+def _oracle_q4k(block: np.ndarray) -> np.ndarray:
+    """Independent scalar re-implementation of ggml dequantize_row_q4_K
+    (per-element loop, distinct from the module's vectorized decode)."""
+    d = block[0:2].copy().view(np.float16).astype(np.float32)[0]
+    dmin = block[2:4].copy().view(np.float16).astype(np.float32)[0]
+    q = block[4:16]
+    qs = block[16:144]
+    y = np.zeros(256, np.float32)
+    yi, qi, is_ = 0, 0, 0
+    for _ in range(0, 256, 64):
+        def scale_min(j):
+            if j < 4:
+                return q[j] & 63, q[j + 4] & 63
+            return ((q[j + 4] & 0xF) | ((q[j - 4] >> 6) << 4),
+                    (q[j + 4] >> 4) | ((q[j] >> 6) << 4))
+
+        sc, m = scale_min(is_)
+        for l in range(32):
+            y[yi] = d * sc * (qs[qi + l] & 0xF) - dmin * m
+            yi += 1
+        sc, m = scale_min(is_ + 1)
+        for l in range(32):
+            y[yi] = d * sc * (qs[qi + l] >> 4) - dmin * m
+            yi += 1
+        qi += 32
+        is_ += 2
+    return y
+
+
+def _oracle_q6k(block: np.ndarray) -> np.ndarray:
+    """Independent scalar re-implementation of ggml dequantize_row_q6_K."""
+    ql = block[0:128]
+    qh = block[128:192]
+    sc = block[192:208].view(np.int8)
+    d = block[208:210].copy().view(np.float16).astype(np.float32)[0]
+    y = np.zeros(256, np.float32)
+    for n in range(2):
+        for l in range(32):
+            is_ = l // 16
+            b = 128 * n
+            q1 = int((ql[64 * n + l] & 0xF) | (((qh[32 * n + l] >> 0) & 3) << 4)) - 32
+            q2 = int((ql[64 * n + l + 32] & 0xF) | (((qh[32 * n + l] >> 2) & 3) << 4)) - 32
+            q3 = int((ql[64 * n + l] >> 4) | (((qh[32 * n + l] >> 4) & 3) << 4)) - 32
+            q4 = int((ql[64 * n + l + 32] >> 4) | (((qh[32 * n + l] >> 6) & 3) << 4)) - 32
+            y[b + l] = d * sc[8 * n + is_ + 0] * q1
+            y[b + l + 32] = d * sc[8 * n + is_ + 2] * q2
+            y[b + l + 64] = d * sc[8 * n + is_ + 4] * q3
+            y[b + l + 96] = d * sc[8 * n + is_ + 6] * q4
+    return y
+
+
+def test_q4k_q6k_decode_matches_scalar_oracle():
+    """K-quant decode vs an independent per-element oracle on random raw
+    blocks (d/dmin fields constrained to sane f16s)."""
+    from piquant_tpu.interop.gguf import _dequant_q4k, _dequant_q6k
+
+    rng = np.random.default_rng(0x6B)
+    nb = 7
+    q4 = rng.integers(0, 256, (nb, 144)).astype(np.uint8)
+    sane = (rng.normal(0, 0.01, (nb, 2)).astype(np.float16)).view(np.uint8)
+    q4[:, 0:4] = sane.reshape(nb, 4)
+    got = _dequant_q4k(q4.reshape(-1)).reshape(nb, 256)
+    want = np.stack([_oracle_q4k(q4[i]) for i in range(nb)])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=0)
+
+    q6 = rng.integers(0, 256, (nb, 210)).astype(np.uint8)
+    q6[:, 208:210] = (rng.normal(0, 0.01, (nb, 1)).astype(np.float16)
+                      ).view(np.uint8).reshape(nb, 2)
+    got6 = _dequant_q6k(q6.reshape(-1)).reshape(nb, 256)
+    want6 = np.stack([_oracle_q6k(q6[i]) for i in range(nb)])
+    np.testing.assert_allclose(got6, want6, rtol=1e-6, atol=0)
+
+
+def test_q4k_tensor_through_reader(tiny, tmp_path):
+    """A hand-built GGUF carrying a Q4_K tensor loads through read_gguf/
+    decode_tensor (nbytes bookkeeping + block math end to end)."""
+    import struct
+
+    from piquant_tpu.interop.gguf import GGML_Q4_K, _dequant_q4k
+
+    rng = np.random.default_rng(0x6C)
+    n_out, n_in = 4, 256
+    raw = rng.integers(0, 256, (n_out * n_in // 256, 144)).astype(np.uint8)
+    raw[:, 0:4] = (rng.normal(0, 0.01, (raw.shape[0], 2))
+                   .astype(np.float16)).view(np.uint8).reshape(-1, 4)
+    blob = raw.tobytes()
+
+    out = bytearray()
+    out += struct.pack("<IIQQ", 0x46554747, 3, 1, 1)
+    key = b"general.alignment"
+    out += struct.pack("<Q", len(key)) + key + struct.pack("<II", 4, 32)
+    name = b"w.weight"
+    out += struct.pack("<Q", len(name)) + name
+    out += struct.pack("<I", 2)                       # n_dims
+    out += struct.pack("<QQ", n_in, n_out)            # ne0 (inner), ne1
+    out += struct.pack("<IQ", GGML_Q4_K, 0)
+    pad = -len(out) % 32
+    out += b"\0" * pad + blob
+    path = str(tmp_path / "k.gguf")
+    with open(path, "wb") as f:
+        f.write(out)
+
+    from piquant_tpu.interop.gguf import decode_tensor, read_gguf
+
+    meta, infos, data = read_gguf(path)
+    ti = infos["w.weight"]
+    assert ti.shape == (n_out, n_in) and ti.nbytes == len(blob)
+    got = decode_tensor(data, ti)
+    want = _dequant_q4k(raw.reshape(-1)).reshape(n_out, n_in)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
