@@ -56,11 +56,12 @@ _U8, _I8, _U16, _I16, _U32, _I32, _F32, _BOOL, _STR, _ARR, _U64, _I64, _F64 \
 # ggml tensor dtypes (subset)
 GGML_F32, GGML_F16, GGML_Q4_0, GGML_Q4_1 = 0, 1, 2, 3
 GGML_Q8_0 = 8
-GGML_Q4_K, GGML_Q6_K = 12, 14
+GGML_Q4_K, GGML_Q5_K, GGML_Q6_K = 12, 13, 14
 GGML_BF16 = 30
 
 _BLOCK = {GGML_Q4_0: (32, 18), GGML_Q4_1: (32, 20), GGML_Q8_0: (32, 34),
-          GGML_Q4_K: (256, 144), GGML_Q6_K: (256, 210)}
+          GGML_Q4_K: (256, 144), GGML_Q5_K: (256, 176),
+          GGML_Q6_K: (256, 210)}
 
 
 @dataclasses.dataclass
@@ -190,6 +191,8 @@ def decode_tensor(data: np.memmap, ti: _TensorInfo) -> np.ndarray:
         return out.reshape(ti.shape)
     if ti.ggml_type == GGML_Q4_K:
         return _dequant_q4k(raw).reshape(ti.shape)
+    if ti.ggml_type == GGML_Q5_K:
+        return _dequant_q5k(raw).reshape(ti.shape)
     if ti.ggml_type == GGML_Q6_K:
         return _dequant_q6k(raw).reshape(ti.shape)
     raise ValueError(f"unsupported ggml type {ti.ggml_type}")
@@ -237,6 +240,30 @@ def _dequant_q4k(raw: np.ndarray) -> np.ndarray:
     off = dmin[:, None] * m.astype(np.float32)
     y = codes * scale[:, :, None] - off[:, :, None]
     return y.reshape(-1)
+
+
+def _dequant_q5k(raw: np.ndarray) -> np.ndarray:
+    """Q5_K: {f16 d, f16 dmin, u8 scales[12], u8 qh[32], u8 qs[128]};
+    q = (qs nibble) + 16*(qh bit), one qh bit-plane per 32-sub-block
+    (the mask doubles per half-group: u1=1<<2g for lo, u2=2<<2g for hi);
+    y = d*sc[g]*q - dmin*m[g]."""
+    blocks = raw.reshape(-1, 176)
+    nb = blocks.shape[0]
+    d = blocks[:, 0:2].copy().view(np.float16).astype(np.float32)[:, 0]
+    dmin = blocks[:, 2:4].copy().view(np.float16).astype(np.float32)[:, 0]
+    sc, m = _q4k_scales(blocks[:, 4:16])
+    qh = blocks[:, 16:48]                        # [nb, 32]
+    qs = blocks[:, 48:176].reshape(nb, 4, 32)    # [nb, 4 groups, 32]
+    lo = (qs & 0xF).astype(np.int32)
+    hi = (qs >> 4).astype(np.int32)
+    g_idx = np.arange(4)
+    lo_bit = (qh[:, None, :] >> (2 * g_idx)[None, :, None]) & 1
+    hi_bit = (qh[:, None, :] >> (2 * g_idx + 1)[None, :, None]) & 1
+    codes = np.stack([lo + 16 * lo_bit, hi + 16 * hi_bit],
+                     axis=2).reshape(nb, 8, 32).astype(np.float32)
+    scale = d[:, None] * sc.astype(np.float32)
+    off = dmin[:, None] * m.astype(np.float32)
+    return (codes * scale[:, :, None] - off[:, :, None]).reshape(-1)
 
 
 def _dequant_q6k(raw: np.ndarray) -> np.ndarray:

@@ -240,3 +240,49 @@ def test_q4k_tensor_through_reader(tiny, tmp_path):
     got = decode_tensor(data, ti)
     want = _dequant_q4k(raw.reshape(-1)).reshape(n_out, n_in)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def _oracle_q5k(block: np.ndarray) -> np.ndarray:
+    """Independent scalar re-implementation of ggml dequantize_row_q5_K."""
+    d = block[0:2].copy().view(np.float16).astype(np.float32)[0]
+    dmin = block[2:4].copy().view(np.float16).astype(np.float32)[0]
+    q = block[4:16]
+    qh = block[16:48]
+    ql = block[48:176]
+    y = np.zeros(256, np.float32)
+
+    def scale_min(j):
+        if j < 4:
+            return q[j] & 63, q[j + 4] & 63
+        return ((q[j + 4] & 0xF) | ((q[j - 4] >> 6) << 4),
+                (q[j + 4] >> 4) | ((q[j] >> 6) << 4))
+
+    yi, qi, is_ = 0, 0, 0
+    u1, u2 = 1, 2
+    for _ in range(0, 256, 64):
+        sc, m = scale_min(is_)
+        for l in range(32):
+            y[yi] = d * sc * ((ql[qi + l] & 0xF) + (16 if qh[l] & u1 else 0)) - dmin * m
+            yi += 1
+        sc, m = scale_min(is_ + 1)
+        for l in range(32):
+            y[yi] = d * sc * ((ql[qi + l] >> 4) + (16 if qh[l] & u2 else 0)) - dmin * m
+            yi += 1
+        qi += 32
+        is_ += 2
+        u1 <<= 2
+        u2 <<= 2
+    return y
+
+
+def test_q5k_decode_matches_scalar_oracle():
+    from piquant_tpu.interop.gguf import _dequant_q5k
+
+    rng = np.random.default_rng(0x5B)
+    nb = 6
+    q5 = rng.integers(0, 256, (nb, 176)).astype(np.uint8)
+    q5[:, 0:4] = (rng.normal(0, 0.01, (nb, 2)).astype(np.float16)
+                  ).view(np.uint8).reshape(nb, 4)
+    got = _dequant_q5k(q5.reshape(-1)).reshape(nb, 256)
+    want = np.stack([_oracle_q5k(q5[i]) for i in range(nb)])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=0)
