@@ -1607,6 +1607,14 @@ def shard_params(params: Dict, mesh, tp_axis: str = "tp",
     """
     from jax.sharding import NamedSharding
 
+    for layer in params.get("layers", []):
+        for k, v in layer.items():
+            if type(v).__name__ in ("LoraLinear", "MultiLoraLinear"):
+                raise ValueError(
+                    f"shard_params cannot shard {type(v).__name__} leaf "
+                    f"{k!r}: merge_lora first, or serve adapters unsharded "
+                    "(TP-sharded adapter stacks are not implemented)")
+
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 

@@ -129,3 +129,78 @@ def spec_block(
     (tok, pos, cache, hist), (emit_hist, emit_lp, n_emit) = jax.lax.scan(
         step, (tok, pos, cache, hist), None, length=n_steps)
     return emit_hist, emit_lp, n_emit, tok, pos, hist, cache
+
+
+def _draft_step_fn(dcfg):
+    from piquant_tpu.models import mla as _mla
+    if isinstance(dcfg, _mla.MLAConfig):
+        return _mla.decode_step
+    return M.decode_step
+
+
+def draft_spec_block(
+    cfg: M.LlamaConfig,
+    params: Dict,
+    dcfg,
+    dparams: Dict,
+    tok: Array,        # [B] current token (already emitted)
+    pos: Array,        # [B] its position
+    cache,             # target stacked KVCache
+    dcache,            # DRAFT stacked KVCache (same max_len/batch)
+    active: Array,     # [B] bool
+    n_steps: int,
+    G: int,
+):
+    """Draft-MODEL speculative decoding: G greedy steps of a small draft
+    model propose the continuation; the target verifies all G in one
+    T=G+1 forward (classic two-model speculation, greedy-exact).
+
+    The draft cache stays consistent by the same masking invariant as the
+    target's: drafting writes draft-KV for `tok` and its G-1 proposals at
+    positions [pos, pos+G); after the target accepts n and emits its
+    correction token, the next round's draft step feeds that correction
+    at position pos+n+1, overwriting the first rejected slot before
+    anything ever attends to it.  Acceptance (and therefore speedup) is a
+    property of draft/target agreement — with a GOOD draft (e.g. the
+    same model quantized harder) most steps emit G+1 tokens per target
+    forward.
+
+    Returns (emit_hist [K,B,G+1], emit_lp, n_emit [K,B], tok, pos,
+    cache, dcache)."""
+    b = tok.shape[0]
+    rows = jnp.arange(b)
+    garange = jnp.arange(G + 1, dtype=jnp.int32)
+    dstep_fn = _draft_step_fn(dcfg)
+
+    def step(carry, _):
+        tok, pos, cache, dcache = carry
+
+        def dstep(dc_carry, _):
+            t, p, dc = dc_carry
+            dlogits, dc = dstep_fn(dcfg, dparams, t, p, dc)
+            t2 = jnp.argmax(dlogits, axis=-1).astype(jnp.int32)
+            return (t2, p + 1, dc), t2
+
+        (_, _, dcache), drafts_t = jax.lax.scan(
+            dstep, (tok, pos, dcache), None, length=G)
+        drafts = drafts_t.T                              # [B, G]
+        tokens_in = jnp.concatenate([tok[:, None], drafts], axis=1)
+        positions = pos[:, None] + garange[None, :]
+        logits, cache = _verify_forward(cfg, params, tokens_in,
+                                        positions, cache)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lf = logits.astype(jnp.float32)
+        lp = (jnp.take_along_axis(lf, greedy[..., None], -1)[..., 0]
+              - jax.nn.logsumexp(lf, axis=-1))
+        ok = (drafts == greedy[:, :-1])
+        n_acc = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1,
+                        dtype=jnp.int32)
+        n_emit = jnp.where(active, n_acc + 1, 0)
+        next_tok = greedy[rows, n_acc]
+        tok = jnp.where(active, next_tok, tok)
+        pos = jnp.where(active, pos + n_emit, pos)
+        return (tok, pos, cache, dcache), (greedy, lp, n_emit)
+
+    (tok, pos, cache, dcache), (emit_hist, emit_lp, n_emit) = jax.lax.scan(
+        step, (tok, pos, cache, dcache), None, length=n_steps)
+    return emit_hist, emit_lp, n_emit, tok, pos, cache, dcache

@@ -273,6 +273,29 @@ def _jit_decode_block(cfg, kblk: int, window: int, rep: bool):
 
 
 @functools.lru_cache(maxsize=None)
+def _jit_draft_spec_block(cfg, dcfg, kblk: int, g: int):
+    from piquant_tpu.models.speculative import draft_spec_block
+
+    def _spec(params, dparams, tok, pos, cache, dcache, active):
+        return draft_spec_block(cfg, params, dcfg, dparams, tok, pos,
+                                cache, dcache, active, kblk, g)
+
+    return jax.jit(_spec, donate_argnums=(4, 5))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_draft_prefill(dcfg):
+    dmod = _model_for(dcfg)
+
+    def _dprefill(dparams, tokens, slots, fresh, pool):
+        _, c1 = dmod.prefill(dcfg, dparams, tokens, fresh)
+        return jax.tree.map(lambda big, small: big.at[:, slots].set(small),
+                            pool, c1)
+
+    return jax.jit(_dprefill, donate_argnums=(4,))
+
+
+@functools.lru_cache(maxsize=None)
 def _jit_spec_block(cfg: M.LlamaConfig, kblk: int, g: int):
     from piquant_tpu.models.speculative import spec_block
 
@@ -393,7 +416,13 @@ def _jit_sample_first():
 
 class Engine:
     def __init__(self, cfg: M.LlamaConfig, params: Dict, econfig: EngineConfig,
-                 *, rng_seed: int = 0):
+                 *, rng_seed: int = 0, draft=None):
+        """`draft` (optional): (draft_cfg, draft_params) — a small model
+        whose greedy proposals the target verifies (two-model speculative
+        decoding; needs EngineConfig.speculate > 0 for the draft length).
+        Greedy-exact like prompt-lookup speculation; acceptance — and the
+        tokens/forward payoff — depends on draft/target agreement (e.g.
+        the same checkpoint quantized harder).  One-shot admission only."""
         self.cfg = cfg
         self.params = params
         # multi-tenant LoRA (quant/lora.MultiLoraLinear): per-slot adapter
@@ -489,6 +518,23 @@ class Engine:
         if econfig.speculate > 0 or econfig.track_history:
             self._hist = jnp.zeros((b, econfig.max_seq_len + econfig.speculate + 2),
                                    jnp.int32)
+        self._draft = draft
+        if draft is not None:
+            dcfg, _ = draft
+            if dcfg.vocab_size != cfg.vocab_size:
+                raise ValueError(f"draft vocab {dcfg.vocab_size} != target "
+                                 f"vocab {cfg.vocab_size}")
+            if econfig.speculate <= 0:
+                raise ValueError("a draft model needs EngineConfig."
+                                 "speculate > 0 (the proposal length)")
+            if econfig.prefill_chunk or econfig.prefix_cache:
+                raise ValueError("draft-model speculation supports one-shot "
+                                 "admission only (no prefill_chunk / "
+                                 "prefix_cache)")
+            self._dmodel = _model_for(dcfg)
+            self._dcache = self._dmodel.init_kv_cache(
+                dcfg, b, max_len=econfig.max_seq_len)
+            self._dfresh: Dict[int, object] = {}
 
         # reusable zeroed admission caches keyed by batch width (immutable;
         # never donated); lazy: only the one-shot prefill path uses them,
@@ -866,6 +912,18 @@ class Engine:
                              for req, _, _, _ in batch]))
         # padded positions wrote scales too, but attention masks beyond
         # `position` ignore them
+        if self._draft is not None:
+            # the draft model needs the prompt's KV too (same slots)
+            dcfg, dparams = self._draft
+            dfresh = self._dfresh.get(bq)
+            if dfresh is None:
+                dfresh = self._dmodel.init_kv_cache(
+                    dcfg, bq, max_len=self.ec.max_seq_len)
+                self._dfresh[bq] = dfresh  # never donated
+            self._dcache = _jit_draft_prefill(dcfg)(
+                dparams, jnp.asarray(rows),
+                jnp.asarray([slot for _, slot, _, _ in batch], jnp.int32),
+                dfresh, self._dcache)
         toks = np.asarray(tok_dev)
         lps = np.asarray(lp_dev)
         for i, (req, slot, plen, t0) in enumerate(batch):
@@ -1022,11 +1080,20 @@ class Engine:
             g = self.ec.speculate
             # conservative upper bound; _process_block corrects to actuals
             self._host_pos[self._active] += kblk * (g + 1)
-            spec_fn = _jit_spec_block(self.cfg, kblk, g)
-            (emit_hist, emit_lp, n_emit, tok, pos, self._hist,
-             self.cache) = spec_fn(
-                self._params_decode, self._cur_tok, self._positions,
-                self.cache, self._hist, self._active_dev)
+            if self._draft is not None:
+                dcfg, dparams = self._draft
+                spec_fn = _jit_draft_spec_block(self.cfg, dcfg, kblk, g)
+                (emit_hist, emit_lp, n_emit, tok, pos, self.cache,
+                 self._dcache) = spec_fn(
+                    self._params_decode, dparams, self._cur_tok,
+                    self._positions, self.cache, self._dcache,
+                    self._active_dev)
+            else:
+                spec_fn = _jit_spec_block(self.cfg, kblk, g)
+                (emit_hist, emit_lp, n_emit, tok, pos, self._hist,
+                 self.cache) = spec_fn(
+                    self._params_decode, self._cur_tok, self._positions,
+                    self.cache, self._hist, self._active_dev)
             self._cur_tok = tok
             self._positions = pos
             return ("spec", emit_hist, emit_lp, n_emit), list(self._slots)
@@ -1058,9 +1125,11 @@ class Engine:
                 self._gstate)
         self._cur_tok = tok
         self._positions = pos
-        if self.ec.speculate > 0 and not self.ec.track_history:
+        if (self.ec.speculate > 0 and not self.ec.track_history
+                and self._draft is None):
             # keep the speculation history current through non-spec ticks
-            # (stale gaps would silently zero the drafting hit-rate)
+            # (stale gaps would silently zero the ngram drafting hit-rate;
+            # a draft MODEL doesn't read the history)
             self._hist = _jit_hist_append()(self._hist, tok_hist, pos_before,
                                             self._active_dev)
         return ("norm", tok_hist, lp_hist), list(self._slots)
@@ -1140,6 +1209,8 @@ class Engine:
         }
         if hasattr(self, "_hist"):
             state["hist"] = np.asarray(self._hist)
+        if self._draft is not None:
+            state["dcache"] = host(self._dcache)
         state["gstate"] = np.asarray(self._gstate)
         for f in self._SNAP_HOST:
             state[f] = getattr(self, f).copy()
@@ -1161,6 +1232,8 @@ class Engine:
             (k, (dev(c), eff)) for k, c, eff in state["prefix_pool"])
         if "hist" in state:
             self._hist = jnp.asarray(state["hist"])
+        if "dcache" in state and self._draft is not None:
+            self._dcache = dev(state["dcache"])
         self._gstate = jnp.asarray(state["gstate"])
         for f in self._SNAP_HOST:
             setattr(self, f, state[f].copy())

@@ -1,0 +1,112 @@
+"""Draft-MODEL speculative decoding (speculative.draft_spec_block +
+Engine(draft=...)): greedy output identical to non-speculative decoding
+regardless of the draft, and a perfect draft (the target itself) accepts
+everything — the speculation contract."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from piquant_tpu.models import llama as M
+from piquant_tpu.serving import Engine, EngineConfig, Request, SamplingParams
+
+SEED = 0xD4F7
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = M.LlamaConfig.tiny(vocab=64)
+    fparams = M.init_params(cfg, jax.random.key(SEED))
+    params = M.quantize_params(fparams, bits=8)      # target: INT8
+    draft4 = M.quantize_params(fparams, bits=4)      # draft: same ckpt, INT4
+    return cfg, params, draft4
+
+
+def _run(cfg, params, prompts, n_new, draft=None, speculate=0):
+    eng = Engine(cfg, params,
+                 EngineConfig(batch_slots=2, max_seq_len=128,
+                              decode_block=4, speculate=speculate),
+                 draft=draft)
+    reqs = [Request(rid=i, prompt=list(p),
+                    sampling=SamplingParams(temperature=0.0,
+                                            max_new_tokens=n_new))
+            for i, p in enumerate(prompts)]
+    for r in reqs:
+        eng.submit(r)
+    eng.run()
+    return [list(r.tokens) for r in reqs], eng
+
+
+def test_draft_spec_greedy_identity(setup):
+    """Any draft: output tokens == plain greedy (here the draft is the
+    same checkpoint at INT4 — realistic disagreement, still exact).
+    Prompts are random streams: degenerate repeat-runs sit on argmax
+    near-ties that CPU XLA's M=1-vs-M>1 reduction noise can flip (the
+    documented speculation precision note, not a logic property)."""
+    cfg, params, draft4 = setup
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(1, 60, 9).tolist(),
+               rng.integers(1, 60, 5).tolist()]
+    want, _ = _run(cfg, params, prompts, 12)
+    got, eng = _run(cfg, params, prompts, 12, draft=(cfg, draft4),
+                    speculate=3)
+    assert got == want, (got, want)
+
+
+def test_perfect_draft_accepts_everything(setup):
+    """Draft == target: every proposal verifies, so the engine emits
+    (G+1) tokens per target forward — observable as fewer spec dispatches
+    than tokens/G would need with zero acceptance."""
+    cfg, params, _ = setup
+    prompts = [[5, 6]]
+    n_new = 12
+    want, _ = _run(cfg, params, prompts, n_new)
+    got, eng = _run(cfg, params, prompts, n_new, draft=(cfg, params),
+                    speculate=3)
+    assert got == want
+    # acceptance bookkeeping: n_new - 1 decode tokens (the first token is
+    # prefill) despite each spec step advancing up to G+1
+    assert eng.metrics.decode_tokens == n_new - 1
+
+
+def test_draft_validations(setup):
+    cfg, params, draft4 = setup
+    with pytest.raises(ValueError, match="speculate"):
+        Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=64),
+               draft=(cfg, draft4))
+    with pytest.raises(ValueError, match="one-shot"):
+        Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=64,
+                                         speculate=2, prefill_chunk=8),
+               draft=(cfg, draft4))
+    import dataclasses
+    bad = dataclasses.replace(cfg, vocab_size=32)
+    with pytest.raises(ValueError, match="vocab"):
+        Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=64,
+                                         speculate=2),
+               draft=(bad, draft4))
+
+
+def test_draft_spec_snapshot_restore(setup):
+    cfg, params, draft4 = setup
+    ec = EngineConfig(batch_slots=1, max_seq_len=128, decode_block=2,
+                      speculate=2)
+
+    def fresh():
+        return Engine(cfg, params, ec, draft=(cfg, draft4), rng_seed=3)
+
+    eng = fresh()
+    r = Request(rid=0, prompt=[4, 5, 6],
+                sampling=SamplingParams(temperature=0.0, max_new_tokens=14))
+    eng.submit(r)
+    eng._admit()
+    eng._step_decode()
+    snap = eng.snapshot()
+    eng.run()
+    want = list(r.tokens)
+
+    eng2 = fresh()
+    eng2.restore(snap)
+    r2 = eng2._slots[0] if eng2._slots[0] is not None else eng2._all[0]
+    eng2.run()
+    assert list(r2.tokens) == want
