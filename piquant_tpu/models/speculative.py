@@ -204,3 +204,111 @@ def draft_spec_block(
     (tok, pos, cache, dcache), (emit_hist, emit_lp, n_emit) = jax.lax.scan(
         step, (tok, pos, cache, dcache), None, length=n_steps)
     return emit_hist, emit_lp, n_emit, tok, pos, cache, dcache
+
+
+def rejection_sample_step(p: Array, q: Array, drafts: Array, key: Array):
+    """One round of speculative REJECTION sampling (Leviathan et al. 2023 /
+    Chen et al. 2023), vectorized over the batch.
+
+    p [B, G+1, V]: target probabilities at the G+1 verified positions;
+    q [B, G, V]: draft probabilities the G `drafts` [B, G] were drawn
+    from.  Draft i is accepted with prob min(1, p_i(d_i)/q_i(d_i)); at
+    the first rejection the correction token is drawn from the residual
+    norm(max(p_i - q_i, 0)); if all G are accepted, a bonus token is
+    drawn from p_G.  THEOREM: every emitted token is distributed exactly
+    as the target would sample it — speedup without distribution drift
+    (unit-tested by Monte-Carlo against the analytic marginal).
+
+    Returns (n_acc [B], next_tok [B]): n_acc accepted drafts, then
+    next_tok (the correction or bonus) — emitted tokens are
+    [drafts[:n_acc], next_tok], exactly like the greedy path's contract."""
+    b, g, v = q.shape
+    rows = jnp.arange(b)
+    ku, kr = jax.random.split(key)
+    u = jax.random.uniform(ku, (b, g), jnp.float32)
+    p_d = jnp.take_along_axis(p[:, :g], drafts[..., None], -1)[..., 0]
+    q_d = jnp.take_along_axis(q, drafts[..., None], -1)[..., 0]
+    acc = u * jnp.maximum(q_d, 1e-20) < p_d                    # [B, G]
+    n_acc = jnp.sum(jnp.cumprod(acc.astype(jnp.int32), axis=1), axis=1,
+                    dtype=jnp.int32)                           # [B]
+    # correction distribution at the first rejected position; bonus = p_G
+    p_j = p[rows, n_acc]                                       # [B, V]
+    q_j = jnp.where((n_acc < g)[:, None],
+                    q[rows, jnp.minimum(n_acc, g - 1)], 0.0)
+    resid = jnp.maximum(p_j - q_j, 0.0)
+    rs = jnp.sum(resid, axis=-1, keepdims=True)
+    # degenerate residual (p <= q everywhere up to fp error): fall back
+    # to the target distribution — still exact in the limit rs -> 0
+    dist = jnp.where(rs > 1e-12, resid / jnp.maximum(rs, 1e-20), p_j)
+    next_tok = jax.random.categorical(
+        kr, jnp.log(jnp.maximum(dist, 1e-30)), axis=-1).astype(jnp.int32)
+    return n_acc, next_tok
+
+
+def draft_spec_block_sample(
+    cfg: M.LlamaConfig,
+    params: Dict,
+    dcfg,
+    dparams: Dict,
+    tok: Array,        # [B]
+    pos: Array,        # [B]
+    cache,
+    dcache,
+    temps: Array,      # [B] f32 > 0 (pure temperature sampling)
+    base_key: Array,
+    blk_idx,
+    active: Array,
+    n_steps: int,
+    G: int,
+):
+    """Stochastic two-model speculation: drafts are SAMPLED from the
+    draft model at each row's temperature and accepted by rejection
+    sampling, so the emitted stream is distributed exactly as plain
+    temperature sampling from the target (pure-temperature rows only —
+    top-k/top-p truncation would need matching truncation on both
+    distributions).  Same return contract as draft_spec_block."""
+    b = tok.shape[0]
+    rows = jnp.arange(b)
+    garange = jnp.arange(G + 1, dtype=jnp.int32)
+    dstep_fn = _draft_step_fn(dcfg)
+    t_inv = 1.0 / jnp.maximum(temps, 1e-6)
+
+    def step(carry, k):
+        tok, pos, cache, dcache = carry
+        kd, kv = jax.random.split(k)
+        dkeys = jax.random.split(kd, G)
+
+        def dstep(dc_carry, dk):
+            t, p, dc = dc_carry
+            dlogits, dc = dstep_fn(dcfg, dparams, t, p, dc)
+            dl = dlogits.astype(jnp.float32) * t_inv[:, None]
+            t2 = jax.random.categorical(dk, dl, axis=-1).astype(jnp.int32)
+            return (t2, p + 1, dc), (t2, jax.nn.softmax(dl, axis=-1))
+
+        (_, _, dcache), (drafts_t, qdist_t) = jax.lax.scan(
+            dstep, (tok, pos, dcache), dkeys)
+        drafts = drafts_t.T                          # [B, G]
+        q = jnp.moveaxis(qdist_t, 0, 1)              # [B, G, V]
+        tokens_in = jnp.concatenate([tok[:, None], drafts], axis=1)
+        positions = pos[:, None] + garange[None, :]
+        logits, cache = _verify_forward(cfg, params, tokens_in,
+                                        positions, cache)
+        lf = logits.astype(jnp.float32)
+        p = jax.nn.softmax(lf * t_inv[:, None, None], axis=-1)
+        n_acc, next_tok = rejection_sample_step(p, q, drafts, kv)
+        emitted = jnp.concatenate(
+            [drafts, next_tok[:, None]], axis=1)     # provisional [B, G+1]
+        # emitted tokens are drafts[:n_acc] then next_tok at slot n_acc
+        emitted = jnp.where(garange[None, :] == n_acc[:, None],
+                            next_tok[:, None], emitted)
+        lp = (jnp.take_along_axis(lf, emitted[..., None], -1)[..., 0]
+              - jax.nn.logsumexp(lf, axis=-1))
+        n_emit = jnp.where(active, n_acc + 1, 0)
+        tok = jnp.where(active, next_tok, tok)
+        pos = jnp.where(active, pos + n_emit, pos)
+        return (tok, pos, cache, dcache), (emitted, lp, n_emit)
+
+    keys = jax.random.split(jax.random.fold_in(base_key, blk_idx), n_steps)
+    (tok, pos, cache, dcache), (emit_hist, emit_lp, n_emit) = jax.lax.scan(
+        step, (tok, pos, cache, dcache), keys)
+    return emit_hist, emit_lp, n_emit, tok, pos, cache, dcache

@@ -284,6 +284,19 @@ def _jit_draft_spec_block(cfg, dcfg, kblk: int, g: int):
 
 
 @functools.lru_cache(maxsize=None)
+def _jit_draft_spec_sample(cfg, dcfg, kblk: int, g: int):
+    from piquant_tpu.models.speculative import draft_spec_block_sample
+
+    def _spec(params, dparams, tok, pos, cache, dcache, temps, base_key,
+              blk_idx, active):
+        return draft_spec_block_sample(cfg, params, dcfg, dparams, tok, pos,
+                                       cache, dcache, temps, base_key,
+                                       blk_idx, active, kblk, g)
+
+    return jax.jit(_spec, donate_argnums=(4, 5))
+
+
+@functools.lru_cache(maxsize=None)
 def _jit_draft_prefill(dcfg):
     dmod = _model_for(dcfg)
 
@@ -1027,18 +1040,34 @@ class Engine:
                 self._slot_state_dirty = True
 
 
-    def _spec_ok(self) -> bool:
+    def _spec_mode(self) -> Optional[str]:
+        """None = no speculation this tick; "greedy" = greedy verify;
+        "sample" = rejection sampling (draft model + pure-temperature
+        rows only — truncation samplers would need matching truncation
+        on both distributions)."""
         if self.ec.speculate <= 0:
-            return False
+            return None
         if self._slot_guided.any():
-            return False  # drafted tokens bypass the grammar mask
-        if any(self._temps[i] > 0 or self._pens[i] != 1.0
-               or self._freqs[i] != 0.0 or self._press[i] != 0.0
-               or self._minnews[i] > 0 or self._bias_np[i].any()
-               for i, r in enumerate(self._slots) if r is not None):
-            return False  # stochastic / penalized slot: greedy-only feature
+            return None  # drafted tokens bypass the grammar mask
+        live = [i for i, r in enumerate(self._slots) if r is not None]
+        if any(self._pens[i] != 1.0 or self._freqs[i] != 0.0
+               or self._press[i] != 0.0 or self._minnews[i] > 0
+               or self._bias_np[i].any() for i in live):
+            return None  # penalized slot: plain decode path
         bound = self.ec.decode_block * (self.ec.speculate + 1) + 1
-        return int(self._host_pos[self._active].max()) + bound < self.ec.max_seq_len
+        if int(self._host_pos[self._active].max()) + bound >= self.ec.max_seq_len:
+            return None
+        if all(self._temps[i] <= 0 for i in live):
+            return "greedy"
+        if (self._draft is not None
+                and all(self._temps[i] > 0 and self._topks[i] == 0
+                        and self._topps[i] >= 1.0 and self._minps[i] <= 0
+                        for i in live)):
+            return "sample"
+        return None
+
+    def _spec_ok(self) -> bool:  # back-compat shim (tests/pre-draft callers)
+        return self._spec_mode() == "greedy"
 
     def _dispatch_block(self):
         """Dispatch one decode block (`decode_block` fused steps); returns
@@ -1076,11 +1105,22 @@ class Engine:
             need = int(self._host_pos[self._active].max()) + kblk + 1
             window = min((w for w in self.ec.attn_windows if w >= need),
                          default=self.ec.max_seq_len)
-        if self._spec_ok():
+        mode = self._spec_mode()
+        if mode is not None:
             g = self.ec.speculate
             # conservative upper bound; _process_block corrects to actuals
             self._host_pos[self._active] += kblk * (g + 1)
-            if self._draft is not None:
+            if mode == "sample":
+                dcfg, dparams = self._draft
+                self._blk_counter += 1
+                spec_fn = _jit_draft_spec_sample(self.cfg, dcfg, kblk, g)
+                (emit_hist, emit_lp, n_emit, tok, pos, self.cache,
+                 self._dcache) = spec_fn(
+                    self._params_decode, dparams, self._cur_tok,
+                    self._positions, self.cache, self._dcache,
+                    self._temps_dev, self._key, self._blk_counter,
+                    self._active_dev)
+            elif self._draft is not None:
                 dcfg, dparams = self._draft
                 spec_fn = _jit_draft_spec_block(self.cfg, dcfg, kblk, g)
                 (emit_hist, emit_lp, n_emit, tok, pos, self.cache,

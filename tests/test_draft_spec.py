@@ -110,3 +110,67 @@ def test_draft_spec_snapshot_restore(setup):
     r2 = eng2._slots[0] if eng2._slots[0] is not None else eng2._all[0]
     eng2.run()
     assert list(r2.tokens) == want
+
+
+def test_rejection_sampling_is_exact_marginal():
+    """Monte-Carlo check of the speculative-sampling theorem: over many
+    keys, the emitted-token marginal of rejection_sample_step equals the
+    TARGET distribution p exactly (position 0: accepted draft OR
+    correction), regardless of how bad the draft distribution q is.
+    Deterministic (fixed key fan-out)."""
+    from piquant_tpu.models.speculative import rejection_sample_step
+
+    v, g, n = 8, 2, 4096
+    rng = np.random.default_rng(0xACC)
+    p_row = rng.dirichlet(np.ones(v)).astype(np.float32)
+    q_row = rng.dirichlet(np.ones(v) * 0.3).astype(np.float32)  # mismatched
+    p = jnp.broadcast_to(jnp.asarray(p_row), (n, g + 1, v))
+    q = jnp.broadcast_to(jnp.asarray(q_row), (n, g, v))
+    key = jax.random.key(7)
+    kd, ks = jax.random.split(key)
+    drafts = jax.random.categorical(
+        kd, jnp.log(q[:, :, 0, :] if q.ndim == 4 else q), axis=-1
+    ).astype(jnp.int32)
+    n_acc, next_tok = rejection_sample_step(p, q, drafts, ks)
+    n_acc = np.asarray(n_acc)
+    drafts = np.asarray(drafts)
+    next_tok = np.asarray(next_tok)
+    # first emitted token: drafts[:,0] if n_acc >= 1 else next_tok
+    first = np.where(n_acc >= 1, drafts[:, 0], next_tok)
+    emp = np.bincount(first, minlength=v) / n
+    tv = 0.5 * np.abs(emp - p_row).sum()
+    assert tv < 0.04, (tv, emp, p_row)
+    # and acceptance actually happens (the test would pass trivially if
+    # everything were rejected and resampled from p)
+    assert 0.05 < (n_acc >= 1).mean() < 1.0
+
+
+def test_engine_stochastic_draft_spec_runs_and_is_deterministic(setup):
+    cfg, params, draft4 = setup
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(1, 60, 6).tolist()]
+
+    def run():
+        eng = Engine(cfg, params,
+                     EngineConfig(batch_slots=1, max_seq_len=128,
+                                  decode_block=3, speculate=2),
+                     draft=(cfg, draft4), rng_seed=11)
+        r = Request(rid=0, prompt=list(prompts[0]),
+                    sampling=SamplingParams(temperature=0.9,
+                                            max_new_tokens=10))
+        eng.submit(r)
+        eng.run()
+        return list(r.tokens)
+
+    a, b_ = run(), run()
+    assert a == b_ and len(a) == 10  # deterministic under a fixed seed
+    # truncation samplers fall back to the normal decode path (no spec)
+    eng = Engine(cfg, params,
+                 EngineConfig(batch_slots=1, max_seq_len=128,
+                              decode_block=3, speculate=2),
+                 draft=(cfg, draft4))
+    eng.submit(Request(rid=1, prompt=[1, 2], sampling=SamplingParams(
+        temperature=0.9, top_k=5, max_new_tokens=6)))
+    eng._admit()
+    assert eng._spec_mode() is None
+    eng.run()
