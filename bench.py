@@ -139,6 +139,15 @@ def main():
     def _abort():
         print("bench.py: TPU relay unresponsive (watchdog fired)",
               file=sys.stderr, flush=True)
+        # still emit one parseable JSON line so the harness records an
+        # honest "unavailable" datapoint instead of a bare timeout
+        print(json.dumps({
+            "metric": "f32->uint8 quantize GB/s/chip (numel 27264000)",
+            "value": 0.0,
+            "unit": "GB/s",
+            "vs_baseline": None,
+            "error": "tpu_relay_unresponsive",
+        }), flush=True)
         os._exit(3)
 
     t = threading.Timer(

@@ -585,6 +585,34 @@ def quantize_params(params: Dict, bits: int = 4, *, channelwise: bool = True,
 
 
 
+def requantize_params(params: Dict, bits=4, *,
+                      group_size: Optional[int] = None) -> Dict:
+    """Re-quantize every already-quantized linear at a different config
+    (dequantize -> quantize; float leaves pass through).  The standard way
+    to build a DRAFT model for two-model speculation from the same
+    checkpoint: a harder-quantized copy agrees with the target on most
+    tokens, so acceptance — and the tokens/forward payoff — is high."""
+    from piquant_tpu.quant.linear import QuantizedExpertStack
+
+    def conv(v):
+        if isinstance(v, QuantizedLinear):
+            return quantize_linear_weight(v.dequantize(jnp.float32), bits,
+                                          group_size=group_size)
+        if isinstance(v, QuantizedExpertStack):
+            return QuantizedExpertStack.stack([
+                quantize_linear_weight(v.expert(e).dequantize(jnp.float32),
+                                       bits, group_size=group_size)
+                for e in range(v.n_experts)])
+        return v
+
+    out = dict(params)
+    out["layers"] = [{k: conv(v) for k, v in layer.items()}
+                     for layer in params["layers"]]
+    if isinstance(params.get("lm_head"), QuantizedLinear):
+        out["lm_head"] = conv(params["lm_head"])
+    return out
+
+
 @jax.tree_util.register_static
 @dataclasses.dataclass(frozen=True)
 class StaticInt:

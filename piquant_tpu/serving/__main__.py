@@ -71,8 +71,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="int8 activations at every M incl. decode "
                          "(the INT2 fast path: int8-plane kernel)")
     ap.add_argument("--speculate", type=int, default=0,
-                    help="prompt-lookup speculative decoding: drafts per "
-                         "verify step (greedy only)")
+                    help="speculative decoding: drafts per verify step "
+                         "(prompt-lookup by default; see --draft-bits)")
+    ap.add_argument("--draft-bits", type=_bits_arg, default=None,
+                    choices=[2, 4, 8, "nf4"],
+                    help="two-model speculation: draft = this model "
+                         "re-quantized at the given width (high agreement "
+                         "with the target => high acceptance); greedy "
+                         "verify or exact rejection sampling at "
+                         "temperature>0.  Needs --speculate")
+    ap.add_argument("--draft-group-size", type=int, default=None)
     ap.add_argument("--benchmark", type=int, metavar="N", default=None,
                     help="run a synthetic N-request load benchmark and print "
                          "engine metrics JSON")
@@ -174,7 +182,15 @@ def main(argv=None) -> int:
                       prefill_chunk=args.prefill_chunk,
                       speculate=args.speculate, attn_windows=windows,
                       track_history=args.repetition_penalty != 1.0)
-    eng = Engine(cfg, params, ec)
+    draft = None
+    if args.draft_bits is not None:
+        if args.speculate <= 0:
+            raise SystemExit("--draft-bits needs --speculate > 0")
+        print(f"building {args.draft_bits}-bit draft model "
+              "(requantize_params)...", flush=True)
+        draft = (cfg, M.requantize_params(params, args.draft_bits,
+                                          group_size=args.draft_group_size))
+    eng = Engine(cfg, params, ec, draft=draft)
     eos = getattr(tok, "eos_token_id", None) if tok else None
     sp = SamplingParams(temperature=args.temperature, top_k=args.top_k,
                         top_p=args.top_p, min_p=args.min_p,

@@ -174,3 +174,16 @@ def test_engine_stochastic_draft_spec_runs_and_is_deterministic(setup):
     eng._admit()
     assert eng._spec_mode() is None
     eng.run()
+
+
+def test_requantize_params_builds_agreeing_draft(setup):
+    cfg, params, _ = setup
+    draft = M.requantize_params(params, 4, group_size=32)
+    w = draft["layers"][0]["wq"]
+    assert w.bits == 4 and w.group_size == 32
+    toks = jnp.asarray(np.random.default_rng(4).integers(0, 64, (2, 10)),
+                       jnp.int32)
+    lt, _ = M.forward(cfg, params, toks)
+    ld, _ = M.forward(cfg, draft, toks)
+    agree = (np.asarray(lt.argmax(-1)) == np.asarray(ld.argmax(-1))).mean()
+    assert agree > 0.5, agree  # same checkpoint, harder quantized
