@@ -305,3 +305,70 @@ def test_engine_rejects_vocab_mismatch(setup):
     eng = Engine(cfg, params, EngineConfig(batch_slots=1, max_seq_len=64))
     with pytest.raises(ValueError, match="vocab"):
         eng.submit(Request(rid=0, prompt=[1], guide=g))
+
+
+def test_dfa_fuzz_vs_python_re():
+    """Property fuzz: random patterns from the supported subset, random
+    strings — the DFA's full-match decision must equal re.fullmatch.
+    Deterministic (seeded)."""
+    import re
+
+    rng = np.random.default_rng(0xF022)
+    alpha = "abc01"
+
+    def rand_atom(depth):
+        r = rng.random()
+        if depth > 2 or r < 0.45:
+            return str(rng.choice(list(alpha)))
+        if r < 0.55:
+            return "."
+        if r < 0.65:
+            lo, hi = sorted(rng.choice(list("abc"), 2))
+            return f"[{lo}-{hi}]"
+        if r < 0.72:
+            return "[^a]"
+        if r < 0.82:
+            return "(" + rand_alt(depth + 1) + ")"
+        return "\\d"
+
+    def rand_rep(depth):
+        a = rand_atom(depth)
+        r = rng.random()
+        if r < 0.55:
+            return a
+        if r < 0.65:
+            return a + "*"
+        if r < 0.75:
+            return a + "+"
+        if r < 0.85:
+            return a + "?"
+        m = int(rng.integers(0, 3))
+        n = m + int(rng.integers(0, 3))
+        return a + f"{{{m},{n}}}"
+
+    def rand_cat(depth):
+        return "".join(rand_rep(depth)
+                       for _ in range(int(rng.integers(1, 4))))
+
+    def rand_alt(depth):
+        return "|".join(rand_cat(depth)
+                        for _ in range(int(rng.integers(1, 3))))
+
+    n_pat, n_str = 60, 40
+    checked = 0
+    for _ in range(n_pat):
+        pat = rand_alt(0)
+        try:
+            cre = re.compile(pat)
+        except re.error:
+            continue
+        d = regex_to_dfa(pat)
+        for _ in range(n_str):
+            s = "".join(rng.choice(list(alpha + "z"),
+                                   int(rng.integers(0, 7))))
+            sid = d.walk(d.start, s)
+            got = sid != -1 and d.accepting(sid)
+            want = cre.fullmatch(s) is not None
+            assert got == want, (pat, s, got, want)
+            checked += 1
+    assert checked > 1000  # the fuzz actually exercised cases
