@@ -87,6 +87,10 @@ class LlamaConfig:
     norm_plus_one: bool = False  # Gemma RMSNorm scales by (1 + w)
     mlp_act: str = "silu"        # "silu" (Llama) or "gelu" (Gemma GeGLU)
     scale_embed: bool = False    # Gemma multiplies embeddings by sqrt(d_model)
+    embed_multiplier: Optional[float] = None  # Granite: fixed embedding scale
+    residual_multiplier: float = 1.0  # Granite: block outputs scaled before
+                                      # the residual add
+    logits_scaling: float = 1.0  # Granite: final logits DIVIDED by this
     sliding_window: Optional[int] = None  # Mistral: attend only to the last
                                           # `sliding_window` positions
     rotary_dim_override: Optional[int] = None  # Phi-style partial rotary:
@@ -1442,6 +1446,8 @@ def forward(
     x = params["embed"][tokens].astype(dt)
     if cfg.scale_embed:  # Gemma: sqrt(d_model) normalizer, rounded in model dtype
         x = x * jnp.asarray(cfg.d_model ** 0.5, dt)
+    if cfg.embed_multiplier is not None:  # Granite
+        x = x * jnp.asarray(cfg.embed_multiplier, dt)
 
     s_len = cache.k_codes.shape[3] if cache is not None else t
     if attn_window is not None:
@@ -1501,12 +1507,16 @@ def forward(
         if cfg.sandwich_norms:  # Gemma-2: norm the block OUTPUTS too
             h = rms_norm(h, layer["post_attn_norm"], cfg.rms_eps,
                          cfg.norm_plus_one)
+        if cfg.residual_multiplier != 1.0:  # Granite
+            h = h * jnp.asarray(cfg.residual_multiplier, dt)
         x = x + h
         h = _mlp(cfg, layer, rms_norm(x, layer["mlp_norm"], cfg.rms_eps,
                                       cfg.norm_plus_one))
         if cfg.sandwich_norms:
             h = rms_norm(h, layer["post_mlp_norm"], cfg.rms_eps,
                          cfg.norm_plus_one)
+        if cfg.residual_multiplier != 1.0:
+            h = h * jnp.asarray(cfg.residual_multiplier, dt)
         x = x + h
 
     if pending:
@@ -1522,6 +1532,8 @@ def forward(
     if logit_positions is not None:
         x = x[jnp.arange(b), logit_positions][:, None, :]
     logits = _mm(x, params["lm_head"], jnp.float32)
+    if cfg.logits_scaling != 1.0:  # Granite
+        logits = logits / cfg.logits_scaling
     if cfg.final_softcap:  # Gemma-2
         logits = cfg.final_softcap * jnp.tanh(logits / cfg.final_softcap)
     return logits, cache

@@ -29,6 +29,22 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
     is_gemma2 = mtype == "gemma2" or is_gemma3  # sandwich-norm generation
     is_gpt_oss = mtype == "gpt_oss"
     is_llama4 = mtype in ("llama4_text", "llama4")
+    is_granite = mtype == "granite"
+    # SmolLM3: llama + NoPE every `no_rope_layer_interval`-th layer
+    # (no_rope_layers[i] == 0 => layer i skips rope, at (i+1) % p == 0)
+    smollm3_nope = None
+    if mtype == "smollm3":
+        nrl = list(getattr(hf_config, "no_rope_layers", []) or [])
+        p0 = int(getattr(hf_config, "no_rope_layer_interval", 0) or 0)
+        if nrl:
+            zeros = [i for i, v in enumerate(nrl) if not v]
+            if zeros:
+                p0 = zeros[0] + 1
+                if any((i + 1) % p0 != 0 for i in zeros) or (
+                        len(zeros) != len(nrl) // p0):
+                    raise ValueError(
+                        f"irregular smollm3 no_rope_layers: {nrl}")
+        smollm3_nope = p0 or None
     default_hd = hf_config.hidden_size // hf_config.num_attention_heads
     hd = getattr(hf_config, "head_dim", default_hd) or default_hd
     qpas = getattr(hf_config, "query_pre_attn_scalar", None)
@@ -102,7 +118,9 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         if is_gemma2 else None,
         final_softcap=getattr(hf_config, "final_logit_softcapping", None)
         if is_gemma2 else None,
-        attn_scale_override=(qpas ** -0.5 if is_gemma2 and qpas else None),
+        attn_scale_override=(qpas ** -0.5 if is_gemma2 and qpas
+                             else float(hf_config.attention_multiplier)
+                             if is_granite else None),
         rope_theta_local=(getattr(hf_config, "rope_local_base_freq", None)
                           if is_gemma3 else None),
         rope_linear_factor=(
@@ -122,7 +140,15 @@ def config_from_hf(hf_config: Any, dtype=jnp.bfloat16) -> LlamaConfig:
         # sigmoid top-k routing, ungated shared expert, interleaved MoE
         rope_interleaved=is_llama4,
         qk_l2norm=bool(is_llama4 and getattr(hf_config, "use_qk_norm", False)),
-        nope_pattern=_llama4_nope_pattern(hf_config) if is_llama4 else None,
+        nope_pattern=(_llama4_nope_pattern(hf_config) if is_llama4
+                      else smollm3_nope),
+        # Granite: four fixed scalar multipliers over the llama topology
+        embed_multiplier=(float(hf_config.embedding_multiplier)
+                          if is_granite else None),
+        residual_multiplier=(float(hf_config.residual_multiplier)
+                             if is_granite else 1.0),
+        logits_scaling=(float(hf_config.logits_scaling)
+                        if is_granite else 1.0),
         attn_temp_tuning=bool(
             is_llama4 and getattr(hf_config, "attn_temperature_tuning", False)),
         floor_scale=float(getattr(hf_config, "floor_scale", 8192.0)),

@@ -551,3 +551,59 @@ def test_load_from_hf_quant_methods():
         load_from_hf(model, quantize_bits=4, method="gptq")
     with pytest.raises(ValueError, match="unknown"):
         load_from_hf(model, quantize_bits=4, method="hqq")
+
+
+def test_granite_loader_matches_transformers():
+    """Granite: four fixed scalar multipliers (embedding, residual,
+    attention, logits) over the llama topology."""
+    if not hasattr(transformers, "GraniteForCausalLM"):
+        pytest.skip("transformers lacks Granite")
+    torch.manual_seed(SEED + 60)
+    conf = transformers.GraniteConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10_000.0, rms_norm_eps=1e-5,
+        embedding_multiplier=12.0, residual_multiplier=0.22,
+        attention_multiplier=0.03, logits_scaling=8.0,
+        attn_implementation="eager", tie_word_embeddings=True,
+    )
+    model = transformers.GraniteForCausalLM(conf)
+    model.eval()
+    cfg, params = load_from_hf(model, dtype=jnp.float32)
+    assert cfg.embed_multiplier == 12.0 and cfg.logits_scaling == 8.0
+    assert cfg.residual_multiplier == 0.22
+    assert cfg.attn_scale_override == 0.03
+    rng = np.random.default_rng(SEED + 61)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 10))
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+    got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+
+
+def test_smollm3_loader_matches_transformers():
+    """SmolLM3: llama + NoPE on every no_rope_layer_interval-th layer
+    (maps onto the existing nope_pattern machinery)."""
+    if not hasattr(transformers, "SmolLM3ForCausalLM"):
+        pytest.skip("transformers lacks SmolLM3")
+    torch.manual_seed(SEED + 62)
+    conf = transformers.SmolLM3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=64, rope_theta=10_000.0, rms_norm_eps=1e-5,
+        no_rope_layers=[1, 1, 1, 0], no_rope_layer_interval=4,
+        attn_implementation="eager", tie_word_embeddings=False,
+        use_sliding_window=False, pad_token_id=0,
+    )
+    model = transformers.SmolLM3ForCausalLM(conf)
+    model.eval()
+    cfg, params = load_from_hf(model, dtype=jnp.float32)
+    assert cfg.nope_pattern == 4
+    assert (cfg.layer_uses_rope(0) and cfg.layer_uses_rope(2)
+            and not cfg.layer_uses_rope(3))
+    rng = np.random.default_rng(SEED + 63)
+    tokens = rng.integers(0, cfg.vocab_size, (2, 10))
+    with torch.no_grad():
+        want = model(torch.tensor(tokens)).logits.numpy()
+    got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
