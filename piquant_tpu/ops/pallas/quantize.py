@@ -31,10 +31,14 @@ _DIRECT_STORE = {"uint8": jnp.uint8, "int8": jnp.int8,
                  "uint16": jnp.uint16, "int16": jnp.int16}
 
 
-def _quant_block(x, scale_ref, zp_ref, qmin, qmax, stochastic):
-    """Shared rounding/clamp step on one block; returns int32 codes."""
-    inv = 1.0 / scale_ref[0]
-    r = x.astype(jnp.float32) * inv
+def _quant_block(x, inv_ref, zp_ref, qmin, qmax, stochastic):
+    """Shared rounding/clamp step on one block; returns int32 codes.
+
+    Takes 1/scale (not scale): the reciprocal is computed on the host for
+    host-supplied scales (reference.inv_scale_f32) because the on-chip f32
+    divide is 1 ulp off IEEE, which flips round() at exact half-code
+    boundaries (found by the on-chip oracle suite; see inv_scale_f32)."""
+    r = x.astype(jnp.float32) * inv_ref[0]
     if stochastic:
         u = C.uniform_from_bits(r.shape)
         rounded = jnp.floor(r + u)
@@ -49,10 +53,10 @@ def _direct_kernel(rows: int, in_dtype: str, out_dtype: str, qmin: int, qmax: in
     """rows x 128 float -> rows x 128 storage codes (no packing)."""
     odt = _DIRECT_STORE[out_dtype]
 
-    def kern(scale_ref, zp_ref, seed_ref, x_ref, o_ref):
+    def kern(inv_ref, zp_ref, seed_ref, x_ref, o_ref):
         if stochastic:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        codes = _quant_block(x_ref[:], scale_ref, zp_ref, qmin, qmax, stochastic)
+        codes = _quant_block(x_ref[:], inv_ref, zp_ref, qmin, qmax, stochastic)
         if out_dtype in ("uint16", "int16"):
             o_ref[:] = codes.astype(odt)
         else:
@@ -77,10 +81,10 @@ def _mxu_pack_kernel(rows: int, in_dtype: str, bits: int, signed: bool,
     """rows x (128*pack) float -> rows x 128 packed bytes via MXU."""
     pack = 8 // bits
 
-    def kern(scale_ref, zp_ref, seed_ref, x_ref, w_ref, o_ref):
+    def kern(inv_ref, zp_ref, seed_ref, x_ref, w_ref, o_ref):
         if stochastic:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        codes = _quant_block(x_ref[:], scale_ref, zp_ref, qmin, qmax, stochastic)
+        codes = _quant_block(x_ref[:], inv_ref, zp_ref, qmin, qmax, stochastic)
         if signed:
             codes = codes & ((1 << bits) - 1)  # two's-complement field
         cb = codes.astype(jnp.bfloat16)
@@ -127,7 +131,8 @@ def quantize(x: Array, scale, zero_point, dt: QDType, round_mode: str,
     if padded != n:
         xin = jnp.concatenate([xin, jnp.zeros((padded - n,), xin.dtype)])
 
-    scale_a = jnp.asarray(scale, jnp.float32).reshape(1)
+    from piquant_tpu.ops.reference import inv_scale_f32
+    inv_a = jnp.asarray(inv_scale_f32(scale), jnp.float32).reshape(1)
     zp_a = jnp.asarray(zero_point, jnp.int32).reshape(1)
     seed_a = C.seed_from_key(key)
 
@@ -136,11 +141,11 @@ def quantize(x: Array, scale, zero_point, dt: QDType, round_mode: str,
     if dt.name in _DIRECT_STORE:
         k = _direct_kernel(rows * pack, src.name, dt.name, dt.qmin, dt.qmax,
                            stochastic, br)
-        out = k(scale_a, zp_a, seed_a, xin.reshape(rows, C.LANES)).reshape(-1)
+        out = k(inv_a, zp_a, seed_a, xin.reshape(rows, C.LANES)).reshape(-1)
         return out[:n] if padded != n else out
     k = _mxu_pack_kernel(rows, src.name, dt.bits, dt.kind == "int",
                          dt.qmin, dt.qmax, stochastic, br)
-    out = k(scale_a, zp_a, seed_a, xin.reshape(rows, unit),
+    out = k(inv_a, zp_a, seed_a, xin.reshape(rows, unit),
             C.pack_matrix(dt.bits)).reshape(-1)
     pb = packed_numel(n, dt)
     if pb != out.size:

@@ -30,11 +30,13 @@ def _requant_kernel(rows: int, f_dtype: str, qmin: int, qmax: int,
                     stochastic: bool, add: bool, block_rows: int):
     fdt = _FLOAT[f_dtype]
 
-    def body(scale_ref, zp_ref, seed_ref, x_ref):
+    def body(scale_ref, inv_ref, zp_ref, seed_ref, x_ref):
+        # inv = 1/scale arrives precomputed (host-exact when the scale is a
+        # host scalar — see reference.inv_scale_f32: the on-chip f32 divide
+        # is 1 ulp off IEEE and flips round() at half-code boundaries)
         if stochastic:
             pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        inv = 1.0 / scale_ref[0]
-        r = x_ref[:].astype(jnp.float32) * inv
+        r = x_ref[:].astype(jnp.float32) * inv_ref[0]
         if stochastic:
             rounded = jnp.floor(r + C.uniform_from_bits(r.shape))
         else:
@@ -42,11 +44,11 @@ def _requant_kernel(rows: int, f_dtype: str, qmin: int, qmax: int,
         codes = jnp.clip(rounded.astype(jnp.int32) + zp_ref[0], qmin, qmax)
         return (codes - zp_ref[0]).astype(jnp.float32) * scale_ref[0]
 
-    def kern_set(scale_ref, zp_ref, seed_ref, x_ref, o_ref):
-        o_ref[:] = body(scale_ref, zp_ref, seed_ref, x_ref).astype(fdt)
+    def kern_set(scale_ref, inv_ref, zp_ref, seed_ref, x_ref, o_ref):
+        o_ref[:] = body(scale_ref, inv_ref, zp_ref, seed_ref, x_ref).astype(fdt)
 
-    def kern_add(scale_ref, zp_ref, seed_ref, x_ref, acc_ref, o_ref):
-        v = body(scale_ref, zp_ref, seed_ref, x_ref)
+    def kern_add(scale_ref, inv_ref, zp_ref, seed_ref, x_ref, acc_ref, o_ref):
+        v = body(scale_ref, inv_ref, zp_ref, seed_ref, x_ref)
         o_ref[:] = (acc_ref[:].astype(jnp.float32) + v).astype(fdt)
 
     grid = pl.cdiv(rows, block_rows)
@@ -58,16 +60,16 @@ def _requant_kernel(rows: int, f_dtype: str, qmin: int, qmax: int,
             kern_set,
             out_shape=jax.ShapeDtypeStruct((rows, C.LANES), fdt),
             grid=(grid,),
-            in_specs=[smem(), smem(), smem(), bspec()],
+            in_specs=[smem(), smem(), smem(), smem(), bspec()],
             out_specs=bspec(),
         )
     return pl.pallas_call(
         kern_add,
         out_shape=jax.ShapeDtypeStruct((rows, C.LANES), fdt),
         grid=(grid,),
-        in_specs=[smem(), smem(), smem(), bspec(), bspec()],
+        in_specs=[smem(), smem(), smem(), smem(), bspec(), bspec()],
         out_specs=bspec(),
-        input_output_aliases={4: 0},
+        input_output_aliases={5: 0},
     )
 
 
@@ -93,12 +95,14 @@ def requantize(x: Array, scale, zero_point, dt: QDType, round_mode: str,
     if padded != n:
         xf = jnp.concatenate([xf, jnp.zeros((padded - n,), xf.dtype)])
 
+    from piquant_tpu.ops.reference import inv_scale_f32
     scale_a = jnp.asarray(scale, jnp.float32).reshape(1)
+    inv_a = jnp.asarray(inv_scale_f32(scale), jnp.float32).reshape(1)
     zp_a = jnp.asarray(zero_point, jnp.int32).reshape(1)
     seed_a = C.seed_from_key(key)
 
     k = _requant_kernel(rows, src.name, dt.qmin, dt.qmax, stochastic, add, br)
-    args = (scale_a, zp_a, seed_a, xf.reshape(rows, C.LANES))
+    args = (scale_a, inv_a, zp_a, seed_a, xf.reshape(rows, C.LANES))
     if add:
         acc = out.reshape(-1)
         if acc.size != padded:

@@ -58,6 +58,30 @@ def round_half_away(x: Array) -> Array:
     return jnp.trunc(x + jnp.where(x >= 0, 0.5, -0.5).astype(x.dtype))
 
 
+def inv_scale_f32(scale):
+    """1/scale in f32, computed on the HOST when `scale` is host-resident.
+
+    Reference parity: the reference derives inv_scale ONCE on the host and
+    multiplies in the kernels (src/kernels/quantize.inl:9-23).  A TPU
+    in-graph f32 divide is reciprocal-approximation based and can land 1 ulp
+    off the IEEE quotient — enough to flip round() at exact half-code
+    boundaries (observed on-chip: bf16 x=4.0, scale=8/15 gives r=7.5000005
+    vs the IEEE 7.4999995, one code off vs both oracles).  Host-computing
+    the reciprocal keeps compiled kernels bit-identical to the oracles for
+    host-supplied scales; traced scales (in-jit model/QAT paths) keep the
+    device divide, where bit-parity with a host oracle is not a contract.
+    """
+    import numpy as np
+
+    if isinstance(scale, jax.core.Tracer):
+        return jnp.float32(1.0) / scale.astype(jnp.float32)
+    if isinstance(scale, jax.Array):
+        if scale.size != 1:
+            return jnp.float32(1.0) / scale.astype(jnp.float32)
+        scale = jax.device_get(scale).reshape(())  # one scalar readback
+    return np.float32(np.float32(1.0) / np.float32(scale))
+
+
 def _check_quant(dt: QDType) -> None:
     if not dt.is_quant:
         raise ValueError(f"destination dtype {dt.name} is not a quantized type")
@@ -142,7 +166,7 @@ def quantize_codes(
     _check_quant(dt)
     acc = jnp.float64 if x.dtype == jnp.float64 else jnp.float32
     xf = x.astype(acc)
-    inv_scale = (jnp.float32(1.0) / jnp.asarray(scale, jnp.float32)).astype(acc)
+    inv_scale = jnp.asarray(inv_scale_f32(scale), jnp.float32).astype(acc)
     r = xf * inv_scale
     if round_mode == "nearest":
         rounded = round_half_away(r)
