@@ -95,8 +95,44 @@ def body_d(x_ref, b_ref, s_ref, z_ref, o_ref, kh):
     o_ref[:] = (acc * s_ref[:]).astype(jnp.bfloat16)
 
 
+# --- variant E: mantissa bitcast (no int->float convert) -------------------
+# bf16 bits 0x4300|c == 128.0 + c for c in 0..15 (mantissa granularity 1 on
+# [128,256)); the +128 bias folds into the analytic zero-point correction.
+# All unpack ops run in the 16-bit domain: widen, mask/shift, OR, bitcast.
+def body_e(x_ref, b_ref, s_ref, z_ref, o_ref, kh):
+    # Mosaic can't legalize u16 shrui, so only the lo nibble takes the
+    # bitcast path (AND/OR legalize); hi keeps the i32 shift+convert.
+    w16 = b_ref[:].astype(jnp.uint16)
+    lo = pltpu.bitcast((w16 & 15) | 0x4300, jnp.bfloat16)      # 128 + lo
+    hi = (b_ref[:].astype(jnp.int32) >> 4).astype(jnp.bfloat16)
+    x = x_ref[:]
+    x_lo, x_hi = x[:, :kh], x[:, kh:]
+    acc = jnp.dot(x_lo, lo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(x_hi, hi, preferred_element_type=jnp.float32)
+    s = s_ref[:]
+    z = z_ref[:].astype(jnp.float32)
+    xs_lo = jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
+    xsum = xs_lo + jnp.sum(x_hi.astype(jnp.float32), axis=1, keepdims=True)
+    # subtract the folded 128 bias of the lo plane + the usual zp term
+    o_ref[:] = ((acc - 128.0 * xs_lo) * s - xsum * (z * s)).astype(jnp.bfloat16)
+
+
+# --- variant G: uint8-domain bitwise, direct u8->bf16 cast -----------------
+def body_g(x_ref, b_ref, s_ref, z_ref, o_ref, kh):
+    b = b_ref[:]
+    lo = (b & jnp.uint8(15)).astype(jnp.bfloat16)
+    hi = (b >> jnp.uint8(4)).astype(jnp.bfloat16)
+    x = x_ref[:]
+    acc = jnp.dot(x[:, :kh], lo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(x[:, kh:], hi, preferred_element_type=jnp.float32)
+    s = s_ref[:]
+    z = z_ref[:].astype(jnp.float32)
+    xsum = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+    o_ref[:] = (acc * s - xsum * (z * s)).astype(jnp.bfloat16)
+
+
 VARIANTS = {"A_current": body_a, "B_bytedot": body_b, "C_bf16floor": body_c,
-            "D_ceiling": body_d}
+            "D_ceiling": body_d, "E_mantissa": body_e, "G_u8domain": body_g}
 
 
 def bench(name, body, bn=BN, k1=16, k2=96):
@@ -154,11 +190,18 @@ def check_correctness(body, bn=512):
 
 
 if __name__ == "__main__":
-    for name in ("A_current", "B_bytedot"):
-        print(name, "correctness @512:")
-        check_correctness(VARIANTS[name])
-    for bn in (128, 256, 512, 1024):
-        for name in ("A_current", "B_bytedot", "D_ceiling"):
+    import os
+    names = os.environ.get("PIQUANT_VARIANTS", "A_current,B_bytedot").split(",")
+    bns = [int(v) for v in os.environ.get("PIQUANT_BNS", "128,256,512,1024").split(",")]
+    for name in names:
+        if name != "D_ceiling":
+            print(name, "correctness @512:")
+            try:
+                check_correctness(VARIANTS[name])
+            except Exception as e:
+                print(f"  FAILED: {type(e).__name__}: {str(e)[:120]}")
+    for bn in bns:
+        for name in names:
             try:
                 bench(name + f"@{bn}", VARIANTS[name], bn=bn)
             except Exception as e:
