@@ -38,8 +38,13 @@ def main(batch=8, ctx=1024, max_len=2048):
     print(f"building {raw_bits}-bit 8B params (batch={batch}, ctx={ctx})...",
           flush=True)
     gs = int(os.environ.get("PIQUANT_GS", "0")) or None
+    # PIQUANT_MLP_BITS/_GS: the auto-mixed planner recipe (attn at BITS,
+    # MLP at MLP_BITS — quant/mixed.py picks attn int4 + mlp int2-g32)
+    mlp_bits = int(os.environ.get("PIQUANT_MLP_BITS", "0")) or None
+    mlp_gs = int(os.environ.get("PIQUANT_MLP_GS", "0")) or None
     params = M.random_quantized_params(cfg, jax.random.key(0), bits=bits,
-                                       lm_head_bits=8, group_size=gs)
+                                       lm_head_bits=8, group_size=gs,
+                                       mlp_bits=mlp_bits, mlp_group_size=mlp_gs)
     if os.environ.get("PIQUANT_FUSE", "0") == "1":
         # wqkv/w13 fusion: fewer launches/buffers but measured ~5% SLOWER
         # end-to-end on one chip (11.47 vs 10.89 ms/step) — opt-in only

@@ -438,19 +438,25 @@ _MOE_QUANT_KEYS = ("moe_w1", "moe_w2", "moe_w3")
 
 def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
                             lm_head_bits: Optional[int] = None,
-                            group_size: Optional[int] = None) -> Dict:
+                            group_size: Optional[int] = None,
+                            mlp_bits: Optional[int] = None,
+                            mlp_group_size: Optional[int] = None) -> Dict:
     """Build INT-quantized params DIRECTLY (random codes), never
     materializing float weights — lets an 8B model be constructed on a
     single chip for performance benchmarking (weight values don't matter
-    for bandwidth/latency measurements)."""
+    for bandwidth/latency measurements).  `mlp_bits`/`mlp_group_size`
+    build the mixed-precision recipe the auto planner picks (quant/mixed.py:
+    attn at `bits`, MLP projections at `mlp_bits`)."""
     keys = iter(jax.random.split(key, 8 + cfg.n_layers * (12 + 3 * cfg.n_experts)))
     dt = cfg.dtype
     hd = cfg.head_dim
 
-    def qlin(k_, din, dout, b=None):
+    def qlin(k_, din, dout, b=None, gs_req=None):
         b = b if b is not None else bits
-        gs = group_size if (b == bits and group_size
-                            and din % group_size == 0) else None
+        gs = gs_req if gs_req is not None else (
+            group_size if b == bits and group_size else None)
+        if gs and din % gs:
+            gs = None
         codebook = "nf4" if b == "nf4" else None
         nb = 4 if codebook else b
         rows = {2: din // 4, 4: din // 2}.get(nb, din)
@@ -513,9 +519,12 @@ def random_quantized_params(cfg: LlamaConfig, key: Array, bits: int = 4,
                 if cfg.shared_expert_gated:
                     layer["shared_gate"] = dense(next(keys), cfg.d_model, 1)
         else:
-            layer["w1"] = qlin(next(keys), cfg.d_model, cfg.d_ff)
-            layer["w3"] = qlin(next(keys), cfg.d_model, cfg.d_ff)
-            layer["w2"] = qlin(next(keys), cfg.d_ff, cfg.d_model)
+            layer["w1"] = qlin(next(keys), cfg.d_model, cfg.d_ff,
+                               mlp_bits, mlp_group_size)
+            layer["w3"] = qlin(next(keys), cfg.d_model, cfg.d_ff,
+                               mlp_bits, mlp_group_size)
+            layer["w2"] = qlin(next(keys), cfg.d_ff, cfg.d_model,
+                               mlp_bits, mlp_group_size)
         if cfg.qkv_bias:
             layer["bq"] = jnp.zeros((cfg.n_heads * hd,), dt)
             layer["bk"] = jnp.zeros((cfg.n_kv_heads * hd,), dt)
