@@ -55,7 +55,8 @@ def main(batch=8, ctx=1024, max_len=2048):
     # Whole-prompt prefill attention temporaries exceed HBM past B*ctx ~ 8k
     # on one chip (engine uses chunked/slot-wise prefill instead); larger
     # batches get a synthetic pre-filled cache and measure decode only.
-    if batch * ctx <= 8 * 1024:
+    decode_only = os.environ.get("PIQUANT_DECODE_ONLY", "0") == "1"
+    if batch * ctx <= 8 * 1024 and not decode_only:
         toks = jax.random.randint(jax.random.key(1), (batch, ctx), 0,
                                   cfg.vocab_size, jnp.int32)
 
@@ -134,4 +135,10 @@ def main(batch=8, ctx=1024, max_len=2048):
 if __name__ == "__main__":
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     c = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    main(b, c)
+    # Right-sized cache (argv[3], e.g. 1152 for ctx 1024 + decode headroom):
+    # attention reads max_len slots every step, so a cache sized to the live
+    # context instead of a 2048 worst-case halves decode cache traffic —
+    # this is the honest serving config (the engine sizes per-request slots
+    # from plen + max_new_tokens, serving/engine.py admission).
+    m = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
+    main(b, c, m)
