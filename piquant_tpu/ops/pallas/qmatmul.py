@@ -769,14 +769,21 @@ def _lut_decode(c, codebook: str):
     vectorized select chain (VPU-friendly; Pallas TPU has no gather).
     bf16 rounding of the irrational NF4 entries is a <=0.4% rel
     perturbation — same W-A16 numerics as the grouped affine kernel's
-    bf16 scale multiply."""
+    bf16 scale multiply.
+
+    The chain selects in f32 and casts to bf16 ONCE at the end: an i1
+    mask from an i32 compare carries (8,128) tiling, and Mosaic cannot
+    relayout it onto a (16,128) bf16 select destination ("Non-singleton
+    logical dimension is replicated in destination but not in source",
+    observed on chip); f32 shares the i32 tiling so the selects lower
+    cleanly.  Values are identical: bf16(lut[i]) == bf16(f32 select)."""
     from piquant_tpu.quant.linear import CODEBOOKS
 
     lut = CODEBOOKS[codebook]
-    v = jnp.full(c.shape, lut[-1], jnp.bfloat16)
+    v = jnp.full(c.shape, lut[-1], jnp.float32)
     for i in range(len(lut) - 2, -1, -1):
-        v = jnp.where(c == i, jnp.bfloat16(lut[i]), v)
-    return v
+        v = jnp.where(c == i, jnp.float32(lut[i]), v)
+    return v.astype(jnp.bfloat16)
 
 
 @lru_cache(maxsize=None)
