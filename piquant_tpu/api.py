@@ -134,6 +134,10 @@ def dequantize(
     dt = dtype_of(dtype)
     if not dt.is_quant:
         raise ValueError(f"dequantize source must be a quant dtype, got {dt.name}")
+    if jnp.issubdtype(jnp.asarray(q).dtype, jnp.inexact):
+        raise ValueError(
+            f"dequantize input must hold integer codes, got {q.dtype} "
+            "(the reference direction contract, src/piquant.cpp:323-327)")
     odt = dtype_of(out_dtype)
     if not odt.is_float:
         raise ValueError(f"dequantize output must be a float dtype, got {odt.name}")

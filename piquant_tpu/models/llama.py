@@ -1214,7 +1214,7 @@ def _moe_dense(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
                                    zero_point=st.zero_point, bits=st.bits,
                                    k=st.k, group_size=st.group_size,
                                    s_chunk=getattr(st, "s_chunk", None),
-                                   zs16=getattr(st, "zs16", None),
+                                   z_chunk=getattr(st, "z_chunk", None),
                                    codebook=getattr(st, "codebook", None))
         return st  # float [K, N] slice
 
@@ -1362,7 +1362,7 @@ def _moe_a2a(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
                                    zero_point=st.zero_point, bits=st.bits,
                                    k=st.k, group_size=st.group_size,
                                    s_chunk=getattr(st, "s_chunk", None),
-                                   zs16=getattr(st, "zs16", None),
+                                   z_chunk=getattr(st, "z_chunk", None),
                                    codebook=getattr(st, "codebook", None))
         return st
 
@@ -1678,7 +1678,7 @@ def shard_params(params: Dict, mesh, tp_axis: str = "tp",
                     zero_point=put(w.zero_point, P(None, tp_axis)),
                     bits=w.bits, k=w.k, group_size=w.group_size,
                     s_chunk=putq(w.s_chunk, P(None, tp_axis)),
-                    zs16=putq(w.zs16, P(None, tp_axis)),
+                    z_chunk=putq(w.z_chunk, P(None, tp_axis)),
                     codebook=w.codebook)
             return QuantizedLinear(
                 data=put(w.data, P(tp_axis, None)),
@@ -1686,7 +1686,7 @@ def shard_params(params: Dict, mesh, tp_axis: str = "tp",
                 zero_point=put(w.zero_point, P(None, None)),
                 bits=w.bits, k=w.k, group_size=w.group_size,
                 s_chunk=putq(w.s_chunk, P(None, None)),
-                zs16=putq(w.zs16, P(None, None)),
+                z_chunk=putq(w.z_chunk, P(None, None)),
                 codebook=w.codebook)
         return put(w, P(None, tp_axis) if kind == "col" else P(tp_axis, None))
 

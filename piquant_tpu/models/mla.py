@@ -447,7 +447,7 @@ def _mlp(cfg: MLAConfig, layer: Dict, x: Array) -> Array:
                                    zero_point=st.zero_point, bits=st.bits,
                                    k=st.k, group_size=st.group_size,
                                    s_chunk=getattr(st, "s_chunk", None),
-                                   zs16=getattr(st, "zs16", None),
+                                   z_chunk=getattr(st, "z_chunk", None),
                                    codebook=getattr(st, "codebook", None))
         return st
 

@@ -651,14 +651,18 @@ def _wg_chunk_kernel(mp: int, k: int, n: int, gs: int, ch: int, bn: int,
     accumulates across chunks (the _w4_kernel_ksplit pattern).  This kills
     the two limiters of the previous strided-layout kernel (187 GB/s):
     the full-plane `pb * sE` bf16 multiply, and the f32 (G, N) side
-    streams (scales/zp*scale now ride bf16 chunk-major — 2 B per group
-    entry, 25% of code traffic each at gs=32).
+    streams.  Side streams ride chunk-major at 3 B per group entry:
+    bf16 scales + RAW int8 zero-points, with the fold term z*s computed
+    in-register per chunk from the same bf16 scale the code dots use
+    (z is exact, so fold error tracks scale rounding — strictly better
+    than a pre-multiplied bf16 zp*scale stream, and 25% less side
+    traffic than bf16 zs + f32-free for INT4 too).
 
     xdt='i8' is the W2A8-g fast path: int8 x chunks against int8-unpacked
     planes with exact i32 accumulation (per-group int accumulation, f32
-    rescale).  The zero-point fold y -= xg @ (z*s) runs once per n-block
-    in the epilogue as an f32 dot over the G axis.  Zero-point/scale math
-    cites reference quantize.inl:27-35 / dequantize.inl:22-28."""
+    rescale).  The zero-point fold y -= xgc @ (z*s) accumulates per chunk
+    as one (mp, cp)@(cp, bn) f32 dot.  Zero-point/scale math cites
+    reference quantize.inl:27-35 / dequantize.inl:22-28."""
     odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
     planes = {2: 4, 4: 2}[bits]
     mask = (1 << bits) - 1
@@ -666,8 +670,9 @@ def _wg_chunk_kernel(mp: int, k: int, n: int, gs: int, ch: int, bn: int,
     gp = g // planes
     nc = gp // ch
     rows = ch * gs
+    cp = planes * ch          # groups per chunk
 
-    def kern(x3_ref, b_ref, s_ref, zs_ref, xg_ref, xs_ref, o_ref, acc_ref):
+    def kern(x3_ref, b_ref, s_ref, z_ref, xgc_ref, xs_ref, o_ref, acc_ref):
         c = pl.program_id(1)
 
         @pl.when(c == 0)
@@ -690,29 +695,32 @@ def _wg_chunk_kernel(mp: int, k: int, n: int, gs: int, ch: int, bn: int,
                         preferred_element_type=jnp.float32)
                 st = s_ref[p * ch + t, :].astype(jnp.float32)[None, :]
                 local = local + part * st
+        # per-chunk zero-point fold: exact int z times the SAME bf16 scale
+        # the code dots above were scaled by
+        zs = (z_ref[:].astype(jnp.float32) * s_ref[:].astype(jnp.float32))
+        local = local - jax.lax.dot_general(
+            xgc_ref[0], zs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         acc_ref[:] += local
 
         @pl.when(c == nc - 1)
         def _():
-            fold = jax.lax.dot_general(
-                xg_ref[:], zs_ref[:].astype(jnp.float32),
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-            o_ref[:] = ((acc_ref[:] - fold) * xs_ref[:]).astype(odt)
+            o_ref[:] = (acc_ref[:] * xs_ref[:]).astype(odt)
 
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((mp, n), odt),
         grid=(n // bn, nc),
         in_specs=[
-            pl.BlockSpec((planes * ch, mp, gs), lambda j, c: (c, 0, 0),
+            pl.BlockSpec((cp, mp, gs), lambda j, c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, bn), lambda j, c: (c, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((planes * ch, bn), lambda j, c: (c, j),
+            pl.BlockSpec((cp, bn), lambda j, c: (c, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, bn), lambda j, c: (0, j),
+            pl.BlockSpec((cp, bn), lambda j, c: (c, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((mp, g), lambda j, c: (0, 0),
+            pl.BlockSpec((1, mp, cp), lambda j, c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((mp, 1), lambda j, c: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -724,14 +732,17 @@ def _wg_chunk_kernel(mp: int, k: int, n: int, gs: int, ch: int, bn: int,
 
 
 def _wg_prep(x2: Array, mp: int, k: int, gs: int, ch: int, planes: int):
-    """Chunk-major x pages + natural-order per-group sums for the kernel."""
+    """Chunk-major x pages + chunk-paged per-group sums for the kernel."""
     from piquant_tpu.quant.linear import grouped_chunk_perm
 
     g = k // gs
+    cp = planes * ch
     perm = jnp.asarray(grouped_chunk_perm(k, gs, ch, planes))
     x3 = x2.reshape(mp, g, gs).transpose(1, 0, 2)[perm]
     xg = jnp.sum(x2.astype(jnp.float32).reshape(mp, g, gs), axis=2)
-    return x3, xg
+    # chunk-paged group sums: page c holds the cp groups chunk c folds
+    xgc = xg[:, perm].reshape(mp, g // cp, cp).transpose(1, 0, 2)
+    return x3, xgc
 
 
 def wg_grouped_matmul(x2: Array, ql, mp: int, out_dtype=jnp.bfloat16,
@@ -756,12 +767,12 @@ def wg_grouped_matmul(x2: Array, ql, mp: int, out_dtype=jnp.bfloat16,
     if bn is None:
         return None
     xdt = "i8" if x2.dtype == jnp.int8 else "bf16"
-    x3, xg = _wg_prep(x2, mp, k, gs, ch, planes)
+    x3, xgc = _wg_prep(x2, mp, k, gs, ch, planes)
     if xs is None:
         xs = jnp.ones((mp, 1), jnp.float32)
     oname = "bf16" if jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16) else "f32"
     kfun = _wg_chunk_kernel(mp, k, n, gs, ch, bn, ql.bits, xdt, oname)
-    return kfun(x3, ql.data, ql.s_chunk, ql.zs16, xg, xs)
+    return kfun(x3, ql.data, ql.s_chunk, ql.z_chunk, xgc, xs)
 
 
 def _lut_decode(c, codebook: str):

@@ -175,14 +175,14 @@ def gptq_quantize_linear(
         data = pack_split_half(cj)
     else:
         data = cj.astype(jnp.uint8)
-    s_chunk = zs16 = None
+    s_chunk = z_chunk = None
     sj = jnp.asarray(scale)
     zj = jnp.asarray(zp)
     if bits in (2, 4) and group_size is not None:
-        s_chunk, zs16 = _grouped_cache(sj, zj, k, group_size, bits)
+        s_chunk, z_chunk = _grouped_cache(sj, zj, k, group_size, bits)
     return QuantizedLinear(data=data, scale=sj, zero_point=zj, bits=bits,
                            k=k, group_size=group_size, s_chunk=s_chunk,
-                           zs16=zs16)
+                           z_chunk=z_chunk)
 
 
 def gptq_quantize_params(

@@ -105,24 +105,27 @@ def grouped_chunk_perm(k: int, group_size: int, ch: int, planes: int = 4):
 
 def _grouped_cache(scale: Array, zp: Array, k: int, group_size: int,
                    bits: int):
-    """Kernel-ready grouped side streams: chunk-major bf16 scales + natural
-    bf16 zp*scale.  Stored on the QuantizedLinear so the per-step decode
-    path streams 2 B/group-entry instead of casting/gathering (G, N) f32
-    every call (side streams are 25% of code traffic each at gs=32)."""
+    """Kernel-ready grouped side streams: chunk-major bf16 scales +
+    chunk-major INT8 zero-points.  Stored on the QuantizedLinear so the
+    per-step decode path streams 3 B/group-entry (2 B scale + 1 B zp)
+    instead of casting/gathering (G, N) f32 every call.
+
+    The zero-point rides as the RAW code (0..15 fits int8 exactly); the
+    kernel computes the fold term z * s in-register from the same bf16
+    scale the code dots use, so the fold error tracks the scale rounding
+    exactly — better than the old pre-multiplied zp*scale stream (bf16
+    zs leaked a visible fold error for INT4, which forced it to f32 and
+    4 B/group; the int8-z form is both smaller and more accurate)."""
     planes = {2: 4, 4: 2}.get(bits)
     if planes is None:
         return None, None
     ch = grouped_chunk_factor(k, group_size, planes)
     if ch is None:
         return None, None
-    perm = grouped_chunk_perm(k, group_size, ch, planes)
-    s_chunk = scale.astype(jnp.bfloat16)[jnp.asarray(perm)]
-    zs = scale.astype(jnp.float32) * zp.astype(jnp.float32)
-    # INT4 zero-points reach 15: bf16 rounding of zp*scale leaks a visible
-    # fold error (sum over G groups); keep the INT4 fold stream f32 (25% of
-    # code bytes at gs=32 vs INT2's 12.5% bf16 stream)
-    zs16 = zs.astype(jnp.bfloat16) if bits == 2 else zs
-    return s_chunk, zs16
+    perm = jnp.asarray(grouped_chunk_perm(k, group_size, ch, planes))
+    s_chunk = scale.astype(jnp.bfloat16)[perm]
+    z_chunk = zp.astype(jnp.int8)[perm]
+    return s_chunk, z_chunk
 
 
 # back-compat alias (weight_cache imports the int2 name)
@@ -257,24 +260,24 @@ class QuantizedLinear:
     k: int             # logical contraction dim
     group_size: Optional[int] = None
     # kernel-ready grouped side streams (derived, not part of the wire
-    # format): chunk-major bf16 scales + natural-order bf16 zp*scale for
-    # the chunk-grid grouped-INT2 kernel (see _grouped_int2_cache)
+    # format): chunk-major bf16 scales + chunk-major int8 raw zero-points
+    # for the chunk-grid grouped kernel (see _grouped_cache)
     s_chunk: Optional[Array] = None
-    zs16: Optional[Array] = None
+    z_chunk: Optional[Array] = None
     # non-uniform codebook name ("nf4"); None = affine.  Codebook weights
     # store absmax scales (w = lut[codes] * scale) and a zero zero_point.
     codebook: Optional[str] = None
 
     def tree_flatten(self):
         return (self.data, self.scale, self.zero_point, self.s_chunk,
-                self.zs16), (self.bits, self.k, self.group_size,
+                self.z_chunk), (self.bits, self.k, self.group_size,
                              self.codebook)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        data, scale, zp, s_chunk, zs16 = children
+        data, scale, zp, s_chunk, z_chunk = children
         bits, k, group_size, codebook = aux
-        return cls(data, scale, zp, bits, k, group_size, s_chunk, zs16,
+        return cls(data, scale, zp, bits, k, group_size, s_chunk, z_chunk,
                    codebook)
 
     @property
@@ -318,12 +321,12 @@ class QuantizedLinear:
             data = wire.reshape(k, n)
         scale = jnp.asarray(scale)
         zero_point = jnp.asarray(zero_point)
-        s_chunk = zs16 = None
+        s_chunk = z_chunk = None
         if bits in (2, 4) and group_size is not None:
-            s_chunk, zs16 = _grouped_cache(scale, zero_point, k,
+            s_chunk, z_chunk = _grouped_cache(scale, zero_point, k,
                                            group_size, bits)
         return cls(data=data, scale=scale, zero_point=zero_point, bits=bits,
-                   k=k, group_size=group_size, s_chunk=s_chunk, zs16=zs16)
+                   k=k, group_size=group_size, s_chunk=s_chunk, z_chunk=z_chunk)
 
     def dequantize(self, dtype=jnp.bfloat16) -> Array:
         """Materialize the full [K, N] float weight (debug / fallback)."""
@@ -360,19 +363,19 @@ class QuantizedExpertStack:
     k: int
     group_size: Optional[int] = None
     s_chunk: Optional[Array] = None   # [E, G, N] — see QuantizedLinear
-    zs16: Optional[Array] = None
+    z_chunk: Optional[Array] = None
     codebook: Optional[str] = None
 
     def tree_flatten(self):
         return (self.data, self.scale, self.zero_point, self.s_chunk,
-                self.zs16), (self.bits, self.k, self.group_size,
+                self.z_chunk), (self.bits, self.k, self.group_size,
                              self.codebook)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        data, scale, zp, s_chunk, zs16 = children
+        data, scale, zp, s_chunk, z_chunk = children
         bits, k, group_size, codebook = aux
-        return cls(data, scale, zp, bits, k, group_size, s_chunk, zs16,
+        return cls(data, scale, zp, bits, k, group_size, s_chunk, z_chunk,
                    codebook)
 
     @property
@@ -389,8 +392,8 @@ class QuantizedExpertStack:
                                k=self.k, group_size=self.group_size,
                                s_chunk=(None if self.s_chunk is None
                                         else self.s_chunk[i]),
-                               zs16=(None if self.zs16 is None
-                                     else self.zs16[i]),
+                               z_chunk=(None if self.z_chunk is None
+                                     else self.z_chunk[i]),
                                codebook=self.codebook)
 
     @staticmethod
@@ -408,7 +411,7 @@ class QuantizedExpertStack:
             bits=q0.bits, k=q0.k, group_size=q0.group_size,
             s_chunk=(jnp.stack([q.s_chunk for q in qls]) if has_cache
                      else None),
-            zs16=(jnp.stack([q.zs16 for q in qls]) if has_cache else None),
+            z_chunk=(jnp.stack([q.z_chunk for q in qls]) if has_cache else None),
             codebook=q0.codebook)
 
 
@@ -419,9 +422,9 @@ def with_grouped_cache(ql: QuantizedLinear) -> QuantizedLinear:
     if (ql.bits not in (2, 4) or ql.group_size is None
             or ql.codebook is not None):
         return ql
-    s_chunk, zs16 = _grouped_cache(ql.scale, ql.zero_point, ql.k,
+    s_chunk, z_chunk = _grouped_cache(ql.scale, ql.zero_point, ql.k,
                                    ql.group_size, ql.bits)
-    return dataclasses.replace(ql, s_chunk=s_chunk, zs16=zs16)
+    return dataclasses.replace(ql, s_chunk=s_chunk, z_chunk=z_chunk)
 
 
 def quantize_linear_weight(
@@ -500,12 +503,12 @@ def quantize_linear_weight(
         data = pack_split_half(codes)
     else:
         data = codes.astype(jnp.uint8)
-    s_chunk = zs16 = None
+    s_chunk = z_chunk = None
     if bits in (2, 4) and group_size is not None:
-        s_chunk, zs16 = _grouped_cache(scale, zp, k, group_size, bits)
+        s_chunk, z_chunk = _grouped_cache(scale, zp, k, group_size, bits)
     return QuantizedLinear(data=data, scale=scale, zero_point=zp, bits=bits,
                            k=k, group_size=group_size, s_chunk=s_chunk,
-                           zs16=zs16)
+                           z_chunk=z_chunk)
 
 
 def _quantize_nf4(w: Array, *, group_size: Optional[int] = None,

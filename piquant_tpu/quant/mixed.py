@@ -46,7 +46,7 @@ __all__ = ["plan_mixed_precision", "plan_bytes", "CANDIDATES"]
 
 # (bits, group_size) ladder, cheapest STREAM cost first.  int4 channelwise
 # sits between int2-g32 and int4-g32: grouped scales are real traffic
-# (bf16 s_chunk + zs16 = 4 B per group entry = 1 bit/weight at gs=32), so
+# (bf16 s_chunk + int8 z_chunk = 3 B per group entry at gs=32), so
 # a ladder without the channelwise rung can never express the
 # attn4-channelwise + mlp2-g32 shape that hand recipes use.
 CANDIDATES: Tuple[Tuple[int, Optional[int]], ...] = (
@@ -55,12 +55,13 @@ CANDIDATES: Tuple[Tuple[int, Optional[int]], ...] = (
 
 def _leaf_bytes(shape, bits: int, gs: Optional[int]) -> float:
     """Decode-path HBM traffic per weight matrix: packed codes + the side
-    streams the kernels actually read (bf16 s_chunk/zs16 for grouped —
-    4 B per group entry; one f32 (scale, zp*scale) row for channelwise)."""
+    streams the kernels actually read (bf16 s_chunk + int8 z_chunk for
+    grouped — 3 B per group entry; one f32 (scale, zp*scale) row for
+    channelwise)."""
     k, n = shape[-2], shape[-1]
     e = shape[0] if len(shape) == 3 else 1
     nbits = 4 if bits == "nf4" else bits   # nf4: 4-bit codes + f32 scales
-    side = (k // gs) * n * 4 if gs else n * 8
+    side = (k // gs) * n * 3 if gs else n * 8
     return e * (k * n * nbits / 8 + side)
 
 

@@ -15,7 +15,7 @@ pickle.
 Round-trips QuantizedLinear / QuantizedExpertStack (affine and NF4),
 float leaves (incl. bf16 via a uint16-bits fixup — safetensors-numpy has
 no ml_dtypes support), dicts, and lists.  Derived grouped side streams
-(s_chunk/zs16) are rebuilt at load like weight_cache does.
+(s_chunk/z_chunk) are rebuilt at load like weight_cache does.
 
 Reference anchor: extends the reference's persistence story (it had
 none — SURVEY §5 checkpoint row) the same way weight_cache.py does, on
@@ -112,12 +112,12 @@ def load_safetensors(path: str) -> Any:
             zp = jnp.asarray(data[path + ".zp"])
             gs = m.get("group_size")
             codebook = m.get("codebook")
-            s_chunk = zs16 = None
+            s_chunk = z_chunk = None
             if m["bits"] in (2, 4) and gs is not None and codebook is None:
                 from piquant_tpu.quant.linear import _grouped_cache
 
                 if m["kind"] == "qlinear":
-                    s_chunk, zs16 = _grouped_cache(scale, zp, m["k"], gs,
+                    s_chunk, z_chunk = _grouped_cache(scale, zp, m["k"], gs,
                                                    m["bits"])
                 else:
                     per = [_grouped_cache(scale[e], zp[e], m["k"], gs,
@@ -125,10 +125,10 @@ def load_safetensors(path: str) -> Any:
                            for e in range(scale.shape[0])]
                     if per and per[0][0] is not None:
                         s_chunk = jnp.stack([p[0] for p in per])
-                        zs16 = jnp.stack([p[1] for p in per])
+                        z_chunk = jnp.stack([p[1] for p in per])
             return cls(data=jnp.asarray(data[path + ".data"]), scale=scale,
                        zero_point=zp, bits=m["bits"], k=m["k"],
-                       group_size=gs, s_chunk=s_chunk, zs16=zs16,
+                       group_size=gs, s_chunk=s_chunk, z_chunk=z_chunk,
                        codebook=codebook)
         if m["kind"] == "dict":
             return {k: build(f"{path}/{k}") for k in m["keys"]}

@@ -21,7 +21,7 @@ from piquant_tpu.quant.linear import (QuantizedExpertStack,
                                       QuantizedLinear)
 
 FORMAT_VERSION = 2  # v2: natural-layout grouped INT2 + cached side streams
-# (QuantizedLinear.s_chunk/zs16 pytree leaves) — v1 caches used the old
+# (QuantizedLinear.s_chunk/z_chunk pytree leaves) — v1 caches used the old
 # strided-group packed layout and must re-quantize
 
 
@@ -90,13 +90,13 @@ def load_quantized(path: str) -> Any:
             zp = jnp.asarray(data[path + ".zp"])
             gs = m.get("group_size")
             codebook = m.get("codebook")
-            s_chunk = zs16 = None
+            s_chunk = z_chunk = None
             if m["bits"] in (2, 4) and gs is not None and codebook is None:
                 # rebuild the kernel-ready grouped side streams (derived
                 # state, cheaper to recompute than to persist)
                 from piquant_tpu.quant.linear import _grouped_cache
                 if m["kind"] == "qlinear":
-                    s_chunk, zs16 = _grouped_cache(scale, zp, m["k"], gs,
+                    s_chunk, z_chunk = _grouped_cache(scale, zp, m["k"], gs,
                                                    m["bits"])
                 else:
                     per = [_grouped_cache(scale[e], zp[e], m["k"], gs,
@@ -104,14 +104,14 @@ def load_quantized(path: str) -> Any:
                            for e in range(scale.shape[0])]
                     if per and per[0][0] is not None:
                         s_chunk = jnp.stack([p[0] for p in per])
-                        zs16 = jnp.stack([p[1] for p in per])
+                        z_chunk = jnp.stack([p[1] for p in per])
             return cls(
                 data=jnp.asarray(data[path + ".data"]),
                 scale=scale,
                 zero_point=zp,
                 bits=m["bits"], k=m["k"],
                 group_size=gs,
-                s_chunk=s_chunk, zs16=zs16,
+                s_chunk=s_chunk, z_chunk=z_chunk,
                 codebook=codebook,
             )
         if m["kind"] == "dict":

@@ -56,7 +56,7 @@ def test_roundtrip_and_storage(group_size):
     ql = quantize_linear_weight(w, "nf4", group_size=group_size)
     assert ql.codebook == "nf4" and ql.bits == 4
     assert ql.data.shape == (k // 2, n)          # split-half packed
-    assert ql.s_chunk is None and ql.zs16 is None
+    assert ql.s_chunk is None and ql.z_chunk is None
     assert int(jnp.max(jnp.abs(ql.zero_point))) == 0
     dq = np.asarray(ql.dequantize(jnp.float32))
     # absmax scaling: every dequantized value within its group's absmax,

@@ -184,7 +184,7 @@ def test_grouped_chunk_kernel_matches_fallback(bits, k, gs, m):
     n = 256
     w = jnp.asarray(rng.normal(0, 0.05, (k, n)), jnp.float32)
     ql = quantize_linear_weight(w, bits, group_size=gs)
-    assert ql.s_chunk is not None and ql.zs16 is not None
+    assert ql.s_chunk is not None and ql.z_chunk is not None
     x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.float32)
     got = Q.quantized_matmul(x, ql, jnp.float32)
     assert got is not None  # Pallas path engaged
