@@ -42,8 +42,11 @@ def main(batch=8, ctx=1024, max_len=2048):
     # MLP at MLP_BITS — quant/mixed.py picks attn int4 + mlp int2-g32)
     mlp_bits = int(os.environ.get("PIQUANT_MLP_BITS", "0")) or None
     mlp_gs = int(os.environ.get("PIQUANT_MLP_GS", "0")) or None
+    # PIQUANT_LMHEAD_BITS: lm_head code width (default int8 = 0.53 GB/step;
+    # 4 halves that — quality cost on real weights TBD, traffic win ~0.3 ms)
+    lmh_bits = int(os.environ.get("PIQUANT_LMHEAD_BITS", "8"))
     params = M.random_quantized_params(cfg, jax.random.key(0), bits=bits,
-                                       lm_head_bits=8, group_size=gs,
+                                       lm_head_bits=lmh_bits, group_size=gs,
                                        mlp_bits=mlp_bits, mlp_group_size=mlp_gs)
     if os.environ.get("PIQUANT_FUSE", "0") == "1":
         # wqkv/w13 fusion: fewer launches/buffers but measured ~5% SLOWER

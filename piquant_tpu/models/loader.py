@@ -416,8 +416,11 @@ def load_from_hf(model_or_path, dtype=jnp.bfloat16,
                   (quant/rotate.py) absorbed offline — composable as a
                   prefix, e.g. "rotate+gptq" (no calibration needed for
                   the rotation itself)
-    awq/gptq need `calib_tokens` ([B, T] int token ids) and a dense
-    (non-MoE) model."""
+      "smooth"    SmoothQuant outlier migration (quant/smooth.py) — for
+                  the act-quant (W8A8/W4A8) paths; composable like awq,
+                  e.g. "smooth+gptq"
+    awq/gptq/smooth need `calib_tokens` ([B, T] int token ids) and a
+    dense (non-MoE) model."""
     if isinstance(model_or_path, str):
         from transformers import AutoModelForCausalLM
 
@@ -427,11 +430,12 @@ def load_from_hf(model_or_path, dtype=jnp.bfloat16,
     if quantize_bits is not None:
         steps = method.split("+")
         if (not steps or len(set(steps)) != len(steps)
-                or any(s not in ("rtn", "rotate", "awq", "gptq")
+                or any(s not in ("rtn", "rotate", "awq", "gptq", "smooth")
                        for s in steps)
                 or ("rtn" in steps and len(steps) > 1 + ("rotate" in steps))):
             raise ValueError(f"unknown quantization method {method!r}")
-        if ("awq" in steps or "gptq" in steps) and calib_tokens is None:
+        if (any(s in steps for s in ("awq", "gptq", "smooth"))
+                and calib_tokens is None):
             raise ValueError(f"method={method!r} needs calib_tokens")
         from piquant_tpu.models.llama import quantize_params
 
@@ -439,6 +443,13 @@ def load_from_hf(model_or_path, dtype=jnp.bfloat16,
             from piquant_tpu.quant.rotate import rotate_params
 
             params = rotate_params(cfg, params)
+        if "smooth" in steps:
+            from piquant_tpu.quant.awq import collect_activation_stats
+            from piquant_tpu.quant.smooth import apply_smooth_scales
+
+            stats = collect_activation_stats(cfg, params, calib_tokens,
+                                             stat="absmax")
+            params = apply_smooth_scales(cfg, params, stats)
         if "awq" in steps:
             from piquant_tpu.quant.awq import (apply_awq_scales,
                                                collect_activation_stats)

@@ -28,6 +28,11 @@ from piquant_tpu.quant.mixed import (  # noqa: F401
     plan_bytes,
     plan_mixed_precision,
 )
+from piquant_tpu.quant.smooth import (  # noqa: F401
+    apply_smooth_scales,
+    smooth_quantize_params,
+    smooth_scales,
+)
 from piquant_tpu.quant.rotate import (  # noqa: F401
     fold_norms,
     rotate_params,

@@ -51,14 +51,22 @@ FOLD_GROUPS: Tuple[Tuple[str, Tuple[str, ...]], ...] = (
 
 def collect_activation_stats(
     cfg: M.LlamaConfig, params: Dict, tokens,
+    stat: str = "mean",
 ) -> Dict[Tuple[int, str], np.ndarray]:
-    """mean |input| per input channel for every 2-D float linear.
+    """Per-input-channel activation statistic for every 2-D float linear.
+
+    `stat="mean"` records mean |x| per channel (the AWQ salience proxy);
+    `stat="absmax"` records the running max |x| (what SmoothQuant's
+    migration objective needs — per-token int8 scales are set by the
+    worst channel, quant/smooth.py).
 
     Runs ONE eager forward over the calibration batch with `llama._mm`
     patched to record its `x` operand (keyed by weight identity ->
     (layer, name)).  Works on float (unquantized) params; MoE layers are
     rejected (their expert scan traces `_mm`, hiding concrete values).
     """
+    if stat not in ("mean", "absmax"):
+        raise ValueError(f"stat must be 'mean' or 'absmax', got {stat!r}")
     if any("router" in l for l in params["layers"]):
         raise ValueError("AWQ calibration supports dense models only "
                          "(MoE expert scans hide activations)")
@@ -78,10 +86,15 @@ def collect_activation_stats(
     def patched(x, w, out_dtype, act_quant: bool = False):
         key = paths.get(id(w))
         if key is not None and not isinstance(x, jax.core.Tracer):
-            a = np.asarray(jnp.mean(jnp.abs(x.astype(jnp.float32)),
-                                    axis=tuple(range(x.ndim - 1))))
+            ax = jnp.abs(x.astype(jnp.float32))
+            red = tuple(range(x.ndim - 1))
+            a = np.asarray(jnp.max(ax, axis=red) if stat == "absmax"
+                           else jnp.mean(ax, axis=red))
             if key in sums:
-                sums[key] += a
+                if stat == "absmax":
+                    np.maximum(sums[key], a, out=sums[key])
+                else:
+                    sums[key] += a
                 counts[key] += 1
             else:
                 sums[key] = a
@@ -93,6 +106,8 @@ def collect_activation_stats(
         M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
     finally:
         M._mm = orig
+    if stat == "absmax":
+        return dict(sums)
     return {k: sums[k] / counts[k] for k in sums}
 
 
