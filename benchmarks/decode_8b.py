@@ -83,9 +83,13 @@ def main(batch=8, ctx=1024, max_len=2048):
         print(f"synthetic pre-filled cache for batch={batch} (decode-only)", flush=True)
         kk = jax.random.key(2)
         shape = cache.k_codes.shape  # [L, B, H, S, D]
+        cdt = cache.k_codes.dtype   # int8, or int4 under PIQUANT_KV_BITS=4
+        cmax = 7 if cdt == jnp.int4 else 127
 
+        @jax.jit  # jit: int4 casts must not dispatch eagerly (axon S4 bug)
         def rnd_codes(k_):
-            return jax.random.randint(k_, shape, -127, 128, jnp.int32).astype(jnp.int8)
+            return jax.random.randint(k_, shape, -cmax, cmax + 1,
+                                      jnp.int32).astype(cdt)
 
         from piquant_tpu.quant.kv_cache import KVCache
         cache = KVCache(

@@ -19,6 +19,7 @@ behind `kv_cache_read` later.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -55,6 +56,16 @@ class KVCache:
         return self.k_codes.shape[2]
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def _zeros_jit(shape, dtype) -> Array:
+    # int4 zeros must be built UNDER jit: an eager `jnp.zeros(..., int4)`
+    # dispatches `lax.full` with an S4[] scalar operand, which the axon
+    # (remote-TPU) backend answers with "Recursively calling jit" —
+    # observed on kv_bits=4 cache init, 2026-08-19.  Under jit the fill
+    # is a compiled constant and never ships a sub-byte scalar.
+    return jnp.zeros(shape, dtype)
+
+
 def kv_cache_init(batch: int, n_kv_heads: int, max_len: int, head_dim: int,
                   bits: int = 8) -> KVCache:
     """bits=4 stores int4 codes (XLA packs them in HBM — half the cache
@@ -64,11 +75,11 @@ def kv_cache_init(batch: int, n_kv_heads: int, max_len: int, head_dim: int,
         raise ValueError("KV cache bits must be 4 or 8")
     dt = jnp.int4 if bits == 4 else jnp.int8
     return KVCache(
-        k_codes=jnp.zeros((batch, n_kv_heads, max_len, head_dim), dt),
-        v_codes=jnp.zeros((batch, n_kv_heads, max_len, head_dim), dt),
-        k_scale=jnp.zeros((batch, n_kv_heads, max_len, 1), jnp.float32),
-        v_scale=jnp.zeros((batch, n_kv_heads, max_len, 1), jnp.float32),
-        length=jnp.zeros((batch,), jnp.int32),
+        k_codes=_zeros_jit((batch, n_kv_heads, max_len, head_dim), dt),
+        v_codes=_zeros_jit((batch, n_kv_heads, max_len, head_dim), dt),
+        k_scale=_zeros_jit((batch, n_kv_heads, max_len, 1), jnp.float32),
+        v_scale=_zeros_jit((batch, n_kv_heads, max_len, 1), jnp.float32),
+        length=_zeros_jit((batch,), jnp.int32),
     )
 
 
