@@ -892,6 +892,11 @@ def _attention(
                                         # from registers (the mask must then
                                         # EXCLUDE kv_pos == qp — forward()
                                         # builds it strict)
+    flash_ok: bool = False,             # forward() proved the mask is plain
+                                        # causal: the in-layer prefill branch
+                                        # may use the tiled flash kernel
+                                        # (ops/flash_prefill.py) instead of
+                                        # materializing [B,H,T,S] scores
 ) -> Tuple[Array, Optional[KVCache]]:
     b, t, _ = x.shape
     hd = cfg.head_dim
@@ -991,7 +996,14 @@ def _attention(
             return _mm(ctx, layer["wo"], dt, aq), cache
         w = attn_window or cache.k_codes.shape[3]
         kc = cache.k_codes[layer_idx, :, :, :w]  # [B, Hkv, W, D] int8
-        vc = cache.v_codes[layer_idx, :, :, :w]
+        vc = cache.v_codes[layer_idx, :, :, :w]  # (kv4: [B,Hkv,W,D/2] u8)
+        if cfg.kv_bits == 4:
+            # nibble-packed cache: the HBM read is D/2 bytes per position
+            # (half the kv8 traffic); the unpack is VPU work fused into
+            # the dot's operand read
+            from piquant_tpu.quant.kv_cache import unpack4
+
+            kc, vc = unpack4(kc), unpack4(vc)
         ks = cache.k_scale[layer_idx, :, :, :w][:, :, None, None, :, 0]
         vs = cache.v_scale[layer_idx, :, :, :w][:, :, :, 0]    # [B, Hkv, W]
         scores = jnp.einsum(
@@ -1012,6 +1024,10 @@ def _attention(
             # deferred logits within float-association noise of the
             # append-then-read path
             kq, ksq, vq, vsq = pending[-1]
+            if cfg.kv_bits == 4:
+                from piquant_tpu.quant.kv_cache import unpack4
+
+                kq, vq = unpack4(kq), unpack4(vq)
             s_self = jnp.einsum(
                 "bhrtd,bhsd->bhrts", qg.astype(jnp.bfloat16),
                 kq.astype(jnp.bfloat16),
@@ -1044,17 +1060,26 @@ def _attention(
                              preferred_element_type=jnp.float32)
     else:
         # in-layer attention (no cache, or fresh prefill): float k/v
-        scores = jnp.einsum(
-            "bhrtd,bhsd->bhrts", qg.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32)
-        scores = scores * ascale
-        if cfg.attn_softcap:
-            scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
-        scores = scores + mask[:, None]
-        probs = _softmax_with_sinks(scores, snk)
-        ctx = jnp.einsum("bhrts,bhsd->bhrtd", probs.astype(jnp.bfloat16),
-                         v.astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
+        ctx = None
+        if flash_ok and snk is None and not cfg.attn_softcap:
+            # tiled flash kernel: O(T) attention memory, no [B,H,T,S]
+            # scores round-trip — and lifts the B*ctx ~ 8k single-chip
+            # prefill cap the materialized path has
+            from piquant_tpu.ops.flash_prefill import flash_prefill
+
+            ctx = flash_prefill(qg, k, v, ascale)
+        if ctx is None:
+            scores = jnp.einsum(
+                "bhrtd,bhsd->bhrts", qg.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+            scores = scores * ascale
+            if cfg.attn_softcap:
+                scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
+            scores = scores + mask[:, None]
+            probs = _softmax_with_sinks(scores, snk)
+            ctx = jnp.einsum("bhrts,bhsd->bhrtd", probs.astype(jnp.bfloat16),
+                             v.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
 
     ctx = ctx.astype(dt).reshape(b, cfg.n_heads, t, hd).transpose(0, 2, 1, 3)
     ctx = ctx.reshape(b, t, cfg.n_heads * hd)
@@ -1476,6 +1501,12 @@ def forward(
     masks = None        # (local, full) pair for alternating-layout models
     local_period = (cfg.sliding_pattern
                     or (cfg.nope_pattern if cfg.chunk_window else None))
+    # Flash prefill is sound only when the mask is the DEFAULT causal one:
+    # positions are strictly increasing along T in every prefill path, so
+    # index-causality == position-causality.  Windowed/chunked layouts and
+    # caller-supplied masks fall back to the materialized-scores path.
+    flash_ok = (mask is None and t > 1 and not local_period
+                and cfg.sliding_window is None and cfg.chunk_window is None)
     if mask is None:
         def build_mask(window, chunk=None):
             if attend_in_layer or cache is None:
@@ -1512,7 +1543,8 @@ def forward(
                               rms_norm(x, layer["attn_norm"], cfg.rms_eps,
                                        cfg.norm_plus_one),
                               positions, cache, i, mk, attend_in_layer,
-                              kv_write_start, attn_window, pending)
+                              kv_write_start, attn_window, pending,
+                              flash_ok=flash_ok)
         if cfg.sandwich_norms:  # Gemma-2: norm the block OUTPUTS too
             h = rms_norm(h, layer["post_attn_norm"], cfg.rms_eps,
                          cfg.norm_plus_one)

@@ -164,10 +164,13 @@ class LatentKVCache:
 
 
 def init_latent_cache(cfg: MLAConfig, batch: int, max_len: int) -> LatentKVCache:
-    cdt = jnp.int4 if cfg.kv_bits == 4 else jnp.int8
+    # kv4 latent codes are nibble-packed uint8 [..., R/2] (pack4 in
+    # quant/kv_cache.py — native jnp.int4 cannot cross a jit boundary on
+    # the axon backend, and explicit packing guarantees the byte layout)
+    cdt = jnp.uint8 if cfg.kv_bits == 4 else jnp.int8
+    cr = cfg.kv_lora_rank // 2 if cfg.kv_bits == 4 else cfg.kv_lora_rank
     return LatentKVCache(
-        c_codes=jnp.zeros((cfg.n_layers, batch, max_len, cfg.kv_lora_rank),
-                          cdt),
+        c_codes=jnp.zeros((cfg.n_layers, batch, max_len, cr), cdt),
         c_scale=jnp.ones((cfg.n_layers, batch, max_len, 1), jnp.float32),
         k_pe=jnp.zeros((cfg.n_layers, batch, max_len, cfg.qk_rope_head_dim),
                        jnp.bfloat16),
@@ -179,14 +182,27 @@ def init_latent_cache(cfg: MLAConfig, batch: int, max_len: int) -> LatentKVCache
 
 def _quantize_latent(c: Array, bits: int = 8) -> Tuple[Array, Array]:
     """Per-token symmetric INT8/INT4 (same scheme as quant/kv_cache.py;
-    bits=4 halves the latent-cache bytes on top of MLA's compression)."""
+    bits=4 halves the latent-cache bytes on top of MLA's compression and
+    returns nibble-packed uint8 [..., R/2])."""
+    from piquant_tpu.quant.kv_cache import pack4
+
     qmax = 127.0 if bits == 8 else 7.0
     cf = c.astype(jnp.float32)
     amax = jnp.max(jnp.abs(cf), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / qmax
-    codes = jnp.clip(jnp.round(cf / scale), -qmax, qmax).astype(
-        jnp.int8 if bits == 8 else jnp.int4)
+    codes = jnp.clip(jnp.round(cf / scale), -qmax, qmax).astype(jnp.int8)
+    if bits == 4:
+        return pack4(codes), scale
     return codes, scale
+
+
+def _codes_bf16(cc: Array, bits: int) -> Array:
+    """Cache codes -> bf16 operand (unpacks the kv4 nibble layout)."""
+    if bits == 4:
+        from piquant_tpu.quant.kv_cache import unpack4
+
+        cc = unpack4(cc)
+    return cc.astype(jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------
@@ -622,7 +638,7 @@ def forward_chunk(
         w_k, w_v = _split_kv_b(cfg, layer)
         q_lat = jnp.einsum("bhtn,rhn->bhtr", q_nope.astype(jnp.bfloat16),
                            w_k, preferred_element_type=jnp.float32)
-        cc = cache.c_codes[li, :, :w].astype(jnp.bfloat16)       # [B,w,R]
+        cc = _codes_bf16(cache.c_codes[li, :, :w], cfg.kv_bits)  # [B,w,R]
         cs = cache.c_scale[li, :, :w, 0]                         # [B,w]
         scores = (
             jnp.einsum("bhtr,bsr->bhts", q_lat.astype(jnp.bfloat16), cc,
@@ -696,7 +712,7 @@ def decode_step(
         # score side: q into latent space, one dot against the INT8 cache
         q_lat = jnp.einsum("bhn,rhn->bhr", q_nope[:, :, 0].astype(jnp.bfloat16),
                            w_k, preferred_element_type=jnp.float32)
-        cc = cache.c_codes[li, :, :s_max].astype(jnp.bfloat16)  # [B,S,R]
+        cc = _codes_bf16(cache.c_codes[li, :, :s_max], cfg.kv_bits)  # [B,S,R]
         cs = cache.c_scale[li, :, :s_max, 0]                    # [B,S]
         scores_lat = jnp.einsum("bhr,bsr->bhs", q_lat.astype(jnp.bfloat16), cc,
                                 preferred_element_type=jnp.float32) * cs[:, None]
@@ -778,7 +794,7 @@ def forward_verify(
         w_k, w_v = _split_kv_b(cfg, layer)
         q_lat = jnp.einsum("bhtn,rhn->bhtr", q_nope.astype(jnp.bfloat16),
                            w_k, preferred_element_type=jnp.float32)
-        cc = cache.c_codes[li, :, :w].astype(jnp.bfloat16)       # [B,w,R]
+        cc = _codes_bf16(cache.c_codes[li, :, :w], cfg.kv_bits)  # [B,w,R]
         cs = cache.c_scale[li, :, :w, 0]                         # [B,w]
         scores = (
             jnp.einsum("bhtr,bsr->bhts", q_lat.astype(jnp.bfloat16), cc,

@@ -32,7 +32,31 @@ _QMAX = 127.0
 
 
 def _cache_bits(cache: "KVCache") -> int:
-    return 4 if cache.k_codes.dtype == jnp.int4 else 8
+    # kv4 codes are nibble-packed in uint8 (see pack4); kv8 codes are int8
+    return 4 if cache.k_codes.dtype == jnp.uint8 else 8
+
+
+def pack4(codes: Array) -> Array:
+    """Split-half nibble pack along the last (head_dim) axis: byte i holds
+    code i (low nibble) and code i+D/2 (high), both offset-8 ([-7,7] ->
+    [1,15]).  Contiguous-slice packing — XLA lane-strided packing runs at
+    ~0.6 GB/s on TPU (NOTES.md), the split-half form is free.
+
+    Native jnp.int4 would be the obvious storage, but int4 arrays cannot
+    cross a jit boundary on the axon (remote TPU) backend — the arg
+    transfer path recurses (probed 2026-08-19).  Explicit packing also
+    removes any reliance on XLA choosing to pack sub-byte HBM buffers."""
+    d = codes.shape[-1]
+    c = (codes.astype(jnp.int32) + 8).astype(jnp.uint8)
+    return c[..., : d // 2] | (c[..., d // 2:] << 4)
+
+
+def unpack4(packed: Array) -> Array:
+    """Inverse of pack4: uint8 [..., D/2] -> int8 codes [..., D]."""
+    p = packed.astype(jnp.int32)
+    lo = (p & 15) - 8
+    hi = (p >> 4) - 8
+    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -56,40 +80,36 @@ class KVCache:
         return self.k_codes.shape[2]
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _zeros_jit(shape, dtype) -> Array:
-    # int4 zeros must be built UNDER jit: an eager `jnp.zeros(..., int4)`
-    # dispatches `lax.full` with an S4[] scalar operand, which the axon
-    # (remote-TPU) backend answers with "Recursively calling jit" —
-    # observed on kv_bits=4 cache init, 2026-08-19.  Under jit the fill
-    # is a compiled constant and never ships a sub-byte scalar.
-    return jnp.zeros(shape, dtype)
-
-
 def kv_cache_init(batch: int, n_kv_heads: int, max_len: int, head_dim: int,
                   bits: int = 8) -> KVCache:
-    """bits=4 stores int4 codes (XLA packs them in HBM — half the cache
-    bytes/traffic of int8 at a per-(position, head) symmetric-scale
-    quality cost; an opt-in memory/long-context knob)."""
+    """bits=4 stores nibble-packed uint8 codes, [B, H, S, D/2] — half the
+    cache bytes/traffic of int8 at a per-(position, head) symmetric-scale
+    quality cost; an opt-in memory/long-context knob (see pack4)."""
     if bits not in (4, 8):
         raise ValueError("KV cache bits must be 4 or 8")
-    dt = jnp.int4 if bits == 4 else jnp.int8
+    if bits == 4 and head_dim % 2:
+        raise ValueError("kv_bits=4 needs an even head_dim")
+    dt = jnp.uint8 if bits == 4 else jnp.int8
+    cd = head_dim // 2 if bits == 4 else head_dim
     return KVCache(
-        k_codes=_zeros_jit((batch, n_kv_heads, max_len, head_dim), dt),
-        v_codes=_zeros_jit((batch, n_kv_heads, max_len, head_dim), dt),
-        k_scale=_zeros_jit((batch, n_kv_heads, max_len, 1), jnp.float32),
-        v_scale=_zeros_jit((batch, n_kv_heads, max_len, 1), jnp.float32),
-        length=_zeros_jit((batch,), jnp.int32),
+        k_codes=jnp.zeros((batch, n_kv_heads, max_len, cd), dt),
+        v_codes=jnp.zeros((batch, n_kv_heads, max_len, cd), dt),
+        k_scale=jnp.zeros((batch, n_kv_heads, max_len, 1), jnp.float32),
+        v_scale=jnp.zeros((batch, n_kv_heads, max_len, 1), jnp.float32),
+        length=jnp.zeros((batch,), jnp.int32),
     )
 
 
 def _quantize_sym(x: Array, bits: int = 8) -> Tuple[Array, Array]:
-    """Symmetric quantization along the last axis (per token+head)."""
+    """Symmetric quantization along the last axis (per token+head).
+    bits=4 returns nibble-packed uint8 codes ([..., D/2], see pack4)."""
     qmax = _QMAX if bits == 8 else 7.0
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(amax, _EPS) / qmax
     codes = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -qmax, qmax)
-    return codes.astype(jnp.int4 if bits == 4 else jnp.int8), scale
+    if bits == 4:
+        return pack4(codes.astype(jnp.int8)), scale
+    return codes.astype(jnp.int8), scale
 
 
 def kv_cache_append(
@@ -174,8 +194,11 @@ def kv_cache_append_stacked(
 def kv_cache_read(cache: KVCache, dtype=jnp.bfloat16) -> Tuple[Array, Array]:
     """Dequantize the full cache (masking beyond `length` is the caller's
     job via attention masks).  [B, H_kv, S_max, D] each."""
-    k = (cache.k_codes.astype(jnp.float32) * cache.k_scale).astype(dtype)
-    v = (cache.v_codes.astype(jnp.float32) * cache.v_scale).astype(dtype)
+    kc, vc = cache.k_codes, cache.v_codes
+    if _cache_bits(cache) == 4:
+        kc, vc = unpack4(kc), unpack4(vc)
+    k = (kc.astype(jnp.float32) * cache.k_scale).astype(dtype)
+    v = (vc.astype(jnp.float32) * cache.v_scale).astype(dtype)
     return k, v
 
 

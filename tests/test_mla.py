@@ -490,7 +490,9 @@ def test_mla_int4_latent_cache():
     full, _ = L.forward(cfg, params, toks)
 
     cache = L.init_latent_cache(cfg4, 2, max_len=16)
-    assert cache.c_codes.dtype == jnp.int4
+    # kv4 latent codes are nibble-packed uint8, [L,B,S,R/2]
+    assert cache.c_codes.dtype == jnp.uint8
+    assert cache.c_codes.shape[-1] == cfg4.kv_lora_rank // 2
     _, cache = L.forward(cfg4, params, toks[:, :-1], cache=cache)
     lg, _ = L.decode_step(cfg4, params, toks[:, -1],
                           jnp.full((2,), 8, jnp.int32), cache)

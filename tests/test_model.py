@@ -283,7 +283,9 @@ def test_int4_kv_cache_decode_consistency():
     full, _ = M.forward(cfg8, params, toks)
 
     cache = M.init_kv_cache(cfg4, 2, max_len=16)
-    assert cache.k_codes.dtype == jnp.int4
+    # kv4 codes are nibble-packed uint8, [B,H,S,D/2] (half the kv8 bytes)
+    assert cache.k_codes.dtype == jnp.uint8
+    assert cache.k_codes.shape[-1] == cfg4.head_dim // 2
     _, cache = M.forward(cfg4, params, toks[:, :-1], cache=cache,
                          attend_in_layer=True, kv_write_start=jnp.int32(0))
     lg, cache = M.decode_step(cfg4, params, toks[:, -1],
@@ -296,3 +298,14 @@ def test_int4_kv_cache_decode_consistency():
     eng.submit(Request(rid=0, prompt=[4, 5, 6, 7],
                        sampling=SamplingParams(max_new_tokens=6)))
     assert len(eng.run()[0].tokens) == 6
+
+
+def test_pack4_roundtrip():
+    """Nibble pack/unpack is lossless over the full [-7, 7] code range."""
+    from piquant_tpu.quant.kv_cache import pack4, unpack4
+    rng = np.random.default_rng(SEED + 99)
+    codes = jnp.asarray(rng.integers(-7, 8, (3, 5, 16)), jnp.int8)
+    packed = pack4(codes)
+    assert packed.dtype == jnp.uint8 and packed.shape == (3, 5, 8)
+    np.testing.assert_array_equal(np.asarray(unpack4(packed)),
+                                  np.asarray(codes))
