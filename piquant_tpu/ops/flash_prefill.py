@@ -1,0 +1,72 @@
+"""Flash-attention prefill: O(T) memory instead of materialized scores.
+
+The XLA prefill path materializes [B, H, T, S] f32 scores per layer
+(llama._attention's einsum -> softmax -> einsum).  At 8x1024 that is
+~1 GB of HBM round-trips per layer and caps single-chip prefill at
+B*ctx ~ 8k (the attention temporaries exceed HBM beyond that —
+benchmarks/decode_8b.py).  The tiled flash kernel (running-max online
+softmax over K blocks) never materializes the scores, so prefill memory
+goes O(T^2) -> O(T) and long contexts fit on one chip.
+
+Uses the Mosaic flash kernel shipped with JAX
+(jax.experimental.pallas.ops.tpu.flash_attention) rather than a
+hand-rolled clone: block sizes and pipelining are already tuned per TPU
+generation.  GQA is handled by repeating K/V to the full head count in
+bf16 (T*D*H*2 bytes — noise next to the score traffic it removes).
+
+Engaged from llama.forward for the standard causal subset only:
+default mask, no sliding/chunk window, no softcap, no attention sinks,
+head_dim 128.  Everything else falls back to the XLA path (`None`
+return).  PIQUANT_FLASH=0 disables; =force engages off-TPU (tests run
+it in interpret mode via pltpu.force_tpu_interpret_mode).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def flash_prefill(q: Array, k: Array, v: Array, sm_scale: float,
+                  ) -> Optional[Array]:
+    """q: [B, Hkv, rep, T, D]; k/v: [B, Hkv, T, D] (bf16/f32).
+
+    Returns [B, Hkv, rep, T, D] f32 context (causal), or None when the
+    geometry or backend can't take the kernel.
+    """
+    env = os.environ.get("PIQUANT_FLASH", "1")
+    if env == "0":
+        return None
+    if jax.config.jax_enable_x64:
+        # the shipped kernel mixes int32/int64 index math under x64
+        # (flash_attention.py:626 lax.select) — fall back; production TPU
+        # runs x64 off, tests wrap calls in jax.experimental.disable_x64()
+        return None
+    b, hkv, rep, t, d = q.shape
+    if (d != 128 or t % 128 or t < 256
+            or (jax.default_backend() != "tpu" and env != "force")):
+        return None
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, flash_attention)
+
+    h = hkv * rep
+    qf = q.reshape(b, h, t, d).astype(jnp.bfloat16)
+    kf = jnp.repeat(k, rep, axis=1).astype(jnp.bfloat16)
+    vf = jnp.repeat(v, rep, axis=1).astype(jnp.bfloat16)
+    blk = min(512, t)
+    bs = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        # (only the forward pass is used at prefill; backward blocks are
+        # required constructor args)
+        block_q_major_dkv=blk, block_k_major_dkv=blk,
+        block_k_dkv=blk, block_q_dkv=blk,
+        block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+    )
+    ctx = flash_attention(qf, kf, vf, causal=True, sm_scale=sm_scale,
+                          block_sizes=bs)
+    return ctx.astype(jnp.float32).reshape(b, hkv, rep, t, d)
