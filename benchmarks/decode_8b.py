@@ -59,7 +59,11 @@ def main(batch=8, ctx=1024, max_len=2048):
     # on one chip (engine uses chunked/slot-wise prefill instead); larger
     # batches get a synthetic pre-filled cache and measure decode only.
     decode_only = os.environ.get("PIQUANT_DECODE_ONLY", "0") == "1"
-    if batch * ctx <= 8 * 1024 and not decode_only:
+    # PIQUANT_PREFILL=force: run whole-prompt prefill past the B*ctx ~ 8k
+    # cap (sound with the flash-prefill path — no materialized scores);
+    # PIQUANT_PREFILL_ONLY=1: exit after the prefill measurement.
+    prefill_force = os.environ.get("PIQUANT_PREFILL", "") == "force"
+    if (batch * ctx <= 8 * 1024 or prefill_force) and not decode_only:
         toks = jax.random.randint(jax.random.key(1), (batch, ctx), 0,
                                   cfg.vocab_size, jnp.int32)
 
@@ -79,16 +83,20 @@ def main(batch=8, ctx=1024, max_len=2048):
               f"({batch*ctx/t_prefill:.0f} tok/s prefill; cold {t_prefill_cold:.1f}s)",
               flush=True)
         last_tok = last.argmax(-1).astype(jnp.int32)
+        if os.environ.get("PIQUANT_PREFILL_ONLY", "0") == "1":
+            return
     else:
         print(f"synthetic pre-filled cache for batch={batch} (decode-only)", flush=True)
         kk = jax.random.key(2)
         shape = cache.k_codes.shape  # [L, B, H, S, D]
-        cdt = cache.k_codes.dtype   # int8, or int4 under PIQUANT_KV_BITS=4
-        cmax = 7 if cdt == jnp.int4 else 127
+        cdt = cache.k_codes.dtype   # int8, or nibble-packed uint8 (kv4)
 
-        @jax.jit  # jit: int4 casts must not dispatch eagerly (axon S4 bug)
+        @jax.jit
         def rnd_codes(k_):
-            return jax.random.randint(k_, shape, -cmax, cmax + 1,
+            if cdt == jnp.uint8:    # kv4: any byte is a valid nibble pair
+                return jax.random.randint(k_, shape, 0, 256,
+                                          jnp.int32).astype(jnp.uint8)
+            return jax.random.randint(k_, shape, -127, 128,
                                       jnp.int32).astype(cdt)
 
         from piquant_tpu.quant.kv_cache import KVCache
