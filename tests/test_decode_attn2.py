@@ -1,0 +1,98 @@
+"""Flash-decode v2 kernel (ops/pallas/decode_attn2.py), interpret mode:
+state (acc, m, l) matches a numpy flash computation over the LIVE prefix,
+for kv8 and packed kv4, with per-row positions (live-length masking)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from piquant_tpu.ops.pallas.decode_attn2 import decode_attention_state
+from piquant_tpu.quant.kv_cache import pack4
+
+SEED = 0xDA2
+
+
+def _mk(b, hkv, rep, s, d, kv_bits, seed=SEED):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(0, 1, (b, hkv, rep, d)).astype(np.float32)
+    qmax = 127 if kv_bits == 8 else 7
+    kc = rng.integers(-qmax, qmax + 1, (b, hkv, s, d)).astype(np.int8)
+    vc = rng.integers(-qmax, qmax + 1, (b, hkv, s, d)).astype(np.int8)
+    ks = rng.uniform(0.005, 0.02, (b, hkv, s, 1)).astype(np.float32)
+    vs = rng.uniform(0.005, 0.02, (b, hkv, s, 1)).astype(np.float32)
+    return q, kc, vc, ks, vs
+
+
+def _reference(q, kc, ks, vc, vs, pos, sm):
+    """Dense softmax over positions < pos[b]; bf16 dots like the kernel."""
+    b, hkv, rep, d = q.shape
+    s = kc.shape[2]
+    qb = jnp.asarray(q).astype(jnp.bfloat16)
+    kb = jnp.asarray(kc).astype(jnp.bfloat16)
+    scores = jnp.einsum("bhrd,bhsd->bhrs", qb, kb,
+                        preferred_element_type=jnp.float32)
+    scores = scores * jnp.asarray(ks)[:, :, None, :, 0] * sm
+    valid = (np.arange(s)[None] < np.asarray(pos)[:, None])  # [B, S]
+    scores = jnp.where(jnp.asarray(valid)[:, None, None], scores, -jnp.inf)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    pv = (p * jnp.asarray(vs)[:, :, None, :, 0]).astype(jnp.bfloat16)
+    acc = jnp.einsum("bhrs,bhsd->bhrd", pv,
+                     jnp.asarray(vc).astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return np.asarray(acc), np.asarray(m), np.asarray(l)
+
+
+@pytest.mark.parametrize("kv_bits", [8, 4])
+def test_state_matches_reference(kv_bits):
+    b, hkv, rep, s, d = 2, 4, 2, 1024, 128
+    q, kc, vc, ks, vs = _mk(b, hkv, rep, s, d, kv_bits)
+    pos = np.array([700, 1024], np.int32)   # uneven live lengths
+
+    if kv_bits == 4:
+        kcs = pack4(jnp.asarray(kc))
+        vcs = pack4(jnp.asarray(vc))
+    else:
+        kcs, vcs = jnp.asarray(kc), jnp.asarray(vc)
+
+    out = decode_attention_state(
+        jnp.asarray(q), kcs, jnp.asarray(ks), vcs, jnp.asarray(vs),
+        jnp.asarray(pos), 0.0883883, interpret=True)
+    assert out is not None
+    acc, m, l = (np.asarray(o) for o in out)
+
+    racc, rm, rl = _reference(q, kc, ks, vc, vs, pos, 0.0883883)
+    np.testing.assert_allclose(m, rm, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(l, rl, rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(acc, racc, rtol=0.03, atol=0.02)
+
+    # normalized context too (what the model consumes)
+    np.testing.assert_allclose(acc / l, racc / rl, rtol=0.02, atol=0.01)
+
+
+def test_dead_chunks_do_not_contribute():
+    """pos=1 (single live position): output equals V[0] exactly (softmax of
+    one element), regardless of garbage elsewhere in the cache."""
+    b, hkv, rep, s, d = 1, 2, 2, 1024, 128
+    q, kc, vc, ks, vs = _mk(b, hkv, rep, s, d, 8, seed=SEED + 1)
+    pos = np.array([1], np.int32)
+    out = decode_attention_state(
+        jnp.asarray(q), jnp.asarray(kc), jnp.asarray(ks),
+        jnp.asarray(vc), jnp.asarray(vs), jnp.asarray(pos), 1.0,
+        interpret=True)
+    acc, m, l = (np.asarray(o) for o in out)
+    np.testing.assert_allclose(l, np.ones_like(l), rtol=1e-6)
+    want = (vc[:, :, 0].astype(np.float32) * vs[:, :, 0])[:, :, None]
+    np.testing.assert_allclose(acc, np.broadcast_to(want, acc.shape),
+                               rtol=1e-2, atol=1e-3)
+
+
+def test_geometry_fallback():
+    q = jnp.zeros((1, 2, 2, 96), jnp.float32)     # d not 128-multiple
+    kc = jnp.zeros((1, 2, 512, 96), jnp.int8)
+    ks = jnp.zeros((1, 2, 512, 1), jnp.float32)
+    assert decode_attention_state(q, kc, ks, kc, ks,
+                                  jnp.zeros(1, jnp.int32), 1.0,
+                                  interpret=True) is None
