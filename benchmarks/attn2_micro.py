@@ -42,23 +42,24 @@ def build(s, kv_bits, key):
     return kc, ksc, vc, vsc
 
 
-def chain(fn, q0, iters):
-    def body(i, q):
-        ctx = fn(q)
-        # data dependence: next q = normalized ctx (prevents hoisting)
-        return (ctx / (jnp.abs(ctx).max() + 1.0)).astype(q.dtype)
-    return jax.lax.fori_loop(0, iters, body, q0)
+def measure(name, fn, q0, arrays, bytes_per_iter):
+    """NOTES session-4: cache arrays MUST be jit ARGUMENTS, not closures —
+    closed-over device arrays lower as MLIR constants through the relay."""
+    def chain(q0, iters, *arrs):
+        def body(i, q):
+            ctx = fn(q, *arrs)
+            # data dependence: next q = normalized ctx (prevents hoisting)
+            return (ctx / (jnp.abs(ctx).max() + 1.0)).astype(q.dtype)
+        return jax.lax.fori_loop(0, iters, body, q0)
 
-
-def measure(name, fn, q0, bytes_per_iter):
-    f = jax.jit(chain, static_argnums=(0, 2))
+    f = jax.jit(chain, static_argnums=(1,))
     for k1, k2 in [(16, 272)]:
-        r1 = jax.block_until_ready(f(fn, q0, k1))
+        r1 = jax.block_until_ready(f(q0, k1, *arrays))
         t0 = time.perf_counter()
-        r1 = jax.block_until_ready(f(fn, q0, k1))
+        r1 = jax.block_until_ready(f(q0, k1, *arrays))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        r2 = jax.block_until_ready(f(fn, q0, k2))
+        r2 = jax.block_until_ready(f(q0, k2, *arrays))
         t2 = time.perf_counter() - t0
         dt = (t2 - t1) / (k2 - k1)
         gbs = bytes_per_iter / dt / 1e9
@@ -71,10 +72,7 @@ def main(live=1024, max_len=2048):
     q0 = jax.random.normal(jax.random.key(9), (B, HKV, REP, D), jnp.float32)
     pos = jnp.full((B,), live, jnp.int32)
 
-    # XLA full-read path (what llama._attention does today), kv8
-    kc, ksc, vc, vsc = build(max_len, 8, key)
-
-    def xla_attn(q):
+    def xla_attn(q, kc, ksc, vc, vsc, pos):
         qb = q.astype(jnp.bfloat16)
         scores = jnp.einsum("bhrd,bhsd->bhrs", qb, kc.astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32)
@@ -86,24 +84,21 @@ def main(live=1024, max_len=2048):
         return jnp.einsum("bhrs,bhsd->bhrd", pv, vc.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
 
-    full_bytes = 2 * B * HKV * max_len * (D + 4)
-    live_bytes8 = 2 * B * HKV * live * (D + 4)
-    live_bytes4 = 2 * B * HKV * live * (D // 2 + 4)
-    measure(f"xla kv8 full-{max_len}", xla_attn, q0, full_bytes)
-
-    def k2_attn(q):
+    def k2_attn(q, kc, ksc, vc, vsc, pos):
         acc, m, l = decode_attention_state(q, kc, ksc, vc, vsc, pos, SM)
         return acc / l
 
-    measure(f"attn2 kv8 live-{live}", k2_attn, q0, live_bytes8)
-
-    kc4, ksc4, vc4, vsc4 = build(max_len, 4, key)
-
-    def k4_attn(q):
-        acc, m, l = decode_attention_state(q, kc4, ksc4, vc4, vsc4, pos, SM)
-        return acc / l
-
-    measure(f"attn2 kv4 live-{live}", k4_attn, q0, live_bytes4)
+    full_bytes = 2 * B * HKV * max_len * (D + 4)
+    live_bytes8 = 2 * B * HKV * live * (D + 4)
+    live_bytes4 = 2 * B * HKV * live * (D // 2 + 4)
+    arrays8 = build(max_len, 8, key)
+    measure(f"xla kv8 full-{max_len}", xla_attn, q0,
+            (*arrays8, pos), full_bytes)
+    measure(f"attn2 kv8 live-{live}", k2_attn, q0,
+            (*arrays8, pos), live_bytes8)
+    arrays4 = build(max_len, 4, key)
+    measure(f"attn2 kv4 live-{live}", k2_attn, q0,
+            (*arrays4, pos), live_bytes4)
 
 
 if __name__ == "__main__":

@@ -53,8 +53,22 @@ def pallas_attn(q, kc, ks, vc, vs, pos):
     return decode_attention(q, kc, ks, vc, vs, pos, SCALE)
 
 
-def bench(name, fn, k1=16, k2=96):
-    q, kc, ks, vc, vs, pos = make_inputs()
+def attn2(q, kc, ks, vc, vs, pos):
+    """flash-decode v2: live-length reads (pos+1 semantics differ by one
+    position from xla_attn's <=pos — negligible for the perf compare)."""
+    from piquant_tpu.ops.pallas.decode_attn2 import decode_attention_state
+    acc, m, l = decode_attention_state(q, kc, ks, vc, vs, pos + 1, SCALE)
+    return acc / l
+
+
+def attn2_kv4(q, kc, ks, vc, vs, pos):
+    from piquant_tpu.ops.pallas.decode_attn2 import decode_attention_state
+    acc, m, l = decode_attention_state(q, kc, ks, vc, vs, pos + 1, SCALE)
+    return acc / l
+
+
+def bench(name, fn, k1=16, k2=96, mk_inputs=None):
+    q, kc, ks, vc, vs, pos = (mk_inputs or make_inputs)()
 
     def mk(iters):
         @jax.jit
@@ -89,13 +103,27 @@ def bench(name, fn, k1=16, k2=96):
 
 def check(fn_a, fn_b, tag):
     q, kc, ks, vc, vs, pos = make_inputs()
+    # xla_attn masks <= pos; attn2 uses strict < (pos+1 passed inside)
     a = np.asarray(fn_a(q, kc, ks, vc, vs, pos), np.float32)
     b = np.asarray(fn_b(q, kc, ks, vc, vs, pos), np.float32)
     err = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
     print(f"{tag}: rel err {err:.2e}")
 
 
+def make_inputs_kv4():
+    from piquant_tpu.quant.kv_cache import pack4
+    q, kc, ks, vc, vs, pos = make_inputs()
+    return q, jax.jit(pack4)(kc), ks, jax.jit(pack4)(vc), vs, pos
+
+
 if __name__ == "__main__":
-    check(xla_attn, pallas_attn, "pallas vs xla")
-    bench("xla", xla_attn)
-    bench("pallas", pallas_attn)
+    import os
+    which = os.environ.get("PIQUANT_ATTN_VARIANTS", "xla,attn2,attn2_kv4")
+    fns = {"xla": (xla_attn, make_inputs),
+           "pallas": (pallas_attn, make_inputs),
+           "attn2": (attn2, make_inputs),
+           "attn2_kv4": (attn2_kv4, make_inputs_kv4)}
+    check(xla_attn, attn2, "attn2 vs xla")
+    for name in which.split(","):
+        fn, mk_in = fns[name]
+        bench(name, fn, mk_inputs=mk_in)

@@ -997,6 +997,53 @@ def _attention(
         w = attn_window or cache.k_codes.shape[3]
         kc = cache.k_codes[layer_idx, :, :, :w]  # [B, Hkv, W, D] int8
         vc = cache.v_codes[layer_idx, :, :, :w]  # (kv4: [B,Hkv,W,D/2] u8)
+        a2 = _os.environ.get("PIQUANT_ATTN2", "1")
+        if (t == 1 and pending is not None and not cfg.attn_softcap
+                and a2 != "0"
+                and (jax.default_backend() == "tpu" or a2 == "force")):
+            # flash-decode v2 (ops/pallas/decode_attn2.py): reads only the
+            # LIVE cache prefix (dead-chunk DMAs elided via scalar-prefetch
+            # index maps) and unpacks kv4 nibbles in-register; the current
+            # token + sink logits join the softmax below, exactly the
+            # split-softmax recipe of the XLA path that follows.
+            from piquant_tpu.ops.pallas.decode_attn2 import (
+                decode_attention_state)
+
+            st = decode_attention_state(
+                qg[:, :, :, 0], kc, cache.k_scale[layer_idx, :, :, :w],
+                vc, cache.v_scale[layer_idx, :, :, :w],
+                positions[:, 0], ascale,
+                interpret=(jax.default_backend() != "tpu"))
+            if st is not None:
+                acc, m_c, l_c = st        # [B,Hkv,rep,D], [B,Hkv,rep,1] x2
+                kq, ksq, vq, vsq = pending[-1]
+                if cfg.kv_bits == 4:
+                    from piquant_tpu.quant.kv_cache import unpack4
+
+                    kq, vq = unpack4(kq), unpack4(vq)
+                s_self = jnp.einsum(
+                    "bhrtd,bhsd->bhrts", qg.astype(jnp.bfloat16),
+                    kq.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+                s_self = (s_self * ksq[:, :, None] * ascale)[:, :, :, 0, :]
+                m2 = jnp.maximum(m_c, s_self)        # [B, Hkv, rep, 1]
+                if snk is not None:
+                    m2 = jnp.maximum(m2, snk[:, :, :, 0])
+                ec = jnp.exp(m_c - m2)
+                es = jnp.exp(s_self - m2)
+                denom = l_c * ec + es
+                if snk is not None:
+                    denom = denom + jnp.exp(snk[:, :, :, 0] - m2)
+                v_self = vq.astype(jnp.float32) * vsq    # [B, Hkv, 1, D]
+                ctx = (acc * ec + es * v_self) / denom
+                ctx = ctx[:, :, :, None]                 # [B,Hkv,rep,1,D]
+                ctx = ctx.astype(dt).reshape(b, cfg.n_heads, t, hd
+                                             ).transpose(0, 2, 1, 3)
+                ctx = ctx.reshape(b, t, cfg.n_heads * hd)
+                out = _mm(ctx, layer["wo"], dt, aq)
+                if cfg.o_bias:
+                    out = out + layer["bo"]
+                return out, cache
         if cfg.kv_bits == 4:
             # nibble-packed cache: the HBM read is D/2 bytes per position
             # (half the kv8 traffic); the unpack is VPU work fused into

@@ -96,3 +96,76 @@ def test_geometry_fallback():
     assert decode_attention_state(q, kc, ks, kc, ks,
                                   jnp.zeros(1, jnp.int32), 1.0,
                                   interpret=True) is None
+
+
+def test_model_decode_integration():
+    """decode_step through the attn2 kernel (forced, interpret) matches the
+    XLA split-softmax path on a quantized tiny model."""
+    import dataclasses
+    import os
+
+    from piquant_tpu.models import llama as M
+
+    cfg = M.LlamaConfig(vocab_size=128, d_model=256, n_layers=2, n_heads=4,
+                        n_kv_heads=2, d_ff=256, max_seq_len=2048,
+                        dtype=jnp.float32)
+    params = M.quantize_params(M.init_params(cfg, jax.random.key(11)), bits=8)
+    rng = np.random.default_rng(SEED + 5)
+    toks = jnp.asarray(rng.integers(0, 128, (2, 9)), jnp.int32)
+
+    def run():
+        cache = M.init_kv_cache(cfg, 2, max_len=1024)
+        _, cache = M.forward(cfg, params, toks[:, :-1], cache=cache,
+                             attend_in_layer=True, kv_write_start=jnp.int32(0))
+        lg, _ = M.decode_step(cfg, params, toks[:, -1],
+                              jnp.full((2,), 8, jnp.int32), cache)
+        return np.asarray(lg)
+
+    os.environ["PIQUANT_ATTN2"] = "0"
+    try:
+        base = run()
+    finally:
+        os.environ["PIQUANT_ATTN2"] = "force"
+    try:
+        fast = run()
+    finally:
+        os.environ.pop("PIQUANT_ATTN2")
+
+    rel = np.abs(fast - base).max() / np.abs(base).max()
+    assert rel < 5e-3, rel
+    assert (fast.argmax(-1) == base.argmax(-1)).all()
+
+
+def test_model_decode_integration_kv4():
+    import dataclasses
+    import os
+
+    from piquant_tpu.models import llama as M
+
+    cfg = M.LlamaConfig(vocab_size=128, d_model=256, n_layers=2, n_heads=4,
+                        n_kv_heads=2, d_ff=256, max_seq_len=2048,
+                        dtype=jnp.float32, kv_bits=4)
+    params = M.quantize_params(M.init_params(cfg, jax.random.key(12)), bits=8)
+    rng = np.random.default_rng(SEED + 6)
+    toks = jnp.asarray(rng.integers(0, 128, (2, 9)), jnp.int32)
+
+    def run():
+        cache = M.init_kv_cache(cfg, 2, max_len=1024)
+        _, cache = M.forward(cfg, params, toks[:, :-1], cache=cache,
+                             attend_in_layer=True, kv_write_start=jnp.int32(0))
+        lg, _ = M.decode_step(cfg, params, toks[:, -1],
+                              jnp.full((2,), 8, jnp.int32), cache)
+        return np.asarray(lg)
+
+    os.environ["PIQUANT_ATTN2"] = "0"
+    try:
+        base = run()
+    finally:
+        os.environ["PIQUANT_ATTN2"] = "force"
+    try:
+        fast = run()
+    finally:
+        os.environ.pop("PIQUANT_ATTN2")
+
+    rel = np.abs(fast - base).max() / np.abs(base).max()
+    assert rel < 5e-3, rel
