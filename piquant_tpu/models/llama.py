@@ -994,25 +994,31 @@ def _attention(
                                          ).transpose(0, 2, 1, 3)
             ctx = ctx.reshape(b, t, cfg.n_heads * hd)
             return _mm(ctx, layer["wo"], dt, aq), cache
-        w = attn_window or cache.k_codes.shape[3]
-        kc = cache.k_codes[layer_idx, :, :, :w]  # [B, Hkv, W, D] int8
-        vc = cache.v_codes[layer_idx, :, :, :w]  # (kv4: [B,Hkv,W,D/2] u8)
         a2 = _os.environ.get("PIQUANT_ATTN2", "1")
         if (t == 1 and pending is not None and not cfg.attn_softcap
-                and a2 != "0"
+                and cfg.kv_bits == 8 and a2 != "0"
                 and (jax.default_backend() == "tpu" or a2 == "force")):
+            # kv8 only: the stacked kv4 block (last dim D/2=64) violates
+            # Mosaic's 128-lane block alignment, and per-layer sliced
+            # operands materialize full cache copies (21.5 ms/step
+            # measured).  kv4 stays a CAPACITY knob (half the cache HBM)
+            # through the XLA unpack path below.
             # flash-decode v2 (ops/pallas/decode_attn2.py): reads only the
             # LIVE cache prefix (dead-chunk DMAs elided via scalar-prefetch
             # index maps) and unpacks kv4 nibbles in-register; the current
             # token + sink logits join the softmax below, exactly the
-            # split-softmax recipe of the XLA path that follows.
+            # split-softmax recipe of the XLA path that follows.  The
+            # STACKED cache goes in whole (layer picked by the kernel's
+            # block index maps) — slicing it here would materialize a full
+            # per-layer cache copy, XLA can't fuse slices into custom
+            # calls.  Live-length clamping subsumes attn_window.
             from piquant_tpu.ops.pallas.decode_attn2 import (
                 decode_attention_state)
 
             st = decode_attention_state(
-                qg[:, :, :, 0], kc, cache.k_scale[layer_idx, :, :, :w],
-                vc, cache.v_scale[layer_idx, :, :, :w],
-                positions[:, 0], ascale,
+                qg[:, :, :, 0], cache.k_codes, cache.k_scale,
+                cache.v_codes, cache.v_scale,
+                positions[:, 0], ascale, layer=layer_idx,
                 interpret=(jax.default_backend() != "tpu"))
             if st is not None:
                 acc, m_c, l_c = st        # [B,Hkv,rep,D], [B,Hkv,rep,1] x2
@@ -1044,6 +1050,9 @@ def _attention(
                 if cfg.o_bias:
                     out = out + layer["bo"]
                 return out, cache
+        w = attn_window or cache.k_codes.shape[3]
+        kc = cache.k_codes[layer_idx, :, :, :w]  # [B, Hkv, W, D] int8
+        vc = cache.v_codes[layer_idx, :, :, :w]  # (kv4: [B,Hkv,W,D/2] u8)
         if cfg.kv_bits == 4:
             # nibble-packed cache: the HBM read is D/2 bytes per position
             # (half the kv8 traffic); the unpack is VPU work fused into

@@ -55,7 +55,13 @@ NEG_INF = -1e30
 
 @lru_cache(maxsize=None)
 def _kernel(b: int, hkv: int, rep: int, s: int, d: int, sc: int,
-            kv_bits: int, scale: float, interpret: bool = False):
+            kv_bits: int, scale: float, layer: int = -1,
+            interpret: bool = False):
+    """layer >= 0: code operands are the STACKED cache [L, B, Hkv, S, cd]
+    and blocks select (layer, bi, ...) — XLA cannot fuse a slice into a
+    custom call, so per-layer sliced operands cost a full cache copy per
+    layer per step (measured +3 ms on 8B decode); stacked blocks read the
+    cache buffer in place."""
     nsc = s // sc
     hr = hkv * rep
     cd = d // 2 if kv_bits == 4 else d   # stored code columns
@@ -77,6 +83,8 @@ def _kernel(b: int, hkv: int, rep: int, s: int, d: int, sc: int,
              acc_out, m_out, l_out, m_ref, l_ref, acc_ref):
         bi = pl.program_id(0)
         sci = pl.program_id(1)
+        if layer >= 0:   # stacked blocks carry a leading (1,) layer axis
+            kc_ref, vc_ref = kc_ref.at[0], vc_ref.at[0]
 
         @pl.when(sci == 0)
         def _():
@@ -133,8 +141,14 @@ def _kernel(b: int, hkv: int, rep: int, s: int, d: int, sc: int,
         # last chunk holding any position < pos; pos >= 1 in decode
         return jnp.maximum(pos - jnp.int32(1), 0) // jnp.int32(sc)
 
-    def kv_map(bi, sci, p):
-        return (bi, 0, jnp.minimum(sci, live_chunk(p[bi])), 0)
+    if layer >= 0:
+        def kv_map(bi, sci, p):
+            return (layer, bi, 0, jnp.minimum(sci, live_chunk(p[bi])), 0)
+        kv_block = (1, 1, hkv, sc, cd)
+    else:
+        def kv_map(bi, sci, p):
+            return (bi, 0, jnp.minimum(sci, live_chunk(p[bi])), 0)
+        kv_block = (1, hkv, sc, cd)
 
     def sc_map(bi, sci, p):
         return (bi, 0, 0, jnp.minimum(sci, live_chunk(p[bi])))
@@ -153,11 +167,11 @@ def _kernel(b: int, hkv: int, rep: int, s: int, d: int, sc: int,
             in_specs=[
                 pl.BlockSpec((1, hkv, rep, d), lambda bi, sci, p: (bi, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hkv, sc, cd), kv_map,
+                pl.BlockSpec(kv_block, kv_map,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, hkv, 1, sc), sc_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hkv, sc, cd), kv_map,
+                pl.BlockSpec(kv_block, kv_map,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, hkv, 1, sc), sc_map,
                              memory_space=pltpu.VMEM),
@@ -182,14 +196,18 @@ def _kernel(b: int, hkv: int, rep: int, s: int, d: int, sc: int,
 
 def decode_attention_state(
     q: Array,          # [B, Hkv, rep, D] bf16/f32
-    k_codes: Array,    # [B, Hkv, S, D] int8  or [B, Hkv, S, D/2] uint8 (kv4)
-    k_scale: Array,    # [B, Hkv, S, 1] f32
+    k_codes: Array,    # [B, Hkv, S, D] int8 / [B, Hkv, S, D/2] uint8 (kv4);
+                       # or the STACKED cache [L, B, Hkv, S, cd] with `layer`
+    k_scale: Array,    # [B, Hkv, S, 1] f32 (or stacked [L, B, Hkv, S, 1])
     v_codes: Array,
     v_scale: Array,
     positions: Array,  # [B] int32 — current decode position per row;
                        # cache positions p < positions[b] contribute
     sm_scale: float,
     *,
+    layer: Optional[int] = None,   # REQUIRED with stacked (5-D) codes:
+                                   # the kernel block-indexes the layer so
+                                   # no per-layer cache copy materializes
     interpret: bool = False,
 ) -> Optional[Tuple[Array, Array, Array]]:
     """Returns (acc [B,Hkv,rep,D] f32, m [B,Hkv,rep,1], l [B,Hkv,rep,1])
@@ -197,15 +215,24 @@ def decode_attention_state(
     when the geometry has no fast path.  ctx = acc / l when no extra
     terms join the softmax."""
     b, hkv, rep, d = q.shape
-    s = k_codes.shape[2]
+    stacked = k_codes.ndim == 5
+    if stacked and layer is None:
+        raise ValueError("stacked cache codes need layer=")
+    s = k_codes.shape[3 if stacked else 2]
     kv_bits = 4 if k_codes.dtype == jnp.uint8 else 8
-    cd = k_codes.shape[3]
+    cd = k_codes.shape[-1]
     if d % 128 or (kv_bits == 4 and cd != d // 2) or (kv_bits == 8 and cd != d):
         return None
     sc = min(S_CHUNK, s)
     if s % sc:
         return None
-    kf = _kernel(b, hkv, rep, s, d, sc, kv_bits, sm_scale, interpret)
+    if stacked:
+        ks2 = k_scale[layer].reshape(b, hkv, 1, s)   # small (S f32) copies
+        vs2 = v_scale[layer].reshape(b, hkv, 1, s)
+    else:
+        ks2 = k_scale.reshape(b, hkv, 1, s)
+        vs2 = v_scale.reshape(b, hkv, 1, s)
+    kf = _kernel(b, hkv, rep, s, d, sc, kv_bits, sm_scale,
+                 layer if stacked else -1, interpret)
     return kf(positions.astype(jnp.int32), q.astype(jnp.bfloat16),
-              k_codes, k_scale.reshape(b, hkv, 1, s),
-              v_codes, v_scale.reshape(b, hkv, 1, s))
+              k_codes, ks2, v_codes, vs2)
