@@ -14,8 +14,17 @@ SEED = 0x9032002
 
 @pytest.fixture(autouse=True)
 def _interpret():
-    with pltpu.force_tpu_interpret_mode():
+    import os
+    if os.environ.get("PIQUANT_TPU_TEST_TPU") == "1":
+        # on-chip mode: run the kernels COMPILED.  Forcing interpret mode
+        # against the remote backend dispatches the kernel body op-by-op
+        # through the relay and deadlocks (the NOTES.md io_callback/futex
+        # gotcha) — this fixture wedged the whole on-chip suite at the
+        # first qmatmul test until gated.
         yield
+    else:
+        with pltpu.force_tpu_interpret_mode():
+            yield
 
 
 @pytest.mark.parametrize("bits", [4, 8])
