@@ -71,6 +71,11 @@ def _w4_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
             pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        # both grid dims are independent (no cross-step accumulation):
+        # telling Mosaic lets it overlap the next tile's weight DMA with
+        # this tile's unpack+dot instead of serializing grid steps
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
     )
 
 
@@ -928,6 +933,8 @@ def _w2_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
     )
 
 
@@ -1044,6 +1051,8 @@ def _w8_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
             pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
     )
 
 
