@@ -54,11 +54,13 @@ def flash_prefill(q: Array, k: Array, v: Array, sm_scale: float,
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, flash_attention)
 
+    blk = next((c for c in (512, 256, 128) if t % c == 0), None)
+    if blk is None:
+        return None
     h = hkv * rep
     qf = q.reshape(b, h, t, d).astype(jnp.bfloat16)
     kf = jnp.repeat(k, rep, axis=1).astype(jnp.bfloat16)
     vf = jnp.repeat(v, rep, axis=1).astype(jnp.bfloat16)
-    blk = min(512, t)
     bs = BlockSizes(
         block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
         # (only the forward pass is used at prefill; backward blocks are

@@ -114,3 +114,20 @@ def test_config_fallbacks_still_correct():
     finally:
         os.environ.pop("PIQUANT_FLASH")
     assert not np.allclose(np.asarray(yw), np.asarray(yf))
+
+
+def test_t768_block_selection():
+    """T=768 (a serving bucket size) must pick a dividing block (256), not
+    crash on the 512 default — regression from the serving load bench."""
+    rng = np.random.default_rng(SEED + 9)
+    b, hkv, rep, t, d = 1, 2, 2, 768, 128
+    q = jnp.asarray(rng.normal(0, 1, (b, hkv, rep, t, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(0, 1, (b, hkv, t, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(0, 1, (b, hkv, t, d)).astype(np.float32))
+    os.environ["PIQUANT_FLASH"] = "force"
+    try:
+        with jax.enable_x64(False), pltpu.force_tpu_interpret_mode():
+            got = flash_prefill(q, k, v, d ** -0.5)
+    finally:
+        os.environ.pop("PIQUANT_FLASH")
+    assert got is not None and got.shape == (b, hkv, rep, t, d)
