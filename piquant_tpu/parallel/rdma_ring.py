@@ -43,7 +43,6 @@ opt-in behind the stable `quantized_all_reduce` API until then.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

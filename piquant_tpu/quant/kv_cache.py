@@ -19,7 +19,7 @@ behind `kv_cache_read` later.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Optional, Tuple
 
 import jax

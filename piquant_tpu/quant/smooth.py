@@ -29,7 +29,6 @@ from __future__ import annotations
 
 from typing import Dict, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
