@@ -198,6 +198,20 @@ class LlamaConfig:
                                      else None)
         return bool(p) and (li + 1) % p != 0
 
+    def layer_window(self, li: int):
+        """(sliding_window, chunk_window) effective on layer li — the
+        build_mask() selection as data: (None, None) = full attention.
+        Mistral: every layer sliding; Gemma-2/3 & GPT-OSS: sliding on
+        local layers; Llama-4: chunked on rope (local) layers."""
+        if self.sliding_pattern:
+            return ((self.sliding_window if self.layer_is_local(li)
+                     else None), None)
+        if self.chunk_window:
+            return None, (self.chunk_window
+                          if not self.nope_pattern or self.layer_is_local(li)
+                          else None)
+        return self.sliding_window, None
+
     def moe_layer(self, li: int) -> bool:
         if self.n_experts <= 1:
             return False
@@ -1015,10 +1029,23 @@ def _attention(
             from piquant_tpu.ops.pallas.decode_attn2 import (
                 decode_attention_state)
 
+            # Windowed layers: the kernel takes a per-row window START and
+            # masks idx < start (and elides the dead leading-chunk DMAs) —
+            # the exact build_mask semantics.  Sliding: kp > qp - w;
+            # Llama-4 chunk: kp // C == qp // C.  Full layers in
+            # alternating layouts (layer_is_local False) keep start = 0.
+            pos_b = positions[:, 0]
+            win, chunk = cfg.layer_window(layer_idx)
+            if win is not None:
+                starts = jnp.maximum(pos_b - jnp.int32(win - 1), 0)
+            elif chunk is not None:
+                starts = (pos_b // jnp.int32(chunk)) * jnp.int32(chunk)
+            else:
+                starts = None
             st = decode_attention_state(
                 qg[:, :, :, 0], cache.k_codes, cache.k_scale,
                 cache.v_codes, cache.v_scale,
-                positions[:, 0], ascale, layer=layer_idx,
+                pos_b, ascale, layer=layer_idx, starts=starts,
                 interpret=(jax.default_backend() != "tpu"))
             if st is not None:
                 acc, m_c, l_c = st        # [B,Hkv,rep,D], [B,Hkv,rep,1] x2
@@ -1117,13 +1144,22 @@ def _attention(
     else:
         # in-layer attention (no cache, or fresh prefill): float k/v
         ctx = None
-        if flash_ok and snk is None and not cfg.attn_softcap:
+        if flash_ok:
             # tiled flash kernel: O(T) attention memory, no [B,H,T,S]
             # scores round-trip — and lifts the B*ctx ~ 8k single-chip
-            # prefill cap the materialized path has
+            # prefill cap the materialized path has.  The dispatcher
+            # routes windowed/chunked/softcap/sink geometries to the
+            # native masked kernel (ops/pallas/flash.py) and plain causal
+            # to the shipped Mosaic kernel.
             from piquant_tpu.ops.flash_prefill import flash_prefill
 
-            ctx = flash_prefill(qg, k, v, ascale)
+            win, chunk = cfg.layer_window(layer_idx)
+            snk2 = (layer["sinks"].astype(jnp.float32)
+                    .reshape(cfg.n_kv_heads, rep) if cfg.attn_sinks
+                    else None)
+            ctx = flash_prefill(qg, k, v, ascale, pos0=positions[:, 0],
+                                window=win, chunk=chunk,
+                                softcap=cfg.attn_softcap, sinks=snk2)
         if ctx is None:
             scores = jnp.einsum(
                 "bhrtd,bhsd->bhrts", qg.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
@@ -1557,12 +1593,12 @@ def forward(
     masks = None        # (local, full) pair for alternating-layout models
     local_period = (cfg.sliding_pattern
                     or (cfg.nope_pattern if cfg.chunk_window else None))
-    # Flash prefill is sound only when the mask is the DEFAULT causal one:
-    # positions are strictly increasing along T in every prefill path, so
-    # index-causality == position-causality.  Windowed/chunked layouts and
-    # caller-supplied masks fall back to the materialized-scores path.
-    flash_ok = (mask is None and t > 1 and not local_period
-                and cfg.sliding_window is None and cfg.chunk_window is None)
+    # Flash prefill is sound only when the mask is one of the DEFAULT
+    # families (causal / sliding / chunked — reconstructed inside the
+    # kernels from per-row positions): positions are contiguous along T in
+    # every prefill path, so index math reproduces build_mask exactly.
+    # Caller-supplied masks fall back to the materialized-scores path.
+    flash_ok = mask is None and t > 1
     if mask is None:
         def build_mask(window, chunk=None):
             if attend_in_layer or cache is None:

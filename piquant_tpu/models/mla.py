@@ -167,6 +167,12 @@ def init_latent_cache(cfg: MLAConfig, batch: int, max_len: int) -> LatentKVCache
     # kv4 latent codes are nibble-packed uint8 [..., R/2] (pack4 in
     # quant/kv_cache.py — native jnp.int4 cannot cross a jit boundary on
     # the axon backend, and explicit packing guarantees the byte layout)
+    if cfg.kv_bits == 4 and cfg.kv_lora_rank % 2:
+        # pack4's split-half layout pairs code j with code j + R/2; an odd
+        # rank would silently truncate the packed shape (same check as
+        # llama.init_kv_cache's even-head_dim requirement)
+        raise ValueError(
+            f"kv_bits=4 needs an even kv_lora_rank, got {cfg.kv_lora_rank}")
     cdt = jnp.uint8 if cfg.kv_bits == 4 else jnp.int8
     cr = cfg.kv_lora_rank // 2 if cfg.kv_bits == 4 else cfg.kv_lora_rank
     return LatentKVCache(

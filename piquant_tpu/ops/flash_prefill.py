@@ -8,17 +8,21 @@ benchmarks/decode_8b.py).  The tiled flash kernel (running-max online
 softmax over K blocks) never materializes the scores, so prefill memory
 goes O(T^2) -> O(T) and long contexts fit on one chip.
 
-Uses the Mosaic flash kernel shipped with JAX
-(jax.experimental.pallas.ops.tpu.flash_attention) rather than a
-hand-rolled clone: block sizes and pipelining are already tuned per TPU
-generation.  GQA is handled by repeating K/V to the full head count in
-bf16 (T*D*H*2 bytes — noise next to the score traffic it removes).
+Two kernels behind one dispatcher:
 
-Engaged from llama.forward for the standard causal subset only:
-default mask, no sliding/chunk window, no softcap, no attention sinks,
-head_dim 128.  Everything else falls back to the XLA path (`None`
-return).  PIQUANT_FLASH=0 disables; =force engages off-TPU (tests run
-it in interpret mode via pltpu.force_tpu_interpret_mode).
+  * the NATIVE masked kernel (ops/pallas/flash.py): GQA without the
+    K/V head repeat, sliding window, chunked attention, logit softcap,
+    attention sinks — covers every mask family llama.build_mask emits
+    (Mistral, Gemma-2/3, GPT-OSS, Llama-4 included);
+  * the Mosaic flash kernel shipped with JAX
+    (jax.experimental.pallas.ops.tpu.flash_attention) for the plain
+    causal geometry, where its per-generation block tuning applies.
+    GQA there is handled by repeating K/V to the full head count.
+
+PIQUANT_FLASH=0 disables; =force engages off-TPU (interpret mode for
+the native kernel — tests run it that way).  PIQUANT_FLASH_IMPL=native
+routes plain causal through the native kernel too (A/B benchmarking);
+=jax forbids the native kernel (vanilla only, windowed falls back).
 """
 
 from __future__ import annotations
@@ -32,24 +36,53 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-def flash_prefill(q: Array, k: Array, v: Array, sm_scale: float,
+def flash_prefill(q: Array, k: Array, v: Array, sm_scale: float, *,
+                  pos0: Optional[Array] = None,
+                  window: Optional[int] = None,
+                  chunk: Optional[int] = None,
+                  softcap: Optional[float] = None,
+                  sinks: Optional[Array] = None,
                   ) -> Optional[Array]:
     """q: [B, Hkv, rep, T, D]; k/v: [B, Hkv, T, D] (bf16/f32).
 
-    Returns [B, Hkv, rep, T, D] f32 context (causal), or None when the
-    geometry or backend can't take the kernel.
+    Returns [B, Hkv, rep, T, D] f32 context, or None when the geometry
+    or backend can't take a kernel (caller materializes scores).
     """
     env = os.environ.get("PIQUANT_FLASH", "1")
     if env == "0":
         return None
+    b, hkv, rep, t, d = q.shape
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu and env != "force":
+        return None
+    impl = os.environ.get("PIQUANT_FLASH_IMPL", "jax")
+    extras = (window is not None or chunk is not None
+              or softcap is not None or sinks is not None)
+
+    if not extras and impl != "native":
+        ctx = _jax_causal(q, k, v, sm_scale)
+        if ctx is not None:
+            return ctx
+        if impl == "jax":
+            return None
+
+    from piquant_tpu.ops.pallas.flash import flash_prefill_masked
+
+    return flash_prefill_masked(q, k, v, sm_scale, pos0=pos0,
+                                window=window, chunk=chunk,
+                                softcap=softcap, sinks=sinks,
+                                interpret=not on_tpu)
+
+
+def _jax_causal(q: Array, k: Array, v: Array,
+                sm_scale: float) -> Optional[Array]:
     if jax.config.jax_enable_x64:
         # the shipped kernel mixes int32/int64 index math under x64
         # (flash_attention.py:626 lax.select) — fall back; production TPU
         # runs x64 off, tests wrap calls in jax.experimental.disable_x64()
         return None
     b, hkv, rep, t, d = q.shape
-    if (d != 128 or t % 128 or t < 256
-            or (jax.default_backend() != "tpu" and env != "force")):
+    if d != 128 or t % 128 or t < 256:
         return None
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes, flash_attention)

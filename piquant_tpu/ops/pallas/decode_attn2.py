@@ -31,8 +31,9 @@ deferred-append decode path can fold the current token's contribution
 XLA split-softmax it replaces (llama._attention).
 
 Mask semantics are the deferred-append ones: cache position p
-contributes iff p < pos (strict) — the current token is NOT in the
-cache.  Reference anchor: this is the dequantize-ADD read path of
+contributes iff start <= p < pos (strict causal; `starts` carries the
+per-row window start for sliding-window / chunked-attention layers,
+0 = full prefix) — the current token is NOT in the cache.  Reference anchor: this is the dequantize-ADD read path of
 SURVEY §2 fused into the attention consumer, the "fused dequant+matmul
 at HBM speed-of-light" BASELINE north star applied to the KV stream.
 """
@@ -92,10 +93,13 @@ def _kernel(b: int, hkv: int, rep: int, s: int, d: int, sc: int,
             l_ref[:] = jnp.zeros_like(l_ref)
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        pos = pos_ref[bi]
+        pos = pos_ref[0, bi]
+        start = pos_ref[1, bi]   # first attended cache index (window start)
         s0 = sci * sc
 
-        @pl.when(s0 < pos)  # any live position in this chunk?
+        # live window in this chunk?  (start <= idx < pos overlaps
+        # [s0, s0 + sc))
+        @pl.when((s0 < pos) & (s0 + sc > start))
         def _():
             q_all = q_ref[0].reshape(hr, d)                  # (hr, d) bf16
             kb = unpack_bf16(kc_ref[0].reshape(hkv * sc, cd))  # (hkv*sc, d)
@@ -113,7 +117,7 @@ def _kernel(b: int, hkv: int, rep: int, s: int, d: int, sc: int,
             row = jax.lax.broadcasted_iota(jnp.int32, (hr, hkv * sc), 0)
             sc32, rep32 = jnp.int32(sc), jnp.int32(rep)  # x64-safe
             idx = jax.lax.rem(col, sc32) + jnp.int32(s0)
-            ok = (idx < pos) & (col // sc32 == row // rep32)
+            ok = (idx >= start) & (idx < pos) & (col // sc32 == row // rep32)
             scores = jnp.where(ok, scores, NEG_INF)
 
             m_old = m_ref[:]                                  # (hr, 1)
@@ -137,21 +141,26 @@ def _kernel(b: int, hkv: int, rep: int, s: int, d: int, sc: int,
             m_out[0] = m_ref[:].reshape(hkv, rep, 1)
             l_out[0] = l_ref[:].reshape(hkv, rep, 1)
 
-    def live_chunk(pos):
-        # last chunk holding any position < pos; pos >= 1 in decode
-        return jnp.maximum(pos - jnp.int32(1), 0) // jnp.int32(sc)
+    def live_chunk(bi, sci, p):
+        """Clamp the chunk index to [start chunk, last live chunk]: dead
+        leading chunks (below the sliding-window start) and dead trailing
+        chunks (at/after the live length) repeat a block index, so Pallas
+        elides their DMAs — windowed decode reads only the window."""
+        last = jnp.maximum(p[0, bi] - jnp.int32(1), 0) // jnp.int32(sc)
+        first = p[1, bi] // jnp.int32(sc)
+        return jnp.clip(sci, jnp.minimum(first, last), last)
 
     if layer >= 0:
         def kv_map(bi, sci, p):
-            return (layer, bi, 0, jnp.minimum(sci, live_chunk(p[bi])), 0)
+            return (layer, bi, 0, live_chunk(bi, sci, p), 0)
         kv_block = (1, 1, hkv, sc, cd)
     else:
         def kv_map(bi, sci, p):
-            return (bi, 0, jnp.minimum(sci, live_chunk(p[bi])), 0)
+            return (bi, 0, live_chunk(bi, sci, p), 0)
         kv_block = (1, hkv, sc, cd)
 
     def sc_map(bi, sci, p):
-        return (bi, 0, 0, jnp.minimum(sci, live_chunk(p[bi])))
+        return (bi, 0, 0, live_chunk(bi, sci, p))
 
     grid = (b, nsc)
     return pl.pallas_call(
@@ -208,12 +217,17 @@ def decode_attention_state(
     layer: Optional[int] = None,   # REQUIRED with stacked (5-D) codes:
                                    # the kernel block-indexes the layer so
                                    # no per-layer cache copy materializes
+    starts: Optional[Array] = None,  # [B] int32 — first attended cache
+                                   # index (inclusive).  Sliding window:
+                                   # max(0, pos - w + 1); Llama-4 chunk:
+                                   # (pos // C) * C.  None = 0 (full
+                                   # strict-causal prefix).
     interpret: bool = False,
 ) -> Optional[Tuple[Array, Array, Array]]:
     """Returns (acc [B,Hkv,rep,D] f32, m [B,Hkv,rep,1], l [B,Hkv,rep,1])
-    — the unnormalized flash state over the LIVE cache prefix — or None
-    when the geometry has no fast path.  ctx = acc / l when no extra
-    terms join the softmax."""
+    — the unnormalized flash state over the LIVE cache window
+    [starts[b], positions[b]) — or None when the geometry has no fast
+    path.  ctx = acc / l when no extra terms join the softmax."""
     b, hkv, rep, d = q.shape
     stacked = k_codes.ndim == 5
     if stacked and layer is None:
@@ -234,5 +248,8 @@ def decode_attention_state(
         vs2 = v_scale.reshape(b, hkv, 1, s)
     kf = _kernel(b, hkv, rep, s, d, sc, kv_bits, sm_scale,
                  layer if stacked else -1, interpret)
-    return kf(positions.astype(jnp.int32), q.astype(jnp.bfloat16),
+    pos32 = positions.astype(jnp.int32)
+    st32 = (jnp.zeros_like(pos32) if starts is None
+            else starts.astype(jnp.int32))
+    return kf(jnp.stack([pos32, st32]), q.astype(jnp.bfloat16),
               k_codes, ks2, v_codes, vs2)

@@ -25,9 +25,10 @@ but NOT remote semaphore signaling, so instead of a barrier + slot reuse
 the kernel gives every hop a DISTINCT receive slot (2P-2 slots total) and
 waits only on local DMA-completion semaphores.  No inter-device barrier is
 needed: each RDMA lands in a slot nobody else writes, and the receiver
-blocks on its own recv semaphore.  VMEM cost is (2P-2)·chunk bytes — callers
-should bucket large tensors (see `max_chunk_elems` in the wrapper) exactly
-like EQuARX buckets its all-reduce.
+blocks on its own recv semaphore.  VMEM cost is (2P-2)·chunk bytes — the
+wrapper buckets large tensors into `max_chunk_elems`-sized ring chunks
+(one kernel dispatch per bucket) exactly like EQuARX buckets its
+all-reduce.
 
 Quantization is SYMMETRIC (scale = absmax/127, zero_point = 0): gradients
 are zero-centered, and dropping the zero-point halves the scalar side
@@ -165,22 +166,42 @@ def _pallas_ring(p: int, rows: int, axis_name: str, interpret: bool):
 
 
 def rdma_all_reduce_shard(x: Array, axis_name: str, *,
+                          max_chunk_elems: int = 65536,
                           interpret: bool = False) -> Array:
     """Fused-kernel quantized ring all-reduce; call INSIDE shard_map.
 
     `x` is this device's local addend (any shape, f32/bf16); returns the
-    int8-ring sum in f32, same shape.  One Pallas dispatch per device.
+    int8-ring sum in f32, same shape.  Inputs larger than
+    `p * max_chunk_elems` elements are split into buckets, one kernel
+    dispatch each (EQuARX-style): the (2P-2)-slot landing scratch costs
+    (2P-2) * max_chunk_elems int8 bytes of VMEM, so an unbounded chunk
+    would fail at Mosaic compile time.  The default keeps one call's
+    scratch + operands under ~6 MB at P=8.  Quantization granularity is
+    per (bucket, ring chunk) — smaller buckets mean finer scales.
     """
+    if max_chunk_elems % (_SUB * _LANE):
+        raise ValueError(f"max_chunk_elems must be a multiple of "
+                         f"{_SUB * _LANE}, got {max_chunk_elems}")
     p = lax.axis_size(axis_name)
     shape, n = x.shape, x.size
-    csize = -(-n // p)                       # ceil
-    csize = -(-csize // (_SUB * _LANE)) * (_SUB * _LANE)
-    rows = csize // _LANE
     flat = x.reshape(-1).astype(jnp.float32)
-    flat = jnp.pad(flat, (0, p * csize - n))
-    chunks = flat.reshape(p, rows, _LANE)
-    out = _pallas_ring(p, rows, axis_name, interpret)(chunks)
-    return out.reshape(-1)[:n].reshape(shape)
+
+    def one_call(piece: Array) -> Array:
+        m = piece.size
+        csize = -(-m // p)                   # ceil
+        csize = -(-csize // (_SUB * _LANE)) * (_SUB * _LANE)
+        rows = csize // _LANE
+        piece = jnp.pad(piece, (0, p * csize - m))
+        chunks = piece.reshape(p, rows, _LANE)
+        out = _pallas_ring(p, rows, axis_name, interpret)(chunks)
+        return out.reshape(-1)[:m]
+
+    per_call = p * max_chunk_elems
+    if n <= per_call:
+        return one_call(flat).reshape(shape)
+    outs = [one_call(flat[off:off + per_call])
+            for off in range(0, n, per_call)]
+    return jnp.concatenate(outs).reshape(shape)
 
 
 def rdma_quantized_all_reduce(x: Array, mesh: Mesh, axis_name: str, *,

@@ -64,9 +64,11 @@ def pytest_collection_modifyitems(config, items):
         reason="32-bit quant targets clamp in int64 (reference "
                "quantize.inl:15-18): no x64 on TPU")
     for item in items:
-        name = item.name
-        if ("f64" in name or "int64" in name or "uint64" in name
-                or "float64" in name):
+        # match only the bracketed parametrize ids — a test merely NAMED
+        # with a dtype (not parametrized over it) must not be skipped
+        pid = item.name.split("[", 1)[1] if "[" in item.name else ""
+        if ("f64" in pid or "int64" in pid or "uint64" in pid
+                or "float64" in pid):
             item.add_marker(skip64)
-        elif "int32" in name:   # matches both int32 and uint32 param ids
+        elif "int32" in pid:   # matches both int32 and uint32 param ids
             item.add_marker(skip32)

@@ -24,8 +24,9 @@ def _mk(b, hkv, rep, s, d, kv_bits, seed=SEED):
     return q, kc, vc, ks, vs
 
 
-def _reference(q, kc, ks, vc, vs, pos, sm):
-    """Dense softmax over positions < pos[b]; bf16 dots like the kernel."""
+def _reference(q, kc, ks, vc, vs, pos, sm, start=None):
+    """Dense softmax over positions start <= p < pos[b]; bf16 dots like
+    the kernel."""
     b, hkv, rep, d = q.shape
     s = kc.shape[2]
     qb = jnp.asarray(q).astype(jnp.bfloat16)
@@ -34,6 +35,8 @@ def _reference(q, kc, ks, vc, vs, pos, sm):
                         preferred_element_type=jnp.float32)
     scores = scores * jnp.asarray(ks)[:, :, None, :, 0] * sm
     valid = (np.arange(s)[None] < np.asarray(pos)[:, None])  # [B, S]
+    if start is not None:
+        valid &= (np.arange(s)[None] >= np.asarray(start)[:, None])
     scores = jnp.where(jnp.asarray(valid)[:, None, None], scores, -jnp.inf)
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
@@ -72,6 +75,33 @@ def test_state_matches_reference(kv_bits):
     np.testing.assert_allclose(acc / l, racc / rl, rtol=0.02, atol=0.01)
 
 
+@pytest.mark.parametrize("kv_bits", [8, 4])
+def test_windowed_state_matches_reference(kv_bits):
+    """Sliding-window starts: only start <= idx < pos contributes — incl.
+    a window that crosses a chunk boundary and one landing mid-chunk."""
+    b, hkv, rep, s, d = 3, 2, 2, 1024, 128
+    q, kc, vc, ks, vs = _mk(b, hkv, rep, s, d, kv_bits, seed=SEED + 7)
+    pos = np.array([700, 1024, 600], np.int32)
+    start = np.array([650, 300, 0], np.int32)  # mid-chunk, cross-chunk, full
+
+    if kv_bits == 4:
+        kcs, vcs = pack4(jnp.asarray(kc)), pack4(jnp.asarray(vc))
+    else:
+        kcs, vcs = jnp.asarray(kc), jnp.asarray(vc)
+
+    out = decode_attention_state(
+        jnp.asarray(q), kcs, jnp.asarray(ks), vcs, jnp.asarray(vs),
+        jnp.asarray(pos), 0.0883883, starts=jnp.asarray(start),
+        interpret=True)
+    assert out is not None
+    acc, m, l = (np.asarray(o) for o in out)
+
+    racc, rm, rl = _reference(q, kc, ks, vc, vs, pos, 0.0883883, start)
+    np.testing.assert_allclose(m, rm, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(l, rl, rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(acc / l, racc / rl, rtol=0.02, atol=0.01)
+
+
 def test_dead_chunks_do_not_contribute():
     """pos=1 (single live position): output equals V[0] exactly (softmax of
     one element), regardless of garbage elsewhere in the cache."""
@@ -98,27 +128,38 @@ def test_geometry_fallback():
                                   interpret=True) is None
 
 
-def test_model_decode_integration():
-    """decode_step through the attn2 kernel (forced, interpret) matches the
-    XLA split-softmax path on a quantized tiny model."""
-    import dataclasses
+def _decode_ab(cfg, seed, prefill_len=8, expect_engaged=True):
+    """Run one decode step twice — XLA split-softmax (PIQUANT_ATTN2=0) vs
+    the attn2 kernel (force, interpret) — and return (base, fast) logits.
+    Asserts the kernel actually ENGAGED on the fast run (head_dim must be
+    a 128-multiple; a None return silently falls back to the XLA path and
+    would make the comparison vacuous)."""
     import os
 
+    import piquant_tpu.ops.pallas.decode_attn2 as DA2
     from piquant_tpu.models import llama as M
 
-    cfg = M.LlamaConfig(vocab_size=128, d_model=256, n_layers=2, n_heads=4,
-                        n_kv_heads=2, d_ff=256, max_seq_len=2048,
-                        dtype=jnp.float32)
-    params = M.quantize_params(M.init_params(cfg, jax.random.key(11)), bits=8)
-    rng = np.random.default_rng(SEED + 5)
-    toks = jnp.asarray(rng.integers(0, 128, (2, 9)), jnp.int32)
+    params = M.quantize_params(M.init_params(cfg, jax.random.key(seed)),
+                               bits=8)
+    rng = np.random.default_rng(SEED + seed)
+    toks = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, (2, prefill_len + 1)), jnp.int32)
+
+    engaged = []
+    orig = DA2.decode_attention_state
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        engaged.append(r is not None)
+        return r
 
     def run():
         cache = M.init_kv_cache(cfg, 2, max_len=1024)
         _, cache = M.forward(cfg, params, toks[:, :-1], cache=cache,
-                             attend_in_layer=True, kv_write_start=jnp.int32(0))
+                             attend_in_layer=True,
+                             kv_write_start=jnp.int32(0))
         lg, _ = M.decode_step(cfg, params, toks[:, -1],
-                              jnp.full((2,), 8, jnp.int32), cache)
+                              jnp.full((2,), prefill_len, jnp.int32), cache)
         return np.asarray(lg)
 
     os.environ["PIQUANT_ATTN2"] = "0"
@@ -126,46 +167,76 @@ def test_model_decode_integration():
         base = run()
     finally:
         os.environ["PIQUANT_ATTN2"] = "force"
+    DA2.decode_attention_state = spy
     try:
         fast = run()
     finally:
+        DA2.decode_attention_state = orig
         os.environ.pop("PIQUANT_ATTN2")
 
+    if expect_engaged:
+        assert engaged and all(engaged), engaged
+    return base, fast
+
+
+def test_model_decode_integration():
+    """decode_step through the attn2 kernel (forced, interpret) matches the
+    XLA split-softmax path on a quantized tiny model."""
+    from piquant_tpu.models import llama as M
+
+    cfg = M.LlamaConfig(vocab_size=128, d_model=256, n_layers=2, n_heads=4,
+                        n_kv_heads=2, d_ff=256, max_seq_len=2048,
+                        head_dim_override=128, dtype=jnp.float32)
+    base, fast = _decode_ab(cfg, 11)
+    # ~0.7% measured: both paths round probabilities to bf16 before the
+    # V dot, at different values (normalized vs unnormalized), so the
+    # rounding noise is uncorrelated — same 2e-2 band as the kernel test
     rel = np.abs(fast - base).max() / np.abs(base).max()
-    assert rel < 5e-3, rel
+    assert rel < 2e-2, rel
     assert (fast.argmax(-1) == base.argmax(-1)).all()
 
 
 def test_model_decode_integration_kv4():
-    import dataclasses
-    import os
-
+    """kv4 still routes to the XLA unpack path (the attn2 gate is kv8-only
+    for the stacked cache); the A/B must stay exact either way."""
     from piquant_tpu.models import llama as M
 
     cfg = M.LlamaConfig(vocab_size=128, d_model=256, n_layers=2, n_heads=4,
                         n_kv_heads=2, d_ff=256, max_seq_len=2048,
-                        dtype=jnp.float32, kv_bits=4)
-    params = M.quantize_params(M.init_params(cfg, jax.random.key(12)), bits=8)
-    rng = np.random.default_rng(SEED + 6)
-    toks = jnp.asarray(rng.integers(0, 128, (2, 9)), jnp.int32)
-
-    def run():
-        cache = M.init_kv_cache(cfg, 2, max_len=1024)
-        _, cache = M.forward(cfg, params, toks[:, :-1], cache=cache,
-                             attend_in_layer=True, kv_write_start=jnp.int32(0))
-        lg, _ = M.decode_step(cfg, params, toks[:, -1],
-                              jnp.full((2,), 8, jnp.int32), cache)
-        return np.asarray(lg)
-
-    os.environ["PIQUANT_ATTN2"] = "0"
-    try:
-        base = run()
-    finally:
-        os.environ["PIQUANT_ATTN2"] = "force"
-    try:
-        fast = run()
-    finally:
-        os.environ.pop("PIQUANT_ATTN2")
-
+                        head_dim_override=128, dtype=jnp.float32, kv_bits=4)
+    base, fast = _decode_ab(cfg, 12, expect_engaged=False)
     rel = np.abs(fast - base).max() / np.abs(base).max()
     assert rel < 5e-3, rel
+
+
+@pytest.mark.parametrize("kind", ["sliding", "sliding_alt_sinks", "chunked",
+                                  "chunked_nope"])
+def test_model_decode_integration_windowed(kind):
+    """Windowed families decode through the attn2 kernel with a per-layer
+    window START (the ADVICE r3 high finding: the old gate attended the
+    full prefix on sliding/chunked layers).  Prefill 24 tokens with an
+    8-position window so the mask actually bites, then A/B one decode
+    step vs the XLA masked path."""
+    from piquant_tpu.models import llama as M
+
+    common = dict(vocab_size=128, d_model=256, n_layers=4, n_heads=4,
+                  n_kv_heads=2, d_ff=256, max_seq_len=2048,
+                  head_dim_override=128, dtype=jnp.float32)
+    if kind == "sliding":          # Mistral: every layer sliding
+        cfg = M.LlamaConfig(sliding_window=8, **common)
+    elif kind == "sliding_alt_sinks":  # GPT-OSS: alternating + sink logits
+        cfg = M.LlamaConfig(sliding_window=8, sliding_pattern=2,
+                            attn_sinks=True, **common)
+    elif kind == "chunked":        # every layer chunk-local
+        cfg = M.LlamaConfig(chunk_window=8, **common)
+    else:                          # Llama-4: chunked except nope layers
+        cfg = M.LlamaConfig(chunk_window=8, nope_pattern=2, **common)
+
+    # prefill 24 makes the chunked window EMPTY (24 // 8 * 8 == 24):
+    # self-only attention, the nastiest case.  There the XLA path rounds
+    # es/denom*vsq through bf16 while the kernel fold keeps f32, a
+    # systematic ~0.4%/layer difference — hence the 3e-2 band.
+    base, fast = _decode_ab(cfg, 13, prefill_len=24)
+    rel = np.abs(fast - base).max() / np.abs(base).max()
+    assert rel < 3e-2, rel
+    assert (fast.argmax(-1) == base.argmax(-1)).all()

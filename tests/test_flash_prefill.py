@@ -100,8 +100,8 @@ def test_geometry_fallbacks(reason, kw, qshape):
 
 
 def test_config_fallbacks_still_correct():
-    """Sliding-window and softcap configs must NOT take the flash path —
-    forward still runs (materialized) and windows change the output."""
+    """Sliding-window configs (now routed through the native masked
+    kernel) still produce window-dependent output: windowed != full."""
     cfg = _cfg(sliding_window=64)
     params = M.init_params(cfg, jax.random.key(7))
     rng = np.random.default_rng(SEED + 2)

@@ -98,3 +98,29 @@ def test_schedule_matches_simulation(mesh):
     # XLA CPU fuses mul+add (FMA), so single-ULP drift vs numpy is expected;
     # anything beyond ~1 ULP would mean a wrong hop order / chunk index.
     np.testing.assert_allclose(got, want, rtol=3e-7, atol=2e-6)
+
+
+def test_bucketed_matches_exact_sum(mesh):
+    """max_chunk_elems smaller than the tensor: the wrapper splits into
+    buckets (one kernel dispatch each) and the concatenated result still
+    matches the exact sum within the int8 multi-hop bound."""
+    p = mesh.shape["x"]
+    x = _addends(p, (3 * 8 * 1024 + 7,), seed=SEED + 3)  # 3+ buckets, ragged
+    f = jax.jit(jax.shard_map(
+        lambda xs: rdma_all_reduce_shard(
+            xs[0], "x", max_chunk_elems=1024, interpret=True)[None],
+        mesh=mesh, in_specs=(P("x"),), out_specs=P("x"), check_vma=False,
+    ))
+    got = np.asarray(f(x))[0]
+    want = np.asarray(x.sum(axis=0))
+    bound = (p - 1) * float(jnp.abs(x).max()) * p / 254.0
+    assert float(np.abs(got - want).max()) <= bound
+
+
+def test_bad_chunk_quantum_raises(mesh):
+    with pytest.raises(ValueError, match="multiple"):
+        jax.shard_map(
+            lambda xs: rdma_all_reduce_shard(
+                xs[0], "x", max_chunk_elems=1000, interpret=True)[None],
+            mesh=mesh, in_specs=(P("x"),), out_specs=P("x"), check_vma=False,
+        )(_addends(mesh.shape["x"], (64,)))
