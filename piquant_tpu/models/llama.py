@@ -1010,13 +1010,11 @@ def _attention(
             return _mm(ctx, layer["wo"], dt, aq), cache
         a2 = _os.environ.get("PIQUANT_ATTN2", "1")
         if (t == 1 and pending is not None and not cfg.attn_softcap
-                and cfg.kv_bits == 8 and a2 != "0"
+                and a2 != "0"
                 and (jax.default_backend() == "tpu" or a2 == "force")):
-            # kv8 only: the stacked kv4 block (last dim D/2=64) violates
-            # Mosaic's 128-lane block alignment, and per-layer sliced
-            # operands materialize full cache copies (21.5 ms/step
-            # measured).  kv4 stays a CAPACITY knob (half the cache HBM)
-            # through the XLA unpack path below.
+            # kv4 uses the pair-packed layout (quant/kv_cache.py) so the
+            # stacked blocks keep full 128-lane rows — the kernel unpacks
+            # nibbles in-register and reads HALF the kv8 cache bytes.
             # flash-decode v2 (ops/pallas/decode_attn2.py): reads only the
             # LIVE cache prefix (dead-chunk DMAs elided via scalar-prefetch
             # index maps) and unpacks kv4 nibbles in-register; the current
@@ -1077,18 +1075,28 @@ def _attention(
                 if cfg.o_bias:
                     out = out + layer["bo"]
                 return out, cache
-        w = attn_window or cache.k_codes.shape[3]
-        kc = cache.k_codes[layer_idx, :, :, :w]  # [B, Hkv, W, D] int8
-        vc = cache.v_codes[layer_idx, :, :, :w]  # (kv4: [B,Hkv,W,D/2] u8)
+        w = attn_window or cache.max_len
         if cfg.kv_bits == 4:
-            # nibble-packed cache: the HBM read is D/2 bytes per position
+            # pair-packed cache: the HBM read is D/2 bytes per position
             # (half the kv8 traffic); the unpack is VPU work fused into
             # the dot's operand read
-            from piquant_tpu.quant.kv_cache import unpack4
+            from piquant_tpu.quant.kv_cache import (merge_scale_pairs,
+                                                    unpack4_pairs)
 
-            kc, vc = unpack4(kc), unpack4(vc)
-        ks = cache.k_scale[layer_idx, :, :, :w][:, :, None, None, :, 0]
-        vs = cache.v_scale[layer_idx, :, :, :w][:, :, :, 0]    # [B, Hkv, W]
+            wr = (w + 1) // 2  # packed rows covering the window
+            kc = unpack4_pairs(cache.k_codes[layer_idx, :, :, :wr])[:, :, :w]
+            vc = unpack4_pairs(cache.v_codes[layer_idx, :, :, :wr])[:, :, :w]
+            ks_w = merge_scale_pairs(
+                cache.k_scale[layer_idx][..., :wr])[:, :, :w]
+            vs_w = merge_scale_pairs(
+                cache.v_scale[layer_idx][..., :wr])[:, :, :w]
+        else:
+            kc = cache.k_codes[layer_idx, :, :, :w]  # [B, Hkv, W, D] int8
+            vc = cache.v_codes[layer_idx, :, :, :w]
+            ks_w = cache.k_scale[layer_idx, :, :, :w]
+            vs_w = cache.v_scale[layer_idx, :, :, :w]
+        ks = ks_w[:, :, None, None, :, 0]
+        vs = vs_w[:, :, :, 0]                                  # [B, Hkv, W]
         scores = jnp.einsum(
             "bhrtd,bhsd->bhrts", qg.astype(jnp.bfloat16), kc.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32) * ks
@@ -1575,7 +1583,7 @@ def forward(
     if cfg.embed_multiplier is not None:  # Granite
         x = x * jnp.asarray(cfg.embed_multiplier, dt)
 
-    s_len = cache.k_codes.shape[3] if cache is not None else t
+    s_len = cache.max_len if cache is not None else t
     if attn_window is not None:
         s_len = min(s_len, attn_window)
 

@@ -15,9 +15,15 @@ This kernel fixes all three structural costs at once:
     (scalar-prefetched positions).  Pallas elides the DMA when the block
     index repeats, so dead chunks cost nothing; compute is skipped with
     pl.when.  No recompile as the sequence grows (unlike window buckets).
-  * kv4 unpack IN-REGISTER: packed uint8 codes stream at D/2 bytes per
-    position and expand to int8 inside VMEM (lane concat of the two
-    nibble halves — the split-half layout pack4 writes).
+  * kv4 unpack IN-REGISTER: the PAIR-PACKED cache (quant/kv_cache.py
+    pack4_pairs — storage row t = [pack4(pos 2t) | pack4(pos 2t+1)],
+    full 128-lane rows) streams at D/2 bytes per position and expands to
+    even/odd-position bf16 planes inside VMEM.  Scores for the two
+    parity planes are computed as two half-width MXU dots and
+    lane-concatenated; the mask/scale column bookkeeping runs in the
+    [even-half | odd-half] layout.  (The earlier [.., S, D/2] layout hit
+    Mosaic's 128-lane block alignment on the stacked cache and kv4 was
+    stuck on the XLA unpack path.)
   * One (Hkv*rep, D) x (D, Hkv*sc) MXU dot per phase instead of a
     dot_general batched over kv heads (rep=4-row matmuls are MXU
     latency-bound — the v1 kernel in attention.py measured 228 us/layer
@@ -58,27 +64,19 @@ NEG_INF = -1e30
 def _kernel(b: int, hkv: int, rep: int, s: int, d: int, sc: int,
             kv_bits: int, scale: float, layer: int = -1,
             interpret: bool = False):
-    """layer >= 0: code operands are the STACKED cache [L, B, Hkv, S, cd]
+    """layer >= 0: code operands are the STACKED cache [L, B, Hkv, Sr, D]
     and blocks select (layer, bi, ...) — XLA cannot fuse a slice into a
     custom call, so per-layer sliced operands cost a full cache copy per
     layer per step (measured +3 ms on 8B decode); stacked blocks read the
-    cache buffer in place."""
+    cache buffer in place.
+
+    kv4: code rows are pair-packed (Sr = s/2 rows of D bytes; see module
+    docstring) and scales parity-split [B, Hkv, 2, s/2]."""
     nsc = s // sc
     hr = hkv * rep
-    cd = d // 2 if kv_bits == 4 else d   # stored code columns
-
-    def unpack_bf16(codes):
-        """(rows, cd) stored codes -> (rows, d) bf16.
-
-        kv8: int8 -> bf16 via i32 (Mosaic lacks the direct cast).
-        kv4: offset-8 nibbles -> int8 halves, lane-concat (split-half
-        layout: byte j holds code j and code j + d/2)."""
-        if kv_bits == 8:
-            return codes.astype(jnp.int32).astype(jnp.bfloat16)
-        p = codes.astype(jnp.int32)
-        lo = (p & 15) - 8
-        hi = (p >> 4) - 8
-        return jnp.concatenate([lo, hi], axis=-1).astype(jnp.bfloat16)
+    hd2 = d // 2
+    sch = sc // 2            # kv4: packed rows per chunk
+    half = hkv * sch         # kv4: score columns per parity plane
 
     def kern(pos_ref, q_ref, kc_ref, ks_ref, vc_ref, vs_ref,
              acc_out, m_out, l_out, m_ref, l_ref, acc_ref):
@@ -97,43 +95,99 @@ def _kernel(b: int, hkv: int, rep: int, s: int, d: int, sc: int,
         start = pos_ref[1, bi]   # first attended cache index (window start)
         s0 = sci * sc
 
+        def unpack_planes(codes):
+            """Pair-packed (hkv*sch, d) uint8 rows -> (even, odd) bf16
+            planes, each (hkv*sch, d): lanes [0, d/2) hold the even
+            position's pack4 bytes, [d/2, d) the odd's; each pack4 byte j
+            holds code j (low nibble) and code j + d/2 (high)."""
+            p = codes.astype(jnp.int32)
+            plo, phi = p[:, :hd2], p[:, hd2:]
+            even = jnp.concatenate([(plo & 15) - 8, (plo >> 4) - 8], axis=-1)
+            odd = jnp.concatenate([(phi & 15) - 8, (phi >> 4) - 8], axis=-1)
+            return even.astype(jnp.bfloat16), odd.astype(jnp.bfloat16)
+
         # live window in this chunk?  (start <= idx < pos overlaps
         # [s0, s0 + sc))
         @pl.when((s0 < pos) & (s0 + sc > start))
         def _():
             q_all = q_ref[0].reshape(hr, d)                  # (hr, d) bf16
-            kb = unpack_bf16(kc_ref[0].reshape(hkv * sc, cd))  # (hkv*sc, d)
-            scores = jax.lax.dot_general(
-                q_all, kb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)          # (hr, hkv*sc)
 
-            # per-(head, position) K scales, one lane-concat row vector
-            ks_row = jnp.concatenate(
-                [ks_ref[0, h] for h in range(hkv)], axis=-1)  # (1, hkv*sc)
+            if kv_bits == 8:
+                kb = kc_ref[0].reshape(hkv * sc, d
+                                       ).astype(jnp.int32).astype(jnp.bfloat16)
+                scores = jax.lax.dot_general(
+                    q_all, kb, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (hr, hkv*sc)
+                # per-(head, position) K scales, one lane-concat row vector
+                ks_row = jnp.concatenate(
+                    [ks_ref[0, h] for h in range(hkv)], axis=-1)  # (1, hkv*sc)
+                sc32, rep32 = jnp.int32(sc), jnp.int32(rep)  # x64-safe
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (hr, hkv * sc), 1)
+                head = col // sc32
+                idx = jax.lax.rem(col, sc32) + jnp.int32(s0)
+            else:
+                ke, ko = unpack_planes(kc_ref[0].reshape(hkv * sch, d))
+                se = jax.lax.dot_general(
+                    q_all, ke, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)      # (hr, half)
+                so = jax.lax.dot_general(
+                    q_all, ko, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                scores = jnp.concatenate([se, so], axis=1)   # (hr, 2*half)
+                # column c: parity plane c // half, head (c % half) // sch,
+                # in-chunk pair row (c % half) % sch
+                ks_row = jnp.concatenate(
+                    [ks_ref[0, h, 0:1] for h in range(hkv)]
+                    + [ks_ref[0, h, 1:2] for h in range(hkv)],
+                    axis=-1)                                  # (1, 2*half)
+                h32, sch32 = jnp.int32(half), jnp.int32(sch)
+                rep32 = jnp.int32(rep)
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (hr, 2 * half), 1)
+                parity = col // h32
+                within = jax.lax.rem(col, h32)
+                head = within // sch32
+                idx = (jax.lax.rem(within, sch32) * 2 + parity
+                       + jnp.int32(s0))
+
             scores = scores * (ks_row * scale)
 
-            # valid = strict causal (idx < pos) AND same-head block
-            col = jax.lax.broadcasted_iota(jnp.int32, (hr, hkv * sc), 1)
-            row = jax.lax.broadcasted_iota(jnp.int32, (hr, hkv * sc), 0)
-            sc32, rep32 = jnp.int32(sc), jnp.int32(rep)  # x64-safe
-            idx = jax.lax.rem(col, sc32) + jnp.int32(s0)
-            ok = (idx >= start) & (idx < pos) & (col // sc32 == row // rep32)
+            # valid = window (start <= idx < pos) AND same-head block
+            row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+            ok = (idx >= start) & (idx < pos) & (head == row // rep32)
             scores = jnp.where(ok, scores, NEG_INF)
 
             m_old = m_ref[:]                                  # (hr, 1)
             m_new = jnp.maximum(m_old, jnp.max(scores, axis=1, keepdims=True))
-            p = jnp.exp(scores - m_new)                       # (hr, hkv*sc)
+            p = jnp.exp(scores - m_new)                       # (hr, cols)
             corr = jnp.exp(m_old - m_new)
             l_ref[:] = l_ref[:] * corr + jnp.sum(p, axis=1, keepdims=True)
             m_ref[:] = m_new
 
-            vs_row = jnp.concatenate(
-                [vs_ref[0, h] for h in range(hkv)], axis=-1)  # (1, hkv*sc)
-            pv = (p * vs_row).astype(jnp.bfloat16)
-            vb = unpack_bf16(vc_ref[0].reshape(hkv * sc, cd))  # (hkv*sc, d)
-            acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
-                pv, vb, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)           # (hr, d)
+            if kv_bits == 8:
+                vs_row = jnp.concatenate(
+                    [vs_ref[0, h] for h in range(hkv)], axis=-1)  # (1, hkv*sc)
+                pv = (p * vs_row).astype(jnp.bfloat16)
+                vb = vc_ref[0].reshape(hkv * sc, d
+                                       ).astype(jnp.int32).astype(jnp.bfloat16)
+                upd = jax.lax.dot_general(
+                    pv, vb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)       # (hr, d)
+            else:
+                vs_row = jnp.concatenate(
+                    [vs_ref[0, h, 0:1] for h in range(hkv)]
+                    + [vs_ref[0, h, 1:2] for h in range(hkv)],
+                    axis=-1)                                  # (1, 2*half)
+                pv = (p * vs_row).astype(jnp.bfloat16)
+                ve, vo = unpack_planes(vc_ref[0].reshape(hkv * sch, d))
+                upd = jax.lax.dot_general(
+                    pv[:, :half], ve, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                upd += jax.lax.dot_general(
+                    pv[:, half:], vo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            acc_ref[:] = acc_ref[:] * corr + upd
 
         @pl.when(sci == nsc - 1)
         def _():
@@ -150,17 +204,23 @@ def _kernel(b: int, hkv: int, rep: int, s: int, d: int, sc: int,
         first = p[1, bi] // jnp.int32(sc)
         return jnp.clip(sci, jnp.minimum(first, last), last)
 
+    # kv4 code blocks cover sch pair-packed rows per chunk (the block
+    # index units are rows of the packed axis, which the chunk index
+    # already matches: chunk sci = packed rows [sci*sch, (sci+1)*sch))
+    rows = sch if kv_bits == 4 else sc
     if layer >= 0:
         def kv_map(bi, sci, p):
             return (layer, bi, 0, live_chunk(bi, sci, p), 0)
-        kv_block = (1, 1, hkv, sc, cd)
+        kv_block = (1, 1, hkv, rows, d)
     else:
         def kv_map(bi, sci, p):
             return (bi, 0, live_chunk(bi, sci, p), 0)
-        kv_block = (1, hkv, sc, cd)
+        kv_block = (1, hkv, rows, d)
 
     def sc_map(bi, sci, p):
         return (bi, 0, 0, live_chunk(bi, sci, p))
+
+    sc_block = ((1, hkv, 2, sch) if kv_bits == 4 else (1, hkv, 1, sc))
 
     grid = (b, nsc)
     return pl.pallas_call(
@@ -178,11 +238,11 @@ def _kernel(b: int, hkv: int, rep: int, s: int, d: int, sc: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(kv_block, kv_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hkv, 1, sc), sc_map,
+                pl.BlockSpec(sc_block, sc_map,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(kv_block, kv_map,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, hkv, 1, sc), sc_map,
+                pl.BlockSpec(sc_block, sc_map,
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
@@ -205,9 +265,11 @@ def _kernel(b: int, hkv: int, rep: int, s: int, d: int, sc: int,
 
 def decode_attention_state(
     q: Array,          # [B, Hkv, rep, D] bf16/f32
-    k_codes: Array,    # [B, Hkv, S, D] int8 / [B, Hkv, S, D/2] uint8 (kv4);
-                       # or the STACKED cache [L, B, Hkv, S, cd] with `layer`
-    k_scale: Array,    # [B, Hkv, S, 1] f32 (or stacked [L, B, Hkv, S, 1])
+    k_codes: Array,    # [B, Hkv, S, D] int8, or [B, Hkv, S/2, D] uint8
+                       # pair-packed kv4; or the STACKED cache
+                       # [L, B, Hkv, Sr, D] with `layer`
+    k_scale: Array,    # [B, Hkv, S, 1] f32, kv4 [B, Hkv, 2, S/2]
+                       # (stacked: one more leading L axis)
     v_codes: Array,
     v_scale: Array,
     positions: Array,  # [B] int32 — current decode position per row;
@@ -232,15 +294,23 @@ def decode_attention_state(
     stacked = k_codes.ndim == 5
     if stacked and layer is None:
         raise ValueError("stacked cache codes need layer=")
-    s = k_codes.shape[3 if stacked else 2]
     kv_bits = 4 if k_codes.dtype == jnp.uint8 else 8
+    rows = k_codes.shape[3 if stacked else 2]
+    s = rows * 2 if kv_bits == 4 else rows
     cd = k_codes.shape[-1]
-    if d % 128 or (kv_bits == 4 and cd != d // 2) or (kv_bits == 8 and cd != d):
+    if d % 128 or cd != d:
         return None
     sc = min(S_CHUNK, s)
     if s % sc:
         return None
-    if stacked:
+    if kv_bits == 4:
+        # the parity-split scale block's last dim is sc/2 — Mosaic wants
+        # 128-lane alignment when compiled (interpret mode is exempt)
+        if sc % 2 or (not interpret and (sc // 2) % 128):
+            return None
+        ks2 = k_scale[layer] if stacked else k_scale   # [B, Hkv, 2, S/2]
+        vs2 = v_scale[layer] if stacked else v_scale
+    elif stacked:
         ks2 = k_scale[layer].reshape(b, hkv, 1, s)   # small (S f32) copies
         vs2 = v_scale[layer].reshape(b, hkv, 1, s)
     else:

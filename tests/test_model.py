@@ -283,9 +283,11 @@ def test_int4_kv_cache_decode_consistency():
     full, _ = M.forward(cfg8, params, toks)
 
     cache = M.init_kv_cache(cfg4, 2, max_len=16)
-    # kv4 codes are nibble-packed uint8, [B,H,S,D/2] (half the kv8 bytes)
+    # kv4 codes are pair-packed uint8, [L,B,H,S/2,D] (half the kv8 bytes;
+    # full 128-lane rows — see quant/kv_cache.py pack4_pairs)
     assert cache.k_codes.dtype == jnp.uint8
-    assert cache.k_codes.shape[-1] == cfg4.head_dim // 2
+    assert cache.k_codes.shape[-1] == cfg4.head_dim
+    assert cache.k_codes.shape[-2] == 8 and cache.max_len == 16
     _, cache = M.forward(cfg4, params, toks[:, :-1], cache=cache,
                          attend_in_layer=True, kv_write_start=jnp.int32(0))
     lg, cache = M.decode_step(cfg4, params, toks[:, -1],
@@ -309,3 +311,86 @@ def test_pack4_roundtrip():
     assert packed.dtype == jnp.uint8 and packed.shape == (3, 5, 8)
     np.testing.assert_array_equal(np.asarray(unpack4(packed)),
                                   np.asarray(codes))
+
+
+def test_pack4_pairs_roundtrip():
+    """Pair-packed storage rows ([..., S/2, D]) roundtrip losslessly and
+    match per-position pack4 bytes laid out [pack4(2t) | pack4(2t+1)]."""
+    from piquant_tpu.quant.kv_cache import (merge_scale_pairs, pack4,
+                                            pack4_pairs, split_scale_pairs,
+                                            unpack4_pairs)
+    rng = np.random.default_rng(SEED + 100)
+    codes = jnp.asarray(rng.integers(-7, 8, (2, 3, 6, 16)), jnp.int8)
+    packed = pack4_pairs(codes)
+    assert packed.dtype == jnp.uint8 and packed.shape == (2, 3, 3, 16)
+    np.testing.assert_array_equal(np.asarray(unpack4_pairs(packed)),
+                                  np.asarray(codes))
+    # row t = [pack4(pos 2t) | pack4(pos 2t+1)]
+    per_pos = np.asarray(pack4(codes))              # [.., 6, 8]
+    np.testing.assert_array_equal(
+        np.asarray(packed).reshape(2, 3, 6, 8), per_pos)
+    # scale split/merge roundtrip + plane semantics
+    sc = jnp.asarray(rng.uniform(0.01, 1.0, (2, 3, 6, 1)), jnp.float32)
+    sp = split_scale_pairs(sc)
+    assert sp.shape == (2, 3, 2, 3)
+    np.testing.assert_array_equal(np.asarray(sp[..., 0, :]),
+                                  np.asarray(sc[..., 0::2, 0]))
+    np.testing.assert_array_equal(np.asarray(sp[..., 1, :]),
+                                  np.asarray(sc[..., 1::2, 0]))
+    np.testing.assert_array_equal(np.asarray(merge_scale_pairs(sp)),
+                                  np.asarray(sc))
+
+
+def test_kv4_append_paths_agree():
+    """All three kv4 append paths (per-position scatter, stacked scatter,
+    contiguous dus with even AND odd starts) land identical bytes: read
+    back through kv_cache_read and compare against a kv8-style dense
+    reference quantization."""
+    from piquant_tpu.quant import kv_cache as KC
+
+    rng = np.random.default_rng(SEED + 101)
+    b, h, s, d = 2, 3, 16, 8
+    k = jnp.asarray(rng.normal(0, 1, (b, h, 6, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (b, h, 6, d)), jnp.float32)
+
+    # expected: quantize per position, place at positions
+    def expect(positions):
+        kc, ks = KC._quantize_sym(k, 4)
+        ek = np.zeros((b, h, s, d), np.float32)
+        ev = np.zeros_like(ek)
+        kd = np.asarray(KC.unpack4(kc), np.float32) * np.asarray(ks)
+        vc, vs = KC._quantize_sym(v, 4)
+        vd = np.asarray(KC.unpack4(vc), np.float32) * np.asarray(vs)
+        for bi in range(b):
+            for t in range(positions.shape[1]):
+                ek[bi, :, positions[bi, t]] = kd[bi, :, t]
+                ev[bi, :, positions[bi, t]] = vd[bi, :, t]
+        return ek, ev
+
+    # scattered (non-contiguous, mixed parity) positions
+    pos = np.stack([np.array([1, 3, 4, 8, 9, 14]),
+                    np.array([0, 2, 5, 7, 11, 12])]).astype(np.int32)
+    cache = KC.kv_cache_init(b, h, s, d, bits=4)
+    cache = KC.kv_cache_append(cache, k, v, jnp.asarray(pos))
+    kr, vr = KC.kv_cache_read(cache, jnp.float32)
+    ek, ev = expect(pos)
+    np.testing.assert_allclose(np.asarray(kr), ek, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vr), ev, atol=1e-6)
+
+    # stacked contiguous: even and odd starts must agree with the scatter
+    for start in (4, 5):
+        pos_c = np.broadcast_to(start + np.arange(6), (b, 6)).astype(np.int32)
+        one = KC.kv_cache_init(b, h, s, d, bits=4)
+        stacked = jax.tree.map(lambda a: jnp.stack([a] * 2), one)
+        got = KC.kv_cache_append_stacked(
+            stacked, 1, k, v, jnp.asarray(pos_c),
+            contiguous_start=jnp.int32(start))
+        layer1 = KC.KVCache(got.k_codes[1], got.v_codes[1],
+                            got.k_scale[1], got.v_scale[1], got.length[1])
+        kr, vr = KC.kv_cache_read(layer1, jnp.float32)
+        ek, ev = expect(pos_c)
+        np.testing.assert_allclose(np.asarray(kr), ek, atol=1e-6,
+                                   err_msg=f"start={start}")
+        # layer 0 untouched
+        assert not np.asarray(got.k_codes[0]).any()
+        assert int(got.length[1].max()) == start + 6
