@@ -32,27 +32,34 @@ ROWS_PER_BLOCK = 2048
 COLS = 1024
 
 
-def make_sum_kernel(rows: int, salt_rows: int = 8):
-    """Sum a (rows, COLS) uint8 array: reads rows*COLS bytes, writes 4."""
+def make_sum_kernel(rows: int, block_rows: int = ROWS_PER_BLOCK,
+                    dtype=jnp.uint8):
+    """Sum a (rows, COLS) array: reads rows*COLS*itemsize bytes, writes 4.
+
+    f32 input is the purest DMA-bound probe (one add/elem); uint8 costs a
+    u8->i32 conversion per element (4x lane expansion), so if the uint8
+    number trails the f32 number at the same byte count the probe is
+    VPU-bound, not at the HBM wall."""
+    acc_dt = jnp.float32 if dtype == jnp.float32 else jnp.int32
 
     def kern(x_ref, salt_ref, o_ref):
         j = pl.program_id(0)
 
         @pl.when(j == 0)
         def _():
-            o_ref[0, 0] = 0
+            o_ref[0, 0] = jnp.zeros((), acc_dt)
 
         # salt folds a data-dependent value in so chained iterations
         # cannot be collapsed; uint8 sums stay in i32
-        part = jnp.sum(x_ref[:].astype(jnp.int32))
-        o_ref[0, 0] += part + salt_ref[0, 0]
+        part = jnp.sum(x_ref[:].astype(acc_dt))
+        o_ref[0, 0] += part + salt_ref[0, 0].astype(acc_dt)
 
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
-        grid=(rows // ROWS_PER_BLOCK,),
+        out_shape=jax.ShapeDtypeStruct((1, 1), acc_dt),
+        grid=(rows // block_rows,),
         in_specs=[
-            pl.BlockSpec((ROWS_PER_BLOCK, COLS), lambda j: (j, 0),
+            pl.BlockSpec((block_rows, COLS), lambda j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
         ],
@@ -61,11 +68,18 @@ def make_sum_kernel(rows: int, salt_rows: int = 8):
     )
 
 
-def chain_slope(size_mb: int = 32, k1: int = 8, k2: int = 48):
-    rows = size_mb * 1024 * 1024 // COLS
-    kfun = make_sum_kernel(rows)
-    x = jax.random.randint(jax.random.key(0), (rows, COLS), 0, 256,
-                           jnp.int32).astype(jnp.uint8)
+def chain_slope(size_mb: int = 32, k1: int = 8, k2: int = 48,
+                block_kb: int = 2048, dtype=jnp.uint8):
+    esz = jnp.dtype(dtype).itemsize
+    rows = size_mb * 1024 * 1024 // (COLS * esz)
+    block_rows = block_kb * 1024 // (COLS * esz)
+    rows -= rows % block_rows
+    kfun = make_sum_kernel(rows, block_rows, dtype)
+    if dtype == jnp.float32:
+        x = jax.random.normal(jax.random.key(0), (rows, COLS), jnp.float32)
+    else:
+        x = jax.random.randint(jax.random.key(0), (rows, COLS), 0, 256,
+                               jnp.int32).astype(dtype)
 
     def mk(iters):
         @jax.jit
@@ -77,7 +91,8 @@ def chain_slope(size_mb: int = 32, k1: int = 8, k2: int = 48):
             return sf
         return chain
 
-    s0 = jnp.zeros((1, 1), jnp.int32)
+    s0 = jnp.zeros((1, 1),
+                   jnp.float32 if dtype == jnp.float32 else jnp.int32)
     f1, f2 = mk(k1), mk(k2)
     np.asarray(f1(s0)); np.asarray(f2(s0))
 
@@ -92,9 +107,10 @@ def chain_slope(size_mb: int = 32, k1: int = 8, k2: int = 48):
         return best
 
     t_iter = (t_of(f2, 1) - t_of(f1, 0)) / (k2 - k1)
-    gbs = rows * COLS / t_iter / 1e9
-    print(f"chain-slope  {size_mb:5d} MB  {t_iter*1e6:9.1f} us/pass  "
-          f"{gbs:7.1f} GB/s", flush=True)
+    gbs = rows * COLS * esz / t_iter / 1e9
+    name = jnp.dtype(dtype).name
+    print(f"chain-slope  {name:7s} {size_mb:5d} MB  blk {block_kb:5d} KB  "
+          f"{t_iter*1e6:9.1f} us/pass  {gbs:7.1f} GB/s", flush=True)
     return gbs
 
 
@@ -119,8 +135,13 @@ def single_shot(size_mb: int = 1024):
 
 
 if __name__ == "__main__":
-    mb = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
-    single_shot(mb)
-    single_shot(mb)
-    chain_slope(32)
-    chain_slope(128)
+    # args: [size_mb] [sweep]
+    mb = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    if len(sys.argv) > 2 and sys.argv[2] == "sweep":
+        # block-size x dtype sweep: find the true streaming ceiling
+        for dt in (jnp.float32, jnp.uint8):
+            for bk in (1024, 2048, 4096, 8192):
+                chain_slope(mb, block_kb=bk, dtype=dt)
+    else:
+        chain_slope(32)
+        chain_slope(mb)

@@ -32,7 +32,9 @@
 #include <thread>
 #include <vector>
 
-#if defined(__GNUC__)
+#if defined(_MSC_VER)
+#define PQH_EXPORT __declspec(dllexport)
+#elif defined(__GNUC__)
 #define PQH_EXPORT __attribute__((visibility("default")))
 #else
 #define PQH_EXPORT

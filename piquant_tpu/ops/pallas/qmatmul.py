@@ -43,7 +43,13 @@ XK_VMEM_LIMIT = 4 * 1024 * 1024  # x block ceiling (x2 for double buffering)
 
 
 @lru_cache(maxsize=None)
-def _w4_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
+def _w4_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str,
+               vmem_mb: int = 0):
+    """vmem_mb > 0 raises Mosaic's scoped-VMEM ceiling (default 16 MB) so
+    large-K weights can keep a single full-K block at bn=512/1024 instead
+    of the K-split kernel — the unpack temporaries cost ~6x the packed
+    block, which is what the default limit actually caps (v5e has 128 MB
+    of physical VMEM).  A/B knob: PIQUANT_W4_BIGBLOCK."""
     odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
     kh = k // 2
 
@@ -75,7 +81,8 @@ def _w4_kernel(m: int, k: int, n: int, bm: int, bn: int, out_dtype: str):
         # telling Mosaic lets it overlap the next tile's weight DMA with
         # this tile's unpack+dot instead of serializing grid steps
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            **({"vmem_limit_bytes": vmem_mb << 20} if vmem_mb else {})),
     )
 
 
@@ -389,6 +396,11 @@ def _w4_kernel_ksplit(m: int, k: int, n: int, bm: int, bn: int, bkh: int,
         scratch_shapes=[
             pltpu.VMEM((bm, bn), jnp.float32),
         ],
+        # i/j independent; only the K axis accumulates — declaring it lets
+        # Mosaic overlap the next K-block's weight DMA with this block's
+        # unpack+dot (the same win measured on the single-K kernel)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
     )
 
 
@@ -1119,14 +1131,26 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
     zp = jnp.broadcast_to(ql.zero_point.astype(jnp.int32).reshape(1, -1), (1, n))
 
     if ql.bits == 4:
+        import os as _os
+
         kh = k // 2
         # large-K weights force a tiny bn under the single-block budget;
         # the K-split kernel keeps bn=1024 by streaming (bkh, bn) blocks
         bkh = next((c for c in range(2048, 255, -128) if kh % c == 0), None)
         if kh * 1024 > 2 * W_BLOCK_VMEM_LIMIT and bkh and n % 1024 == 0:
-            kfun = _w4_kernel_ksplit(mp, k, n, bm, 1024, bkh, oname)
-            y = kfun(x2[:, :kh], x2[:, kh:], ql.data, scale,
-                     zp.astype(jnp.float32) * scale, xsum)
+            big = int(_os.environ.get("PIQUANT_W4_BIGBLOCK", "0"))
+            if big and n % big == 0:
+                # A/B: single full-K block at bn=big under a raised
+                # scoped-VMEM ceiling, instead of the K-split stream
+                kfun = _w4_kernel(mp, k, n, bm, big, oname,
+                                  vmem_mb=int(_os.environ.get(
+                                      "PIQUANT_QMM_VMEM_MB", "100")))
+                y = kfun(x2, ql.data, scale,
+                         zp.astype(jnp.float32) * scale, xsum)
+            else:
+                kfun = _w4_kernel_ksplit(mp, k, n, bm, 1024, bkh, oname)
+                y = kfun(x2[:, :kh], x2[:, kh:], ql.data, scale,
+                         zp.astype(jnp.float32) * scale, xsum)
             if mp != m:
                 y = y[:m]
             return y.reshape(*lead, n).astype(out_dtype)

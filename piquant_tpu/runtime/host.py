@@ -19,7 +19,18 @@ from typing import Optional, Tuple
 import numpy as np
 
 _CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "csrc")
-_SO = os.path.join(_CSRC, "libpiquant_host.so")
+
+
+def _lib_names():
+    """Platform shared-library names, most specific first (the CMake build
+    on Windows produces piquant_host.dll; the Makefile libpiquant_host.so;
+    macOS clang emits .dylib under CMake, .so under the Makefile)."""
+    import sys
+    if sys.platform == "win32":
+        return ("piquant_host.dll",)
+    if sys.platform == "darwin":
+        return ("libpiquant_host.so", "libpiquant_host.dylib")
+    return ("libpiquant_host.so",)
 
 _FP_CODES = {"f32": 0, "bf16": 1, "f64": 2}
 _Q_CODES = {
@@ -41,11 +52,36 @@ _lib_lock = threading.Lock()
 
 
 def _build() -> bool:
+    import sys
     try:
-        subprocess.run(["make", "-C", _CSRC], check=True, capture_output=True)
+        if sys.platform == "win32":
+            # MSVC path: csrc/CMakeLists.txt (the Makefile is gcc/clang)
+            bdir = os.path.join(_CSRC, "build")
+            subprocess.run(["cmake", "-B", bdir, "-S", _CSRC,
+                            "-DCMAKE_BUILD_TYPE=Release"],
+                           check=True, capture_output=True)
+            subprocess.run(["cmake", "--build", bdir, "--config", "Release"],
+                           check=True, capture_output=True)
+        else:
+            subprocess.run(["make", "-C", _CSRC], check=True,
+                           capture_output=True)
         return True
     except Exception:
         return False
+
+
+def _find_lib() -> Optional[str]:
+    # wheel installs ship the prebuilt library next to this module
+    # (setup.py BuildWithNative); source checkouts build csrc/ in-tree
+    # (Windows CMake drops it under csrc/build/[Release/])
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in _lib_names():
+        for d in (here, _CSRC, os.path.join(_CSRC, "build"),
+                  os.path.join(_CSRC, "build", "Release")):
+            p = os.path.join(d, name)
+            if os.path.exists(p):
+                return p
+    return None
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -53,13 +89,13 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        # wheel installs ship the prebuilt library next to this module
-        # (setup.py BuildWithNative); source checkouts build csrc/ in-tree
-        packaged = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "libpiquant_host.so")
-        so = packaged if os.path.exists(packaged) else _SO
-        if not os.path.exists(so) and not _build():
-            return None
+        so = _find_lib()
+        if so is None:
+            if not _build():
+                return None
+            so = _find_lib()
+            if so is None:
+                return None
         try:
             lib = ctypes.CDLL(so)
         except OSError:

@@ -10,6 +10,11 @@ import pytest
 from piquant_tpu.ops.pallas.decode_attn2 import decode_attention_state
 from piquant_tpu.quant.kv_cache import pack4_pairs, split_scale_pairs
 
+import os
+
+# compiled on-chip (PIQUANT_TPU_TEST_TPU=1), interpret elsewhere
+_INTERP = os.environ.get("PIQUANT_TPU_TEST_TPU") != "1"
+
 SEED = 0xDA2
 
 
@@ -66,7 +71,7 @@ def test_state_matches_reference(kv_bits):
 
     out = decode_attention_state(
         jnp.asarray(q), kcs, kss, vcs, vss,
-        jnp.asarray(pos), 0.0883883, interpret=True)
+        jnp.asarray(pos), 0.0883883, interpret=_INTERP)
     assert out is not None
     acc, m, l = (np.asarray(o) for o in out)
 
@@ -99,7 +104,7 @@ def test_windowed_state_matches_reference(kv_bits):
     out = decode_attention_state(
         jnp.asarray(q), kcs, kss, vcs, vss,
         jnp.asarray(pos), 0.0883883, starts=jnp.asarray(start),
-        interpret=True)
+        interpret=_INTERP)
     assert out is not None
     acc, m, l = (np.asarray(o) for o in out)
 
@@ -118,7 +123,7 @@ def test_dead_chunks_do_not_contribute():
     out = decode_attention_state(
         jnp.asarray(q), jnp.asarray(kc), jnp.asarray(ks),
         jnp.asarray(vc), jnp.asarray(vs), jnp.asarray(pos), 1.0,
-        interpret=True)
+        interpret=_INTERP)
     acc, m, l = (np.asarray(o) for o in out)
     np.testing.assert_allclose(l, np.ones_like(l), rtol=1e-6)
     want = (vc[:, :, 0].astype(np.float32) * vs[:, :, 0])[:, :, None]
@@ -132,7 +137,7 @@ def test_geometry_fallback():
     ks = jnp.zeros((1, 2, 512, 1), jnp.float32)
     assert decode_attention_state(q, kc, ks, kc, ks,
                                   jnp.zeros(1, jnp.int32), 1.0,
-                                  interpret=True) is None
+                                  interpret=_INTERP) is None
 
 
 def _decode_ab(cfg, seed, prefill_len=8, expect_engaged=True):

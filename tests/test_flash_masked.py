@@ -3,12 +3,29 @@ context matches the materialized-scores reference for every mask family —
 vanilla causal, sliding window, chunked (incl. nonzero pos0), softcap,
 sinks, and the GPT-OSS window+sinks combination."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+from jax.experimental.pallas import tpu as pltpu
 
 from piquant_tpu.ops.pallas.flash import flash_prefill_masked
+
+_INTERP = os.environ.get("PIQUANT_TPU_TEST_TPU") != "1"
+
+
+def _kmode():
+    """Compiled on-chip (PIQUANT_TPU_TEST_TPU=1), interpret elsewhere —
+    forcing interpret mode against the remote TPU backend deadlocks
+    (see test_qmatmul.py)."""
+    import contextlib
+    import os
+    if os.environ.get("PIQUANT_TPU_TEST_TPU") == "1":
+        return contextlib.nullcontext()
+    return pltpu.force_tpu_interpret_mode()
+
 
 SEED = 0xF1A5
 
@@ -88,7 +105,7 @@ def test_matches_reference(name):
         sinks=None if sinks is None else jnp.asarray(sinks),
         **{kk: (jnp.asarray(vv) if kk == "pos0" else vv)
            for kk, vv in kw.items()},
-        interpret=True)
+        interpret=_INTERP)
     assert got is not None
     want = _reference(q, k, v, sm, sinks=sinks, **kw)
     np.testing.assert_allclose(np.asarray(got), want, rtol=0.02, atol=0.02)
@@ -100,7 +117,7 @@ def test_rep1_and_larger_t():
     q, k, v = _mk(b, hkv, rep, t, d, seed=SEED + 11)
     got = flash_prefill_masked(jnp.asarray(q), jnp.asarray(k),
                                jnp.asarray(v), 0.0883883, window=130,
-                               interpret=True)
+                               interpret=_INTERP)
     want = _reference(q, k, v, 0.0883883, window=130)
     np.testing.assert_allclose(np.asarray(got), want, rtol=0.02, atol=0.02)
 
@@ -108,10 +125,10 @@ def test_rep1_and_larger_t():
 def test_geometry_fallback():
     q = jnp.zeros((1, 2, 2, 200, 128), jnp.float32)   # t not 128-multiple
     k = jnp.zeros((1, 2, 200, 128), jnp.float32)
-    assert flash_prefill_masked(q, k, k, 1.0, interpret=True) is None
+    assert flash_prefill_masked(q, k, k, 1.0, interpret=_INTERP) is None
     q = jnp.zeros((1, 2, 2, 256, 64), jnp.float32)    # d not 128-multiple
     k = jnp.zeros((1, 2, 256, 64), jnp.float32)
-    assert flash_prefill_masked(q, k, k, 1.0, interpret=True) is None
+    assert flash_prefill_masked(q, k, k, 1.0, interpret=_INTERP) is None
 
 
 # ---- full-model prefill A/B: flash (forced, interpret) vs materialized ----
@@ -142,7 +159,7 @@ def _forward_ab(cfg, seed, t=256):
         os.environ["PIQUANT_FLASH"] = "force"
     FP.flash_prefill = spy
     try:
-        with jax.enable_x64(False), pltpu.force_tpu_interpret_mode():
+        with jax.enable_x64(False), _kmode():
             fast, _ = M.forward(cfg, params, toks)
     finally:
         FP.flash_prefill = orig

@@ -14,6 +14,17 @@ from jax.experimental.pallas import tpu as pltpu
 from piquant_tpu.models import llama as M
 from piquant_tpu.ops.flash_prefill import flash_prefill
 
+def _kmode():
+    """Compiled on-chip (PIQUANT_TPU_TEST_TPU=1), interpret elsewhere —
+    forcing interpret mode against the remote TPU backend deadlocks
+    (see test_qmatmul.py)."""
+    import contextlib
+    import os
+    if os.environ.get("PIQUANT_TPU_TEST_TPU") == "1":
+        return contextlib.nullcontext()
+    return pltpu.force_tpu_interpret_mode()
+
+
 SEED = 0xF1A5
 
 
@@ -36,7 +47,7 @@ def test_kernel_matches_reference_math():
 
     os.environ["PIQUANT_FLASH"] = "force"
     try:
-        with jax.enable_x64(False), pltpu.force_tpu_interpret_mode():
+        with jax.enable_x64(False), _kmode():
             got = flash_prefill(q, k, v, sm)
     finally:
         os.environ.pop("PIQUANT_FLASH")
@@ -71,7 +82,7 @@ def test_forward_logits_match():
     finally:
         os.environ["PIQUANT_FLASH"] = "force"
     try:
-        with jax.enable_x64(False), pltpu.force_tpu_interpret_mode():
+        with jax.enable_x64(False), _kmode():
             y1, _ = M.forward(cfg, params, toks)
     finally:
         os.environ.pop("PIQUANT_FLASH")
@@ -108,7 +119,7 @@ def test_config_fallbacks_still_correct():
     toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 256)), jnp.int32)
     os.environ["PIQUANT_FLASH"] = "force"
     try:
-        with jax.enable_x64(False), pltpu.force_tpu_interpret_mode():
+        with jax.enable_x64(False), _kmode():
             yw, _ = M.forward(cfg, params, toks)
             yf, _ = M.forward(_cfg(), params, toks)
     finally:
@@ -126,7 +137,7 @@ def test_t768_block_selection():
     v = jnp.asarray(rng.normal(0, 1, (b, hkv, t, d)).astype(np.float32))
     os.environ["PIQUANT_FLASH"] = "force"
     try:
-        with jax.enable_x64(False), pltpu.force_tpu_interpret_mode():
+        with jax.enable_x64(False), _kmode():
             got = flash_prefill(q, k, v, d ** -0.5)
     finally:
         os.environ.pop("PIQUANT_FLASH")

@@ -126,7 +126,7 @@ def test_reference_c_abi_compat(tmp_path):
     import shutil
     import subprocess
 
-    from piquant_tpu.runtime.host import _CSRC, _SO
+    from piquant_tpu.runtime.host import _CSRC
 
     cc = shutil.which("cc") or shutil.which("gcc")
     if cc is None:
@@ -146,9 +146,9 @@ def test_reference_c_abi_ctypes_stochastic():
     decorrelated across calls (context-held seed counter)."""
     import ctypes
 
-    from piquant_tpu.runtime.host import _SO
+    from piquant_tpu.runtime.host import _find_lib
 
-    lib = ctypes.CDLL(_SO)
+    lib = ctypes.CDLL(_find_lib())
     lib.piquant_context_create.restype = ctypes.c_void_p
     lib.piquant_context_create.argtypes = [ctypes.c_size_t]
     lib.piquant_quantize.argtypes = [

@@ -5,8 +5,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+from jax.experimental.pallas import tpu as pltpu
 
 from piquant_tpu.models import llama as M
+
+def _kmode():
+    """Compiled on-chip (PIQUANT_TPU_TEST_TPU=1), interpret elsewhere —
+    forcing interpret mode against the remote TPU backend deadlocks
+    (see test_qmatmul.py)."""
+    import contextlib
+    import os
+    if os.environ.get("PIQUANT_TPU_TEST_TPU") == "1":
+        return contextlib.nullcontext()
+    return pltpu.force_tpu_interpret_mode()
+
 
 SEED = 0x9032002
 
@@ -283,7 +295,7 @@ def test_moe_ragged_matches_dense(bits, group_size):
 
     os.environ["PIQUANT_MOE_RAGGED"] = "force"
     try:
-        with pltpu.force_tpu_interpret_mode():
+        with _kmode():
             got = M._moe_ragged_try(cfg, layer, x,
                                     *_routing_of(cfg, layer, x))
     finally:
@@ -441,7 +453,7 @@ def test_moe_ragged_a8_matches_dense(bits):
 
     os.environ["PIQUANT_MOE_RAGGED"] = "force"
     try:
-        with pltpu.force_tpu_interpret_mode():
+        with _kmode():
             got = M._moe_ragged_try(cfg, layer, x,
                                     *_routing_of(cfg, layer, x))
     finally:

@@ -19,6 +19,17 @@ from piquant_tpu.quant.linear import (
     quantize_linear_weight, quantized_matmul, unpack_split_half,
     _matmul_nf4_jnp)
 
+def _kmode():
+    """Compiled on-chip (PIQUANT_TPU_TEST_TPU=1), interpret elsewhere —
+    forcing interpret mode against the remote TPU backend deadlocks
+    (see test_qmatmul.py)."""
+    import contextlib
+    import os
+    if os.environ.get("PIQUANT_TPU_TEST_TPU") == "1":
+        return contextlib.nullcontext()
+    return pltpu.force_tpu_interpret_mode()
+
+
 SEED = 0x4E5434
 
 
@@ -124,7 +135,7 @@ def test_pallas_lut_kernel_interpret(group_size, m):
     # dispatching more work: a new eager dispatch while the interpreter's
     # io_callback threads are mid-barrier deadlocks on the virtual mesh
     want = np.asarray(_matmul_nf4_jnp(x, ql, jnp.float32))
-    with pltpu.force_tpu_interpret_mode():
+    with _kmode():
         got = Q.nf4_matmul(x, ql, jnp.float32)
         assert got is not None
         got = np.asarray(got)

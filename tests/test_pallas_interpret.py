@@ -25,8 +25,14 @@ N_TAIL = 8 * 128 * 4 + 77        # sub-unit tail
 
 @pytest.fixture(autouse=True)
 def _interpret():
-    with pltpu.force_tpu_interpret_mode():
+    import os
+    if os.environ.get("PIQUANT_TPU_TEST_TPU") == "1":
+        # on-chip mode: run the kernels COMPILED (forcing interpret mode
+        # against the remote backend deadlocks — see test_qmatmul.py)
         yield
+    else:
+        with pltpu.force_tpu_interpret_mode():
+            yield
 
 
 def _x(n, fname="f32"):
