@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from piquant_tpu.ops.pallas.decode_attn2 import decode_attention_state
-from piquant_tpu.quant.kv_cache import pack4
+from piquant_tpu.quant.kv_cache import pack4_pairs, split_scale_pairs
 
 B, HKV, REP, D = 8, 8, 4, 128
 SM = D ** -0.5
@@ -38,7 +38,9 @@ def build(s, kv_bits, key):
     ksc = jax.random.uniform(ks[2], (B, HKV, s, 1), jnp.float32, 0.005, 0.02)
     vsc = jax.random.uniform(ks[3], (B, HKV, s, 1), jnp.float32, 0.005, 0.02)
     if kv_bits == 4:
-        kc, vc = jax.jit(pack4)(kc), jax.jit(pack4)(vc)
+        kc, vc = jax.jit(pack4_pairs)(kc), jax.jit(pack4_pairs)(vc)
+        ksc = jax.jit(split_scale_pairs)(ksc)
+        vsc = jax.jit(split_scale_pairs)(vsc)
     return kc, ksc, vc, vsc
 
 

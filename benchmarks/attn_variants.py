@@ -94,7 +94,7 @@ def bench(name, fn, k1=16, k2=96, mk_inputs=None):
         return best
 
     t_iter = (t_of(f2, 1) - t_of(f1, 0)) / (k2 - k1)
-    traffic = 2 * B * HKV * S * D  # K+V codes
+    traffic = kc.size * kc.dtype.itemsize * 2  # K+V code bytes (kv4: half)
     print(f"{name:18s} {t_iter*1e6:8.1f} us/layer  "
           f"({t_iter*32*1e3:5.2f} ms/32-layer step, cache-stream "
           f"{traffic/t_iter/1e9:6.1f} GB/s)", flush=True)
@@ -111,9 +111,11 @@ def check(fn_a, fn_b, tag):
 
 
 def make_inputs_kv4():
-    from piquant_tpu.quant.kv_cache import pack4
+    # pair-packed layout: [B,H,S/2,D] codes + [B,H,2,S/2] scales
+    from piquant_tpu.quant.kv_cache import pack4_pairs, split_scale_pairs
     q, kc, ks, vc, vs, pos = make_inputs()
-    return q, jax.jit(pack4)(kc), ks, jax.jit(pack4)(vc), vs, pos
+    return (q, jax.jit(pack4_pairs)(kc), jax.jit(split_scale_pairs)(ks),
+            jax.jit(pack4_pairs)(vc), jax.jit(split_scale_pairs)(vs), pos)
 
 
 if __name__ == "__main__":

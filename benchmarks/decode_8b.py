@@ -103,8 +103,10 @@ def main(batch=8, ctx=1024, max_len=2048):
         cache = KVCache(
             k_codes=rnd_codes(jax.random.fold_in(kk, 0)),
             v_codes=rnd_codes(jax.random.fold_in(kk, 1)),
-            k_scale=jnp.full(shape[:4] + (1,), 0.01, jnp.float32),
-            v_scale=jnp.full(shape[:4] + (1,), 0.01, jnp.float32),
+            # full_like keeps the layout right for both kv8 ([..,S,1])
+            # and pair-packed kv4 ([..,2,S/2]) scale buffers
+            k_scale=jnp.full_like(cache.k_scale, 0.01),
+            v_scale=jnp.full_like(cache.v_scale, 0.01),
             length=jnp.full(cache.length.shape, ctx, jnp.int32),
         )
         last_tok = jnp.zeros((batch,), jnp.int32)
