@@ -97,13 +97,17 @@ def _kernel(b: int, hkv: int, rep: int, s: int, d: int, sc: int,
 
         def unpack_planes(codes):
             """Pair-packed (hkv*sch, d) uint8 rows -> (even, odd) bf16
-            planes, each (hkv*sch, d): lanes [0, d/2) hold the even
-            position's pack4 bytes, [d/2, d) the odd's; each pack4 byte j
-            holds code j (low nibble) and code j + d/2 (high)."""
+            RAW-NIBBLE planes in [1, 15], each (hkv*sch, d): lanes
+            [0, d/2) hold the even position's pack4 bytes, [d/2, d) the
+            odd's; each pack4 byte j holds code j (low nibble) and code
+            j + d/2 (high).  The stored offset (-8) is NOT applied here —
+            it folds analytically into rank-1 corrections on the dots
+            (x @ (nib - 8) = x @ nib - 8 * rowsum(x)), saving two
+            full-plane VPU subtract passes per operand."""
             p = codes.astype(jnp.int32)
             plo, phi = p[:, :hd2], p[:, hd2:]
-            even = jnp.concatenate([(plo & 15) - 8, (plo >> 4) - 8], axis=-1)
-            odd = jnp.concatenate([(phi & 15) - 8, (phi >> 4) - 8], axis=-1)
+            even = jnp.concatenate([plo & 15, plo >> 4], axis=-1)
+            odd = jnp.concatenate([phi & 15, phi >> 4], axis=-1)
             return even.astype(jnp.bfloat16), odd.astype(jnp.bfloat16)
 
         # live window in this chunk?  (start <= idx < pos overlaps
@@ -134,7 +138,10 @@ def _kernel(b: int, hkv: int, rep: int, s: int, d: int, sc: int,
                 so = jax.lax.dot_general(
                     q_all, ko, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                scores = jnp.concatenate([se, so], axis=1)   # (hr, 2*half)
+                # raw nibbles: q . (nib - 8) = q . nib - 8 * sum_d(q)
+                qsum = jnp.sum(q_all.astype(jnp.float32), axis=1,
+                               keepdims=True)                # (hr, 1)
+                scores = jnp.concatenate([se, so], axis=1) - 8.0 * qsum
                 # column c: parity plane c // half, head (c % half) // sch,
                 # in-chunk pair row (c % half) % sch
                 ks_row = jnp.concatenate(
@@ -187,6 +194,9 @@ def _kernel(b: int, hkv: int, rep: int, s: int, d: int, sc: int,
                 upd += jax.lax.dot_general(
                     pv[:, half:], vo, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
+                # raw nibbles: pv . (nib - 8) = pv . nib - 8 * rowsum(pv)
+                upd -= 8.0 * jnp.sum(pv.astype(jnp.float32), axis=1,
+                                     keepdims=True)          # (hr, 1) bcast
             acc_ref[:] = acc_ref[:] * corr + upd
 
         @pl.when(sci == nsc - 1)

@@ -254,3 +254,18 @@ def test_model_decode_integration_windowed(kind):
     rel = np.abs(fast - base).max() / np.abs(base).max()
     assert rel < 3e-2, rel
     assert (fast.argmax(-1) == base.argmax(-1)).all()
+
+
+def test_model_decode_integration_windowed_kv4():
+    """Sliding window + pair-packed kv4 together: the window-start masking
+    must compose with the even/odd parity column layout."""
+    from piquant_tpu.models import llama as M
+
+    cfg = M.LlamaConfig(vocab_size=128, d_model=256, n_layers=2, n_heads=4,
+                        n_kv_heads=2, d_ff=256, max_seq_len=2048,
+                        head_dim_override=128, dtype=jnp.float32, kv_bits=4,
+                        sliding_window=9)  # odd window: starts hit both parities
+    base, fast = _decode_ab(cfg, 14, prefill_len=24)
+    rel = np.abs(fast - base).max() / np.abs(base).max()
+    assert rel < 3e-2, rel
+    assert (fast.argmax(-1) == base.argmax(-1)).all()
