@@ -1154,7 +1154,17 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
             if mp != m:
                 y = y[:m]
             return y.reshape(*lead, n).astype(out_dtype)
-        kfun = _w4_kernel(mp, k, n, bm, bn, oname)
+        # PIQUANT_W4_BN: force a larger N tile (raised scoped-VMEM ceiling
+        # when the packed block exceeds the 2 MB default cap).  hbm_sol
+        # sweep: 8 MB streaming blocks reach 809 GB/s vs 739 at 2 MB —
+        # the default bn cap costs ~10-20% of weight-stream rate.
+        want = int(_os.environ.get("PIQUANT_W4_BN", "0"))
+        if want and n % want == 0:
+            vm = (int(_os.environ.get("PIQUANT_QMM_VMEM_MB", "100"))
+                  if kh * want > W_BLOCK_VMEM_LIMIT else 0)
+            kfun = _w4_kernel(mp, k, n, bm, want, oname, vmem_mb=vm)
+        else:
+            kfun = _w4_kernel(mp, k, n, bm, bn, oname)
     elif ql.bits == 2:
         if k % 512:
             return None
