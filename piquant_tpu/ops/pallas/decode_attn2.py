@@ -320,6 +320,10 @@ def decode_attention_state(
             return None
         ks2 = k_scale[layer] if stacked else k_scale   # [B, Hkv, 2, S/2]
         vs2 = v_scale[layer] if stacked else v_scale
+        # reject the pre-refactor [B,Hkv,S,1] layout (and any other shape)
+        # here rather than deep inside pallas_call's BlockSpec check
+        if ks2.shape[-2:] != (2, s // 2) or vs2.shape[-2:] != (2, s // 2):
+            return None
     elif stacked:
         ks2 = k_scale[layer].reshape(b, hkv, 1, s)   # small (S f32) copies
         vs2 = v_scale[layer].reshape(b, hkv, 1, s)

@@ -1139,12 +1139,20 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
         bkh = next((c for c in range(2048, 255, -128) if kh % c == 0), None)
         if kh * 1024 > 2 * W_BLOCK_VMEM_LIMIT and bkh and n % 1024 == 0:
             big = int(_os.environ.get("PIQUANT_W4_BIGBLOCK", "0"))
-            if big and n % big == 0:
+            vmem_mb = int(_os.environ.get("PIQUANT_QMM_VMEM_MB", "100"))
+            # budget check: x block (bm,k) bf16 double-buffered + ~6x the
+            # packed (kh,big) block in unpack temporaries must fit the
+            # raised ceiling — clamp bm down rather than OOM in Mosaic
+            bmb = bm
+            while bmb > 16 and (2 * bmb * k * 2 + 6 * kh * big
+                                > (vmem_mb << 20)):
+                bmb //= 2
+            if big and n % big == 0 and (2 * bmb * k * 2 + 6 * kh * big
+                                         <= (vmem_mb << 20)):
                 # A/B: single full-K block at bn=big under a raised
                 # scoped-VMEM ceiling, instead of the K-split stream
-                kfun = _w4_kernel(mp, k, n, bm, big, oname,
-                                  vmem_mb=int(_os.environ.get(
-                                      "PIQUANT_QMM_VMEM_MB", "100")))
+                kfun = _w4_kernel(mp, k, n, bmb, big, oname,
+                                  vmem_mb=vmem_mb)
                 y = kfun(x2, ql.data, scale,
                          zp.astype(jnp.float32) * scale, xsum)
             else:

@@ -146,8 +146,12 @@ def test_reference_c_abi_ctypes_stochastic():
     decorrelated across calls (context-held seed counter)."""
     import ctypes
 
-    from piquant_tpu.runtime.host import _find_lib
+    from piquant_tpu.runtime.host import _find_lib, _load
 
+    # _load() builds the library if absent; CDLL(None) would otherwise
+    # load the main process and fail with a confusing missing symbol
+    if _load() is None:
+        pytest.skip("native host library unavailable")
     lib = ctypes.CDLL(_find_lib())
     lib.piquant_context_create.restype = ctypes.c_void_p
     lib.piquant_context_create.argtypes = [ctypes.c_size_t]

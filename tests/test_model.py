@@ -391,6 +391,8 @@ def test_kv4_append_paths_agree():
         ek, ev = expect(pos_c)
         np.testing.assert_allclose(np.asarray(kr), ek, atol=1e-6,
                                    err_msg=f"start={start}")
+        np.testing.assert_allclose(np.asarray(vr), ev, atol=1e-6,
+                                   err_msg=f"start={start}")
         # layer 0 untouched
         assert not np.asarray(got.k_codes[0]).any()
         assert int(got.length[1].max()) == start + 6
