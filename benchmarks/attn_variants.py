@@ -18,8 +18,13 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/piquant_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+import os
+
 B, HKV, REP, S, D = 8, 8, 4, 2048, 128
 SCALE = D ** -0.5
+# live position (cache reads cover [0, POS+1)); kv4's halved cache HBM
+# should pay off as the live window approaches the full cache
+POS = int(os.environ.get("PIQUANT_ATTN_POS", "1023"))
 
 
 def make_inputs():
@@ -29,7 +34,7 @@ def make_inputs():
     vc = jax.random.randint(kq[2], (B, HKV, S, D), -127, 128, jnp.int32).astype(jnp.int8)
     ks = jax.random.uniform(kq[3], (B, HKV, S, 1), jnp.float32, 0.01, 0.02)
     vs = jax.random.uniform(kq[4], (B, HKV, S, 1), jnp.float32, 0.01, 0.02)
-    pos = jnp.full((B,), 1023, jnp.int32)
+    pos = jnp.full((B,), POS, jnp.int32)
     return q, kc, ks, vc, vs, pos
 
 

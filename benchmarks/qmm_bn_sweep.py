@@ -61,8 +61,15 @@ def bench(name, k, n, m, bn_env):
 
     f = jax.jit(chain, static_argnums=(1,))
     args = (ql.data, ql.scale, ql.zero_point)
+    # iteration counts sized so the k2-k1 delta is >= ~25 ms of device
+    # time (NOTES.md: short slope deltas swing +/-50%; small weights like
+    # wqkv at ~17 us/pass need ~1500 iterations, not 256)
+    per_est = (k * n / 2) / 700e9
+    kdelta = max(256, int(0.025 / per_est))
+    kdelta = min(kdelta, 4096)
+    k1, k2 = 16, 16 + kdelta
     np.asarray(f(x, 1, *args))
-    np.asarray(f(x, 16, *args)); np.asarray(f(x, 272, *args))  # compile both
+    np.asarray(f(x, k1, *args)); np.asarray(f(x, k2, *args))  # compile both
 
     def t_of(kk, salt):
         # salt the input per rep: the relay caches results for repeated
@@ -76,7 +83,7 @@ def bench(name, k, n, m, bn_env):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    per = (t_of(272, 1) - t_of(16, 0)) / 256
+    per = (t_of(k2, 1) - t_of(k1, 0)) / kdelta
     gbs = (k * n / 2) / per / 1e9
     print(f"{name:5s} K={k:5d} N={n:5d} bn={bn_env or 'auto':>5}: "
           f"{per*1e6:7.1f} us  {gbs:6.1f} GB/s", flush=True)

@@ -101,6 +101,21 @@ def unpack_matrices(bits: int) -> Array:
     return jnp.asarray(unpack_matrices_np(bits), jnp.bfloat16)
 
 
+def _block_rows() -> int:
+    """Streaming block rows for elementwise kernels (trace-time).
+
+    hbm_sol sweep (r5): f32 chain-slope streams at 804 GB/s with 1 MB
+    blocks, 818 (HBM SOL) at 4 MB, with a pathological dip to 651 at
+    2 MB — block size is worth ~25% of streaming rate.  Overridable per
+    trace via PIQUANT_BLOCK_ROWS for sweeps."""
+    import os
+    try:
+        v = int(os.environ.get("PIQUANT_BLOCK_ROWS", "0"))
+    except ValueError:
+        v = 0
+    return v - v % 8 if v >= 8 else BLOCK_ROWS
+
+
 def grid_rows(n_rows: int, *, aliased: bool, bf16: bool) -> Tuple[int, int]:
     """(padded_rows, block_rows) for an elementwise kernel grid.
 
@@ -109,13 +124,14 @@ def grid_rows(n_rows: int, *, aliased: bool, bf16: bool) -> Tuple[int, int]:
     (input_output_aliases accumulators) must match the donated buffer to the
     out_shape exactly — rows round up to a whole number of blocks."""
     q = 16 if bf16 else 8
+    block_rows = _block_rows()
     if aliased:
         rows = n_rows + (-n_rows) % q
-        if rows <= BLOCK_ROWS:
+        if rows <= block_rows:
             return rows, rows
-        rows += (-rows) % BLOCK_ROWS
-        return rows, BLOCK_ROWS
-    br = min(BLOCK_ROWS, max(8, n_rows - n_rows % 8 or 8))
+        rows += (-rows) % block_rows
+        return rows, block_rows
+    br = min(block_rows, max(8, n_rows - n_rows % 8 or 8))
     if bf16:
         br = max(16, br - br % 16)
     return n_rows, br

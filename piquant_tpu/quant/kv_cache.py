@@ -184,24 +184,66 @@ def _scatter4(codes_buf: Array, scale_buf: Array, pc: Array, ps: Array,
     = unstacked [B, H, ..] buffers."""
     hd2 = pc.shape[-1]
     nb, nh, t = pc.shape[-4], pc.shape[-3], pc.shape[-2]
+    d = codes_buf.shape[-1]
+    srows = codes_buf.shape[-2]
     b = jnp.arange(nb).reshape(nb, 1, 1, 1)
     h = jnp.arange(nh).reshape(1, nh, 1, 1)
     pr = (positions // 2).reshape(nb, 1, t, 1)
     par = (positions % 2).reshape(nb, 1, t, 1)
-    lane = par * hd2 + jnp.arange(hd2).reshape(1, 1, 1, hd2)
-    if pc.ndim == 5:  # stacked: leading [L] axis, indices one level up
+
+    # Codes go in ROW-level: gather the target pair-row, merge the new
+    # position's lane half in registers, scatter the whole row back.  The
+    # natural formulation (computed per-lane index on the minor dim)
+    # lowers to a per-ELEMENT XLA scatter — measured 12 ms/step on the 8B
+    # decode append vs ~0.6 for the kv8 row scatter (r5).  Same-row
+    # collisions (even+odd of one pair in one call) are handled by one
+    # pass per parity; each pass routes its non-members out of bounds,
+    # which XLA scatter silently drops.  t == 1 cannot collide -> 1 pass.
+    pos2 = positions.reshape(nb, t).astype(jnp.int32)
+    pr_bt, par_bt = pos2 // 2, pos2 % 2
+    stacked_all = pc.ndim == 5
+    if stacked_all:
         nl = codes_buf.shape[0]
+        sh = (nl, nb, nh, t)
+        cidx = (jnp.arange(nl).reshape(nl, 1, 1, 1),
+                jnp.arange(nb).reshape(1, nb, 1, 1),
+                jnp.arange(nh).reshape(1, 1, nh, 1))
+        pr_c = jnp.broadcast_to(pr_bt.reshape(1, nb, 1, t), sh)
+        sel_shape = (1, nb, 1, t)
+    else:
+        sh = (nb, nh, t)
+        cidx = ((jnp.arange(nb).reshape(nb, 1, 1),
+                 jnp.arange(nh).reshape(1, nh, 1))
+                if layer is None else
+                (layer,
+                 jnp.arange(nb).reshape(nb, 1, 1),
+                 jnp.arange(nh).reshape(1, nh, 1)))
+        pr_c = jnp.broadcast_to(pr_bt.reshape(nb, 1, t), sh)
+        sel_shape = (nb, 1, t)
+    lane_half = (jnp.arange(d, dtype=jnp.int32) // hd2).reshape(
+        *([1] * len(sh)), d)
+    par_c = par_bt.reshape(*sel_shape, 1)
+    tiled = jnp.concatenate([pc, pc], axis=-1).astype(codes_buf.dtype)
+
+    codes = codes_buf
+    for pv in ((None,) if t == 1 else (0, 1)):
+        old = codes[(*cidx, pr_c)]
+        newrow = jnp.where(lane_half == par_c, tiled, old)
+        if pv is None:
+            pr_eff = pr_c
+        else:
+            sel = jnp.broadcast_to((par_bt == pv).reshape(sel_shape), sh)
+            pr_eff = jnp.where(sel, pr_c, srows)   # OOB rows are dropped
+        codes = codes.at[(*cidx, pr_eff)].set(newrow)
+
+    # Scales stay per-element (one f32 cell per position): tiny updates
+    if stacked_all:
         li = jnp.arange(nl).reshape(nl, 1, 1, 1, 1)
-        codes = codes_buf.at[li, b[None], h[None], pr[None], lane[None]].set(
-            pc.astype(codes_buf.dtype))
         scales = scale_buf.at[li, b[None], h[None], par[None],
                               pr[None]].set(ps)
     elif layer is not None:
-        codes = codes_buf.at[layer, b, h, pr, lane].set(
-            pc.astype(codes_buf.dtype))
         scales = scale_buf.at[layer, b, h, par, pr].set(ps)
     else:
-        codes = codes_buf.at[b, h, pr, lane].set(pc.astype(codes_buf.dtype))
         scales = scale_buf.at[b, h, par, pr].set(ps)
     return codes, scales
 

@@ -72,3 +72,29 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip64)
         elif "int32" in pid:   # matches both int32 and uint32 param ids
             item.add_marker(skip32)
+
+
+@pytest.fixture(autouse=True)
+def _serialize_heavy_interpret(request):
+    """Cross-process lock for heavy interpret-mode pallas model tests.
+
+    NOTES.md: interpret-mode model forwards (per-op pallas dispatch over
+    io_callback threads) can futex-deadlock when another heavy JAX
+    process shares the box.  An exclusive flock on a /tmp lockfile
+    serializes every piquant test session's heavy-interpret phase —
+    structural replacement for the old "kill stray pytests" workaround.
+    Mark tests @pytest.mark.heavy_interpret to opt in."""
+    if request.node.get_closest_marker("heavy_interpret") is None:
+        yield
+        return
+    try:
+        import fcntl
+    except ImportError:  # Windows: no flock; deadlock was Linux-load-bound
+        yield
+        return
+    with open("/tmp/piquant_heavy_interpret.lock", "w") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)

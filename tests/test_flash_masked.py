@@ -168,6 +168,7 @@ def _forward_ab(cfg, seed, t=256):
     return np.asarray(base), np.asarray(fast)
 
 
+@pytest.mark.heavy_interpret
 @pytest.mark.parametrize("kind", ["mistral", "gemma2", "gpt_oss", "llama4"])
 def test_windowed_model_prefill(kind):
     """The windowed/softcap/sink families now PREFILL through the native

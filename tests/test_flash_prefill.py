@@ -68,6 +68,7 @@ def test_kernel_matches_reference_math():
     assert err < 2e-2, err  # two bf16 roundings differ between the paths
 
 
+@pytest.mark.heavy_interpret
 def test_forward_logits_match():
     """Full-model prefill: flash vs materialized path, same argmax and
     close logits."""
@@ -110,6 +111,7 @@ def test_geometry_fallbacks(reason, kw, qshape):
         os.environ.pop("PIQUANT_FLASH")
 
 
+@pytest.mark.heavy_interpret
 def test_config_fallbacks_still_correct():
     """Sliding-window configs (now routed through the native masked
     kernel) still produce window-dependent output: windowed != full."""
@@ -127,6 +129,7 @@ def test_config_fallbacks_still_correct():
     assert not np.allclose(np.asarray(yw), np.asarray(yf))
 
 
+@pytest.mark.heavy_interpret
 def test_t768_block_selection():
     """T=768 (a serving bucket size) must pick a dividing block (256), not
     crash on the 512 default — regression from the serving load bench."""

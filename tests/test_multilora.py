@@ -18,24 +18,61 @@ from piquant_tpu.serving import Engine, EngineConfig, Request, SamplingParams
 SEED = 0x510
 
 
-@pytest.fixture(scope="module")
-def setup():
-    cfg = M.LlamaConfig.tiny(vocab=64)
-    base = M.quantize_params(M.init_params(cfg, jax.random.key(SEED)), bits=4)
+def _mk_sets(base, seed_base):
     # two "trained" adapters: random non-zero B so deltas actually differ
     sets = []
     for i in range(2):
-        lp = add_lora(base, rank=4, key=jax.random.key(100 + i))
+        lp = add_lora(base, rank=4, key=jax.random.key(seed_base + i))
         ad = {li: {k: (a, jax.random.normal(
-            jax.random.fold_in(jax.random.key(200 + i), li), b.shape,
-            jnp.float32) * 0.05)
+            jax.random.fold_in(jax.random.key(seed_base + 100 + i), li),
+            b.shape, jnp.float32) * 0.05)
             for k, (a, b) in sub.items()}
             for li, sub in __import__(
                 "piquant_tpu.quant.lora", fromlist=["lora_params"]
             ).lora_params(lp).items()}
         sets.append(with_lora(lp, ad))
     multi = stack_adapters(base, sets)  # 0 = null, 1..2 = adapters
+    return sets, multi
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = M.LlamaConfig.tiny(vocab=64)
+    base = M.quantize_params(M.init_params(cfg, jax.random.key(SEED)), bits=4)
+    sets, multi = _mk_sets(base, 100)
     return cfg, base, sets, multi
+
+
+MARGIN = 0.02  # ~4x the observed ~5e-3 cross-path logit noise
+
+
+def _assert_tokens_match_guarded(cfg, params, prompt, got, want, tag=""):
+    """Greedy token identity across two numerics paths, near-tie aware.
+
+    On random weights the top-2 logit gap at some greedy steps is ~5e-3
+    — the same scale as legitimate cross-path numeric noise (NOTES.md
+    batch-shape finding), so strict identity flakes.  Instead: tokens
+    must agree up to the first step whose reference margin is below
+    MARGIN; a divergence at a DECISIVE step is a real bug, a fork at a
+    near-tie step is accepted (and later tokens are incomparable)."""
+    if list(got) == list(want):
+        return
+    seq = list(prompt) + [int(t) for t in want[:-1]]
+    logits, _ = M.forward(cfg, params, jnp.asarray([seq], jnp.int32))
+    lg = np.asarray(logits[0], np.float32)
+    for t, (a, b) in enumerate(zip(got, want)):
+        if a != b:
+            row = np.sort(lg[len(prompt) - 1 + t])
+            margin = float(row[-1] - row[-2])
+            assert margin < MARGIN, (
+                f"{tag} diverged at step {t} ({a} != {b}) with a decisive "
+                f"reference margin {margin:.4f}")
+            return
+    # equal prefix, different length: only legitimate via an EOS near-tie
+    t = min(len(got), len(want))
+    row = np.sort(lg[len(prompt) - 1 + t]) if t < len(want) else None
+    assert row is not None and float(row[-1] - row[-2]) < MARGIN, (
+        f"{tag} length mismatch {len(got)} vs {len(want)}")
 
 
 def test_per_row_selection_matches_single(setup):
@@ -87,7 +124,9 @@ def test_engine_mixed_adapters_match_single_adapter_runs(setup):
             for i, pr in enumerate(prompts)]
     _run_engine(cfg, multi, reqs)
     for i, r in enumerate(reqs):
-        assert list(r.tokens) == want[i], (i, r.tokens, want[i])
+        ref_params = base if i % 3 == 0 else sets[i % 3 - 1]
+        _assert_tokens_match_guarded(cfg, ref_params, prompts[i],
+                                     r.tokens, want[i], tag=f"req {i}")
 
 
 def test_engine_chunked_prefill_with_adapters(setup):
@@ -96,12 +135,14 @@ def test_engine_chunked_prefill_with_adapters(setup):
     # random-weight model a near-tie argmax can flip between the paths)
     cfg, base, sets, multi = setup
     sp = SamplingParams(temperature=0.0, max_new_tokens=8)
-    r_ref = Request(rid=0, prompt=list(range(1, 20)), sampling=sp)
+    prompt = list(range(1, 20))
+    r_ref = Request(rid=0, prompt=list(prompt), sampling=sp)
     _run_engine(cfg, sets[1], [r_ref], prefill_chunk=8)
 
-    r = Request(rid=1, prompt=list(range(1, 20)), sampling=sp, adapter_id=2)
+    r = Request(rid=1, prompt=list(prompt), sampling=sp, adapter_id=2)
     _run_engine(cfg, multi, [r], prefill_chunk=8)
-    assert list(r.tokens) == list(r_ref.tokens)
+    _assert_tokens_match_guarded(cfg, sets[1], prompt, r.tokens,
+                                 r_ref.tokens, tag="chunked")
 
 
 def test_engine_validates_adapter_ids(setup):
