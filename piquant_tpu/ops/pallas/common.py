@@ -27,7 +27,11 @@ Array = jax.Array
 
 LANES = 128
 # Rows per grid block (f32 VMEM use: 1024*128*4 = 512 KiB in + out).
-BLOCK_ROWS = 2048
+BLOCK_ROWS = 4096   # r5 sweep on the production f32->u8 quantize kernel:
+# 2048 rows (1 MB f32 in) = 665 GB/s, 4096 (2 MB) = 722-770 across runs,
+# 4608-5760 lower, 8192+ = Mosaic compile crash.  4096 wins every run;
+# matches the hbm_sol finding that the streaming sweet spot sits near
+# 2-4 MB per buffer and the old default sat below it.
 
 
 def supports_dtype(name: str) -> bool:
@@ -104,10 +108,9 @@ def unpack_matrices(bits: int) -> Array:
 def _block_rows() -> int:
     """Streaming block rows for elementwise kernels (trace-time).
 
-    hbm_sol sweep (r5): f32 chain-slope streams at 804 GB/s with 1 MB
-    blocks, 818 (HBM SOL) at 4 MB, with a pathological dip to 651 at
-    2 MB — block size is worth ~25% of streaming rate.  Overridable per
-    trace via PIQUANT_BLOCK_ROWS for sweeps."""
+    Block size is worth ~16% of streaming rate on the headline quantize
+    kernel (see BLOCK_ROWS comment).  Overridable per trace via
+    PIQUANT_BLOCK_ROWS for sweeps."""
     import os
     try:
         v = int(os.environ.get("PIQUANT_BLOCK_ROWS", "0"))
