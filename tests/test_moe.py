@@ -1,10 +1,17 @@
 """Mixtral-style MoE: routing correctness, quantized experts, expert
 parallelism on the virtual CPU mesh, and transformers cross-validation."""
 
+import os as _os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
+
+# on-chip: hardware bf16 dots vs interpret/CPU f32 — widen (NOTES r3/r5)
+_ONCHIP = _os.environ.get("PIQUANT_TPU_TEST_TPU") == "1"
+_MLP_TOL = dict(atol=2e-3, rtol=2e-3) if _ONCHIP else dict(atol=1e-4, rtol=1e-4)
+_HF_TOL = dict(atol=5e-2, rtol=5e-2) if _ONCHIP else dict(atol=2e-3, rtol=2e-3)
 from jax.experimental.pallas import tpu as pltpu
 
 from piquant_tpu.models import llama as M
@@ -63,7 +70,7 @@ def test_moe_mlp_matches_naive():
     x = jax.random.normal(jax.random.key(1), (2, 5, cfg.d_model), jnp.float32)
     got = np.asarray(M._mlp(cfg, layer, x))
     want = _naive_moe(layer, x, cfg.moe_top_k)
-    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(got, want, **_MLP_TOL)
 
 
 def test_moe_forward_and_decode():
@@ -189,7 +196,7 @@ def test_mixtral_loader_matches_transformers(quantized):
         assert np.abs(np.asarray(got) - want).max() / denom < 0.05
     else:
         got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
-        np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(got), want, **_HF_TOL)
 
 
 def test_qwen2_moe_loader_matches_transformers():
@@ -222,7 +229,7 @@ def test_qwen2_moe_loader_matches_transformers():
         want = model(torch.tensor(tokens)).logits.numpy()
 
     got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
-    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(got), want, **_HF_TOL)
 
 
 def test_moe_expert_parallel_quantized_matches_single():
@@ -377,7 +384,7 @@ def test_qwen3_moe_loader_matches_transformers():
         want = model(torch.tensor(tokens)).logits.numpy()
 
     got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
-    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(got), want, **_HF_TOL)
 
     # greedy decode consistency through the quantized serving path
     qp = M.quantize_params(params, bits=8)

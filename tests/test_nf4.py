@@ -8,11 +8,19 @@ plumbing (quantize_params / fusion / MoE stacks / weight cache / QLoRA),
 and the no-wire-ABI contract (reference include/piquant.h has no
 non-uniform dtype)."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 from jax.experimental.pallas import tpu as pltpu
+
+# hardware bf16 LUT decode + dot accumulation differ from interpret's
+# f32 emulation (NOTES r3: up to 0.042 abs at k=2048) — widen ON-CHIP only
+_MM_TOL = (dict(atol=1e-2, rtol=5e-2)
+           if os.environ.get("PIQUANT_TPU_TEST_TPU") == "1"
+           else dict(atol=1e-3, rtol=1e-3))
 
 from piquant_tpu.quant.linear import (
     NF4_CODEBOOK, QuantizedExpertStack, codebook_decode, codebook_encode,
@@ -107,7 +115,7 @@ def test_matmul_fallback_matches_dequantized(group_size, m):
     x = _w(m, k, seed=SEED + 2)
     got = np.asarray(quantized_matmul(x, ql, jnp.float32))
     want = np.asarray(x) @ np.asarray(ql.dequantize(jnp.float32))
-    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(got, want, **_MM_TOL)
 
 
 def test_matmul_straddling_groups_general_path():
@@ -119,7 +127,7 @@ def test_matmul_straddling_groups_general_path():
     x = _w(3, k, seed=SEED + 4)
     got = np.asarray(_matmul_nf4_jnp(x, ql, jnp.float32))
     want = np.asarray(x) @ np.asarray(ql.dequantize(jnp.float32))
-    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(got, want, **_MM_TOL)
 
 
 @pytest.mark.parametrize("group_size", [None, 64])
