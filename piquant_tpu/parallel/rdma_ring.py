@@ -167,7 +167,10 @@ def _pallas_ring(p: int, rows: int, axis_name: str, interpret: bool,
             pltpu.SemaphoreType.DMA((nslots,)),
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(collective_id=0),
+        # no collective_id: it is only for kernels with a custom BARRIER
+        # semaphore (Mosaic rejects it otherwise — found by the r5
+        # hardware compile probe); this schedule deliberately has no
+        # barrier (per-hop distinct landing slots, local DMA sems only)
     )
 
 
