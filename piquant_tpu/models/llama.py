@@ -1283,7 +1283,11 @@ def _moe_ragged_try(cfg: LlamaConfig, layer: Dict, x: Array, probs: Array,
             or cfg.moe_bias or cfg.moe_clamp_swiglu or cfg.moe_input_scaled
             or not hasattr(w1s, "bits") or w1s.bits not in (2, 4, 8)
             or getattr(w1s, "codebook", None) is not None
-            or ntok < 32      # decode: weight traffic dominates, dense is fine
+            or ntok < 32      # decode: dense-masked WINS (r5 measured, M=8
+                              # Mixtral geometry: dense 2.20 vs ragged 2.69
+                              # ms/layer; all-expert DMA floor 0.86) — the
+                              # ragged sort/dispatch overhead dominates at
+                              # tiny M while weight traffic is the same
             or ((cfg.act_quant_decode or cfg.act_quant_prefill) and not (
                 want_aq and w1s.bits in (2, 4) and w1s.group_size is None))
             or (jax.default_backend() != "tpu" and env != "force")):
