@@ -42,15 +42,24 @@ def main(n_requests=16, slots=8):
     rng = np.random.default_rng(7)
     lengths = rng.integers(100, 900, n_requests)
 
-    # warm the compiled shapes (prefill buckets + decode step) so measured
-    # TTFT reflects steady-state serving, not XLA compilation
+    # warm the compiled shapes (prefill buckets x burst sizes + decode
+    # step) so measured TTFT reflects steady-state serving, not XLA
+    # compilation.  Burst admission keys the prefill executable on
+    # (bucket, burst size); the engine truncates bursts to powers of two,
+    # so warming {1,2,4,..,slots} x buckets covers every shape the
+    # measured run can dispatch.
     warm = Engine(cfg, params, EngineConfig(batch_slots=slots, max_seq_len=2048,
                                             prefill_pad=256,
                                             attn_windows=windows))
-    for L in sorted(set(int(-(-l // 256) * 256) for l in lengths)):
-        warm.submit(Request(rid=0, prompt=[5] * (L - 1),
-                            sampling=SamplingParams(max_new_tokens=2)))
-    warm.run()
+    buckets = sorted(set(int(-(-l // 256) * 256) for l in lengths))
+    bq = 1
+    while bq <= slots:
+        for L in buckets:
+            for r in range(bq):
+                warm.submit(Request(rid=r, prompt=[5] * (L - 1),
+                                    sampling=SamplingParams(max_new_tokens=2)))
+            warm.run()
+        bq *= 2
     del warm
 
     t0 = time.perf_counter()

@@ -802,7 +802,17 @@ class Engine:
                             break
                         self._queue.popleft()
                         batch.append((nxt, s2, nplen, time.perf_counter()))
-                    self._admit_one_shot(batch)
+                    # truncate the burst to a power of two: the prefill
+                    # executable is keyed by (pad bucket, burst size), so
+                    # free-running burst sizes mean up to `slots` compiles
+                    # per bucket — each a multi-second stall when it lands
+                    # mid-serving.  {1,2,4,8,...} bounds the executable
+                    # space; the remainder re-queues and admits on the
+                    # immediately following tick as its own burst.
+                    keep = 1 << (len(batch).bit_length() - 1)
+                    for extra in reversed(batch[keep:]):
+                        self._queue.appendleft(extra[0])
+                    self._admit_one_shot(batch[:keep])
                     continue
                 c = self.ec.prefill_chunk
                 # Fixed-size chunk starts covering [0, plen).  The final
