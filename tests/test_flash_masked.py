@@ -160,7 +160,14 @@ def _forward_ab(cfg, seed, t=256):
     FP.flash_prefill = spy
     try:
         with jax.enable_x64(False), _kmode():
-            fast, _ = M.forward(cfg, params, toks)
+            # jit the interpret-mode forward: eager dispatch from the main
+            # thread races the interpret machinery's own jnp dispatches on
+            # io_callback worker threads (futex deadlock, NOTES.md r5 —
+            # stacks: llama eager op vs shared_memory clock update);
+            # inside ONE compiled call the main thread just waits
+            fast, _ = jax.jit(lambda p, t: M.forward(cfg, p, t))(params,
+                                                                 toks)
+            fast = np.asarray(fast)
     finally:
         FP.flash_prefill = orig
         os.environ.pop("PIQUANT_FLASH")

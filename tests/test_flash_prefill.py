@@ -84,7 +84,12 @@ def test_forward_logits_match():
         os.environ["PIQUANT_FLASH"] = "force"
     try:
         with jax.enable_x64(False), _kmode():
-            y1, _ = M.forward(cfg, params, toks)
+            # jitted: eager dispatch races the interpret machinery's own
+            # jnp dispatches on io_callback threads (futex deadlock,
+            # NOTES.md r5)
+            y1, _ = jax.jit(lambda pp, tt: M.forward(cfg, pp, tt))(params,
+                                                                   toks)
+            y1 = np.asarray(y1)
     finally:
         os.environ.pop("PIQUANT_FLASH")
 
@@ -122,8 +127,12 @@ def test_config_fallbacks_still_correct():
     os.environ["PIQUANT_FLASH"] = "force"
     try:
         with jax.enable_x64(False), _kmode():
-            yw, _ = M.forward(cfg, params, toks)
-            yf, _ = M.forward(_cfg(), params, toks)
+            yw, _ = jax.jit(lambda pp, tt: M.forward(cfg, pp, tt))(params,
+                                                                   toks)
+            yw = np.asarray(yw)
+            yf, _ = jax.jit(lambda pp, tt: M.forward(_cfg(), pp, tt))(params,
+                                                                      toks)
+            yf = np.asarray(yf)
     finally:
         os.environ.pop("PIQUANT_FLASH")
     assert not np.allclose(np.asarray(yw), np.asarray(yf))
