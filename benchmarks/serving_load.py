@@ -36,8 +36,9 @@ def main(n_requests=16, slots=8):
           flush=True)
     params = M.random_quantized_params(cfg, jax.random.key(0), bits=bits,
                                        lm_head_bits=8)
+    dblk = int(os.environ.get("PIQUANT_DECODE_BLOCK", "0")) or 16
     eng = Engine(cfg, params, EngineConfig(batch_slots=slots, max_seq_len=2048,
-                                           prefill_pad=256,
+                                           prefill_pad=256, decode_block=dblk,
                                            attn_windows=windows))
     rng = np.random.default_rng(7)
     lengths = rng.integers(100, 900, n_requests)
@@ -49,7 +50,7 @@ def main(n_requests=16, slots=8):
     # so warming {1,2,4,..,slots} x buckets covers every shape the
     # measured run can dispatch.
     warm = Engine(cfg, params, EngineConfig(batch_slots=slots, max_seq_len=2048,
-                                            prefill_pad=256,
+                                            prefill_pad=256, decode_block=dblk,
                                             attn_windows=windows))
     buckets = sorted(set(int(-(-l // 256) * 256) for l in lengths))
     bq = 1

@@ -20,6 +20,11 @@ from jax.experimental.pallas import tpu as pltpu
 from piquant_tpu.dtypes import QDType, dtype_of, packed_numel
 from piquant_tpu.ops.pallas import common as C
 
+# independent grid blocks: lets Mosaic overlap the next block's DMA with
+# this block's compute instead of serializing grid steps (same win as the
+# qmatmul kernels' annotation, r4)
+_PAR = pltpu.CompilerParams(dimension_semantics=("parallel",))
+
 Array = jax.Array
 
 _DIRECT_LOAD = {"uint8", "int8", "uint16", "int16"}
@@ -54,6 +59,7 @@ def _direct_kernel(rows: int, q_dtype: str, out_dtype: str, add: bool,
             grid=(grid,),
             in_specs=[C.scalar_smem_spec(), C.scalar_smem_spec(), bspec()],
             out_specs=bspec(),
+            compiler_params=_PAR,
         )
     return pl.pallas_call(
         kern_add,
@@ -62,6 +68,7 @@ def _direct_kernel(rows: int, q_dtype: str, out_dtype: str, add: bool,
         in_specs=[C.scalar_smem_spec(), C.scalar_smem_spec(), bspec(), bspec()],
         out_specs=bspec(),
         input_output_aliases={3: 0},  # accumulator aliases the output
+        compiler_params=_PAR,
     )
 
 
@@ -112,6 +119,7 @@ def _mxu_unpack_kernel(rows: int, bits: int, signed: bool, out_dtype: str,
             grid=(grid,),
             in_specs=[C.scalar_smem_spec(), C.scalar_smem_spec(), qspec, uspec],
             out_specs=ospec,
+            compiler_params=_PAR,
         )
     return pl.pallas_call(
         kern_add,
@@ -120,6 +128,7 @@ def _mxu_unpack_kernel(rows: int, bits: int, signed: bool, out_dtype: str,
         in_specs=[C.scalar_smem_spec(), C.scalar_smem_spec(), qspec, uspec, ospec],
         out_specs=ospec,
         input_output_aliases={4: 0},
+        compiler_params=_PAR,
     )
 
 

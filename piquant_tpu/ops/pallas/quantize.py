@@ -72,6 +72,9 @@ def _direct_kernel(rows: int, in_dtype: str, out_dtype: str, qmin: int, qmax: in
             pl.BlockSpec((block_rows, C.LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_rows, C.LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    # independent blocks: let Mosaic overlap the next block's DMA
+    compiler_params=pltpu.CompilerParams(
+        dimension_semantics=("parallel",)),
     )
 
 
@@ -103,6 +106,9 @@ def _mxu_pack_kernel(rows: int, in_dtype: str, bits: int, signed: bool,
             pl.BlockSpec((width, C.LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_rows, C.LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    # independent blocks: let Mosaic overlap the next block's DMA
+    compiler_params=pltpu.CompilerParams(
+        dimension_semantics=("parallel",)),
     )
 
 

@@ -20,6 +20,11 @@ from jax.experimental.pallas import tpu as pltpu
 from piquant_tpu.dtypes import QDType, dtype_of
 from piquant_tpu.ops.pallas import common as C
 
+# independent grid blocks: lets Mosaic overlap the next block's DMA with
+# this block's compute instead of serializing grid steps (same win as the
+# qmatmul kernels' annotation, r4)
+_PAR = pltpu.CompilerParams(dimension_semantics=("parallel",))
+
 Array = jax.Array
 
 _FLOAT = {"f32": jnp.float32, "bf16": jnp.bfloat16}
@@ -62,6 +67,7 @@ def _requant_kernel(rows: int, f_dtype: str, qmin: int, qmax: int,
             grid=(grid,),
             in_specs=[smem(), smem(), smem(), smem(), bspec()],
             out_specs=bspec(),
+            compiler_params=_PAR,
         )
     return pl.pallas_call(
         kern_add,
@@ -70,6 +76,7 @@ def _requant_kernel(rows: int, f_dtype: str, qmin: int, qmax: int,
         in_specs=[smem(), smem(), smem(), smem(), bspec(), bspec()],
         out_specs=bspec(),
         input_output_aliases={5: 0},
+        compiler_params=_PAR,
     )
 
 
