@@ -403,7 +403,9 @@ def load_from_hf(model_or_path, dtype=jnp.bfloat16,
                  *,
                  group_size: Optional[int] = None,
                  method: str = "rtn",
-                 calib_tokens=None) -> Tuple[LlamaConfig, Dict]:
+                 calib_tokens=None,
+                 fuse: bool = False,
+                 tp: int = 1) -> Tuple[LlamaConfig, Dict]:
     """Load from a transformers model instance or a local path.
 
     `method` selects the weight quantizer when `quantize_bits` is set:
@@ -420,7 +422,14 @@ def load_from_hf(model_or_path, dtype=jnp.bfloat16,
                   the act-quant (W8A8/W4A8) paths; composable like awq,
                   e.g. "smooth+gptq"
     awq/gptq/smooth need `calib_tokens` ([B, T] int token ids) and a
-    dense (non-MoE) model."""
+    dense (non-MoE) model.
+
+    `fuse=True` fuses wq/wk/wv -> wqkv and w1/w3 -> w13 after
+    quantization (7 -> 4 projections/layer; r5 measured -4% decode
+    ms/step on INT4 8B: 9.26 -> 8.88).  Pass `tp` when the params will
+    be tensor-parallel-sharded so the fused columns interleave per
+    shard.  Skip fuse when adding LoRA adapters afterwards (merge_lora
+    first)."""
     if isinstance(model_or_path, str):
         from transformers import AutoModelForCausalLM
 
@@ -466,4 +475,8 @@ def load_from_hf(model_or_path, dtype=jnp.bfloat16,
         else:
             params = quantize_params(params, bits=quantize_bits,
                                      group_size=group_size)
+    if fuse:
+        from piquant_tpu.models.llama import fuse_layer_projections
+
+        params = fuse_layer_projections(params, cfg, tp=tp)
     return cfg, params

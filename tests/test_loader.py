@@ -607,3 +607,19 @@ def test_smollm3_loader_matches_transformers():
         want = model(torch.tensor(tokens)).logits.numpy()
     got, _ = M.forward(cfg, params, jnp.asarray(tokens, jnp.int32))
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=2e-3)
+
+
+def test_load_fused_matches_unfused(hf_model):
+    """load_from_hf(fuse=True): wqkv/w13 projection fusion at load time
+    (r5: -4% decode ms/step) must be numerically identical to the
+    unfused load, quantized and float."""
+    cfg, pu = load_from_hf(hf_model, dtype=jnp.float32, quantize_bits=4)
+    cfg2, pf = load_from_hf(hf_model, dtype=jnp.float32, quantize_bits=4,
+                            fuse=True)
+    assert "wqkv" in pf["layers"][0] and "wq" not in pf["layers"][0]
+    rng = np.random.default_rng(SEED + 4)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 9)), jnp.int32)
+    yu, _ = M.forward(cfg, pu, tokens)
+    yf, _ = M.forward(cfg2, pf, tokens)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yu),
+                               atol=2e-5, rtol=2e-5)
