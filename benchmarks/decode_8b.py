@@ -49,8 +49,9 @@ def main(batch=8, ctx=1024, max_len=2048):
                                        lm_head_bits=lmh_bits, group_size=gs,
                                        mlp_bits=mlp_bits, mlp_group_size=mlp_gs)
     if os.environ.get("PIQUANT_FUSE", "0") == "1":
-        # wqkv/w13 fusion: fewer launches/buffers but measured ~5% SLOWER
-        # end-to-end on one chip (11.47 vs 10.89 ms/step) — opt-in only
+        # wqkv/w13 fusion: 7 -> 4 projections/layer.  r5 kernels: WINS
+        # (9.26 -> 8.88 ms/step; the r2 '5% slower' verdict predated the
+        # current weight-stream kernels) — best-known decode recipe
         params = M.fuse_layer_projections(params, cfg)
     cache = M.init_kv_cache(cfg, batch, max_len=max_len)
 

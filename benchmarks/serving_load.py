@@ -36,6 +36,8 @@ def main(n_requests=16, slots=8):
           flush=True)
     params = M.random_quantized_params(cfg, jax.random.key(0), bits=bits,
                                        lm_head_bits=8)
+    if os.environ.get("PIQUANT_FUSE", "0") == "1":
+        params = M.fuse_layer_projections(params, cfg)
     dblk = int(os.environ.get("PIQUANT_DECODE_BLOCK", "0")) or 16
     eng = Engine(cfg, params, EngineConfig(batch_slots=slots, max_seq_len=2048,
                                            prefill_pad=256, decode_block=dblk,

@@ -60,6 +60,18 @@ S_CHUNK = 512
 NEG_INF = -1e30
 
 
+def _s_chunk() -> int:
+    """Cache-chunk rows per grid step (trace-time env override for
+    sweeps: the per-step K/V block is hkv*sc*d int8 bytes — sc trades
+    live-length granularity against DMA block size)."""
+    import os
+    try:
+        v = int(os.environ.get("PIQUANT_ATTN2_SC", "0"))
+    except ValueError:
+        v = 0
+    return v if v >= 128 else S_CHUNK
+
+
 @lru_cache(maxsize=None)
 def _kernel(b: int, hkv: int, rep: int, s: int, d: int, sc: int,
             kv_bits: int, scale: float, layer: int = -1,
@@ -310,7 +322,7 @@ def decode_attention_state(
     cd = k_codes.shape[-1]
     if d % 128 or cd != d:
         return None
-    sc = min(S_CHUNK, s)
+    sc = min(_s_chunk(), s)
     if s % sc:
         return None
     if kv_bits == 4:
