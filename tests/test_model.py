@@ -149,11 +149,18 @@ def test_groupwise_quantized_matmul(bits):
     y = np.asarray(quantized_matmul(x, ql, jnp.float32))
     y_ref = np.asarray(x) @ np.asarray(ql.dequantize(jnp.float32))
     np.testing.assert_allclose(y, y_ref, atol=0.15, rtol=0.02)
-    # group-wise int4 must be at least as accurate as per-channel int4
+    # group-wise must be at least as accurate as per-channel — a property
+    # of the QUANTIZER, so compare numpy products of the dequantized
+    # weights: routing it through the hardware kernel drowns int8 quant
+    # error (~1e-3) in bf16 dot-accumulation noise (~2e-2) and the
+    # comparison becomes a coin flip on-chip (kernel exactness is the
+    # allclose above)
     ql_pc = quantize_linear_weight(w, bits, channelwise=True)
     y_full = np.asarray(x) @ np.asarray(w)
-    err_g = np.abs(np.asarray(quantized_matmul(x, ql, jnp.float32)) - y_full).max()
-    err_c = np.abs(np.asarray(quantized_matmul(x, ql_pc, jnp.float32)) - y_full).max()
+    err_g = np.abs(np.asarray(x) @ np.asarray(ql.dequantize(jnp.float32))
+                   - y_full).max()
+    err_c = np.abs(np.asarray(x) @ np.asarray(ql_pc.dequantize(jnp.float32))
+                   - y_full).max()
     assert err_g <= err_c * 1.2
 
 
