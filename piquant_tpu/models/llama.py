@@ -1537,6 +1537,20 @@ def _mlp(cfg: LlamaConfig, layer: Dict, x: Array) -> Array:
     dt = cfg.dtype
     aq = "all" if cfg.act_quant_decode else cfg.act_quant_prefill
     if "w13" in layer:
+        if (not aq and layer["fused_tp"].value == 1
+                and cfg.mlp_act in ("silu", "gelu")
+                and type(layer["w13"]).__name__ == "QuantizedLinear"
+                and type(layer["w2"]).__name__ == "QuantizedLinear"
+                and jax.default_backend() == "tpu"):
+            # MLP megakernel: w13 -> SwiGLU -> w2 in ONE pallas call at
+            # decode M — the intermediate stays in VMEM and the
+            # w13->w2 kernel-boundary DMA drain/fill disappears
+            from piquant_tpu.ops.pallas.qmatmul import mlp_fused_matmul
+
+            yf = mlp_fused_matmul(x, layer["w13"], layer["w2"],
+                                  cfg.mlp_act, dt)
+            if yf is not None:
+                return yf
         y = _mm(x, layer["w13"], dt, aq)
         g, u = _split_interleaved(y, (cfg.d_ff, cfg.d_ff), layer["fused_tp"].value)
     else:

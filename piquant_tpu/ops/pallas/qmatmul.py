@@ -1190,3 +1190,194 @@ def quantized_matmul(x: Array, ql, out_dtype=jnp.bfloat16) -> Optional[Array]:
     if mp != m:
         y = y[:m]
     return y.reshape(*lead, n).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# MLP megakernel: w13 -> SwiGLU -> w2 in ONE pallas_call (decode M)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _mlp_fused_kernel(m: int, k: int, i_ff: int, n: int, bna: int,
+                      bkh: int, bnb: int, act: str, out_dtype: str,
+                      vmem_mb: int):
+    """One kernel for y = swiglu(x@w1, x@w3) @ w2, channelwise INT4.
+
+    MEASURED SLOWER e2e than the two-kernel path (see mlp_fused_matmul)
+    — kept opt-in.  Phase A (i_ff//bna steps): stream TWO (k/2, bna) packed tiles of the
+    fused [w1|w3] matrix (gate tile j and up tile i_ff/bna + j), unpack
+    in-register, h tile -> a persistent VMEM scratch [m, i_ff] bf16 — the
+    intermediate never touches HBM.  Phase B ((n//bnb)*(i_ff/2//bkh)
+    steps, nt-major): stream (bkh, bnb) packed w2 tiles, split-half dot
+    against h scratch slices, accumulate in the resident out block; the
+    w2 zero-point folds per chunk via that chunk's own h-column sums so
+    no cross-phase state is needed.  Removes the w13->w2 kernel boundary
+    (the per-boundary DMA pipeline drain/fill measured ~6 us/layer via
+    the r5 fusion A/B) on top of the w13 fusion win.
+
+    Reference anchor: the fused quantize->compute chain the reference
+    builds per-call in C++ (src/kernels/kernels.inl:30-52), taken one
+    level further: two matmuls + activation in one scheduled stream.
+    """
+    odt = jnp.bfloat16 if out_dtype == "bf16" else jnp.float32
+    kh = k // 2
+    ih = i_ff // 2
+    na = i_ff // bna
+    nkc = ih // bkh
+    nb = n // bnb
+    ib = i_ff // bna  # block offset of the UP half inside fused w13
+
+    def kern(x_ref, wg_ref, wu_ref, sg_ref, su_ref, zsg_ref, zsu_ref,
+             w2_ref, s2_ref, zs2_ref, xsum_ref, o_ref, h_ref):
+        ii = pl.program_id(0)
+
+        @pl.when(ii < na)
+        def _phase_a():
+            j = ii
+            x = x_ref[:]
+            xs = xsum_ref[:]
+
+            def half(w_ref, s_ref, zs_ref):
+                b = w_ref[:].astype(jnp.int32)
+                lo = (b & 15).astype(jnp.bfloat16)
+                hi = (b >> 4).astype(jnp.bfloat16)
+                acc = jnp.dot(x[:, :kh], lo,
+                              preferred_element_type=jnp.float32)
+                acc += jnp.dot(x[:, kh:], hi,
+                               preferred_element_type=jnp.float32)
+                return acc * s_ref[:] - xs * zs_ref[:]
+
+            g = half(wg_ref, sg_ref, zsg_ref)
+            u = half(wu_ref, su_ref, zsu_ref)
+            hg = (jax.nn.gelu(g, approximate=True) if act == "gelu"
+                  else jax.nn.silu(g))
+            h_ref[:, pl.ds(j * bna, bna)] = (hg * u).astype(jnp.bfloat16)
+
+        @pl.when(ii >= na)
+        def _phase_b():
+            b = (ii - na).astype(jnp.int32) if hasattr(ii, "astype") else ii - na
+            kc = jax.lax.rem(jnp.int32(0) + b, jnp.int32(nkc))
+            hlo = h_ref[:, pl.ds(kc * bkh, bkh)].astype(jnp.bfloat16)
+            hhi = h_ref[:, pl.ds(ih + kc * bkh, bkh)].astype(jnp.bfloat16)
+            wb = w2_ref[:].astype(jnp.int32)
+            lo = (wb & 15).astype(jnp.bfloat16)
+            hi = (wb >> 4).astype(jnp.bfloat16)
+            acc = jnp.dot(hlo, lo, preferred_element_type=jnp.float32)
+            acc += jnp.dot(hhi, hi, preferred_element_type=jnp.float32)
+            # per-chunk zero-point fold: this chunk's h-column sums
+            hsum = (jnp.sum(hlo.astype(jnp.float32), axis=1, keepdims=True)
+                    + jnp.sum(hhi.astype(jnp.float32), axis=1,
+                              keepdims=True))
+            part = acc * s2_ref[:] - hsum * zs2_ref[:]
+
+            @pl.when(kc == 0)
+            def _():
+                o_ref[:] = part.astype(odt)
+
+            @pl.when(kc != 0)
+            def _():
+                o_ref[:] = o_ref[:] + part.astype(odt)
+
+    grid = (na + nb * nkc,)
+
+    def a_idx(i):
+        return (0, jnp.minimum(i, na - 1))
+
+    def a_idx_up(i):
+        return (0, ib + jnp.minimum(i, na - 1))
+
+    def b_idx(i):
+        b = jnp.maximum(jnp.int32(0) + i - na, 0).astype(jnp.int32)
+        return (jax.lax.rem(b, jnp.int32(nkc)), b // nkc)
+
+    def o_idx(i):
+        return (0, jnp.maximum(jnp.int32(0) + i - na, 0).astype(jnp.int32)
+                // nkc)
+
+    def s2_idx(i):
+        return (0, jnp.maximum(jnp.int32(0) + i - na, 0).astype(jnp.int32)
+                // nkc)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((m, n), odt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh, bna), a_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kh, bna), a_idx_up, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bna), a_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bna), a_idx_up, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bna), a_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bna), a_idx_up, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bkh, bnb), b_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bnb), s2_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bnb), s2_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bnb), o_idx, memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((m, i_ff), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_mb << 20),
+    )
+
+
+def mlp_fused_matmul(x: Array, w13, w2, act: str,
+                     out_dtype=jnp.bfloat16) -> Optional[Array]:
+    """Decode-M SwiGLU MLP through the single fused kernel, or None when
+    the geometry/layout can't take it (caller falls back to two qmms).
+
+    Requirements: channelwise INT4 both weights, tp=1 fused [w1|w3]
+    layout, M <= M_MAX, 128-aligned dims.
+    """
+    import os as _os
+
+    # default OFF: measured 9.27 vs 9.02 ms/step on the 8B decode A/B —
+    # the single "arbitrary" grid axis serializes phase-A steps that the
+    # separate kernels overlap with "parallel" semantics, costing more
+    # than the removed kernel boundary saves.  Kept opt-in for study
+    # (compiles+runs on hardware, numerics validated).
+    if _os.environ.get("PIQUANT_MLP_FUSE", "0") != "1":
+        return None
+    for ql in (w13, w2):
+        if (not hasattr(ql, "bits") or ql.bits != 4
+                or ql.group_size is not None
+                or getattr(ql, "codebook", None) is not None):
+            return None
+    lead, k = x.shape[:-1], x.shape[-1]
+    m = 1
+    for d in lead:
+        m *= d
+    if m > M_MAX:
+        return None
+    i2 = w13.n
+    if i2 % 2:
+        return None
+    i_ff = i2 // 2
+    n = w2.n
+    if w2.k != i_ff or w13.k != k:
+        return None
+    bna = next((c for c in (1024, 512, 256) if i_ff % c == 0), None)
+    bnb = next((c for c in (1024, 512, 256) if n % c == 0), None)
+    bkh = next((c for c in (1024, 512, 256) if (i_ff // 2) % c == 0), None)
+    if (bna is None or bnb is None or bkh is None or k % 256
+            or i_ff % 256):
+        return None
+    x2 = x.reshape(m, k).astype(jnp.bfloat16)
+    mp = max(16, m + (-m % 16))
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    oname = "bf16" if jnp.dtype(out_dtype) == jnp.dtype(jnp.bfloat16) else "f32"
+    xsum = jnp.sum(x2.astype(jnp.float32), axis=1, keepdims=True)
+    s13 = w13.scale.astype(jnp.float32).reshape(1, -1)
+    zs13 = w13.zero_point.astype(jnp.float32).reshape(1, -1) * s13
+    s2 = w2.scale.astype(jnp.float32).reshape(1, -1)
+    zs2 = w2.zero_point.astype(jnp.float32).reshape(1, -1) * s2
+    vmem_mb = int(_os.environ.get("PIQUANT_QMM_VMEM_MB", "100"))
+    kf = _mlp_fused_kernel(mp, k, i_ff, n, bna, bkh, bnb, act, oname,
+                           vmem_mb)
+    y = kf(x2, w13.data, w13.data, s13, s13, zs13, zs13, w2.data, s2,
+           zs2, xsum)
+    if mp != m:
+        y = y[:m]
+    return y.reshape(*lead, n).astype(out_dtype)

@@ -340,3 +340,42 @@ def test_w8a8_dispatch_and_gating():
     yg = np.asarray(quantized_matmul(x, qg, jnp.float32, act_quant=True))
     wantg = np.asarray(x @ qg.dequantize(jnp.float32))
     np.testing.assert_allclose(yg, wantg, rtol=5e-2, atol=5e-3)
+
+
+def test_mlp_fused_megakernel_matches_two_matmuls():
+    """Opt-in MLP megakernel (w13 -> SwiGLU -> w2 in one pallas call):
+    numerics vs the dequantized two-matmul reference.  Off by default
+    (measured slower e2e, r5 NOTES); the kernel is kept for study."""
+    import os
+
+    import numpy as np
+    from piquant_tpu.models.llama import _concat_qlinear
+    from piquant_tpu.ops.pallas import qmatmul as Q
+    from piquant_tpu.quant.linear import quantize_linear_weight
+
+    rng = np.random.default_rng(77)
+    k, i_ff, n, m = 512, 1024, 512, 8
+    w1 = jnp.asarray(rng.normal(0, 0.05, (k, i_ff)), jnp.float32)
+    w3 = jnp.asarray(rng.normal(0, 0.05, (k, i_ff)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(0, 0.05, (i_ff, n)), jnp.float32)
+    x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.bfloat16)
+    q13 = _concat_qlinear([quantize_linear_weight(w1, 4),
+                           quantize_linear_weight(w3, 4)])
+    q2 = quantize_linear_weight(w2, 4)
+
+    d1 = np.asarray(quantize_linear_weight(w1, 4).dequantize(jnp.float32))
+    d3 = np.asarray(quantize_linear_weight(w3, 4).dequantize(jnp.float32))
+    d2 = np.asarray(q2.dequantize(jnp.float32))
+    xf = np.asarray(x, np.float32)
+    g, u = xf @ d1, xf @ d3
+    want = ((g / (1.0 + np.exp(-g))) * u) @ d2
+
+    # the module's autouse fixture supplies interpret/compiled mode
+    os.environ["PIQUANT_MLP_FUSE"] = "1"
+    try:
+        y = Q.mlp_fused_matmul(x, q13, q2, "silu", jnp.float32)
+    finally:
+        os.environ.pop("PIQUANT_MLP_FUSE")
+    assert y is not None
+    err = np.abs(np.asarray(y) - want).max() / np.abs(want).max()
+    assert err < 2e-2, err
