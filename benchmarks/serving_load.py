@@ -34,8 +34,9 @@ def main(n_requests=16, slots=8):
     bits = int(os.environ.get("PIQUANT_BITS", "4"))
     print(f"building INT{bits} 8B params ({n_requests} requests, {slots} slots)...",
           flush=True)
+    lmh = int(os.environ.get("PIQUANT_LMHEAD_BITS", "8"))
     params = M.random_quantized_params(cfg, jax.random.key(0), bits=bits,
-                                       lm_head_bits=8)
+                                       lm_head_bits=lmh)
     if os.environ.get("PIQUANT_FUSE", "0") == "1":
         params = M.fuse_layer_projections(params, cfg)
     dblk = int(os.environ.get("PIQUANT_DECODE_BLOCK", "0")) or 16
@@ -68,9 +69,12 @@ def main(n_requests=16, slots=8):
     t0 = time.perf_counter()
     for i, L in enumerate(lengths):
         prompt = rng.integers(10, cfg.vocab_size - 10, int(L)).tolist()
+        tmp = float(os.environ.get("PIQUANT_SERVE_TEMP", "0.7"))
         eng.submit(Request(rid=i, prompt=prompt,
-                           sampling=SamplingParams(temperature=0.7, top_k=40,
-                                                   max_new_tokens=128)))
+                           sampling=SamplingParams(
+                               temperature=tmp,
+                               top_k=40 if tmp > 0 else 0,
+                               max_new_tokens=128)))
     done = eng.run()
     wall = time.perf_counter() - t0
 
